@@ -1,0 +1,196 @@
+"""§2.4 Aggregations (SURVEY.md).
+
+Scale notes (100 TB):
+- Every groupBy here compiles to partial (map-side) + final aggregation —
+  the shuffle carries pre-aggregated state, not raw rows. Group-key
+  cardinalities (returnflag×linestatus=6, event_type=5, user_id=O(users))
+  keep reducer state small; AQE coalesces the post-shuffle partitions.
+- `count(DISTINCT ...)` uses Spark's Expand + two-phase exact plan; at
+  extreme cardinality switch to `approx_count_distinct` (HLL, mergeable,
+  one pass) — both are declared ops.
+- Float discipline: money aggregates rounded to fixed scale on both engines
+  (SURVEY §7.4 h2) because partial-agg tree shape differs from DuckDB's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+Q1_CUTOFF = "1998-09-02"
+
+
+@op(
+    "agg_hash_global",
+    oracle="""
+        SELECT floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0       AS sum_qty,
+               floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0  AS avg_price,
+               min(l_shipdate)                 AS min_ship,
+               max(l_shipdate)                 AS max_ship,
+               count(*)                        AS n_rows
+        FROM lineitem
+    """,
+)
+def agg_hash_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregate: sum/avg/min/max/count in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@op(
+    "agg_groupby_q1",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+               floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+               floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+               floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+               floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+               floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    scale=(
+        "6 groups → partial agg reduces ~everything map-side; shuffle is "
+        "6 rows × partitions. The canonical 100TB-friendly aggregation."
+    ),
+)
+def agg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the flagship query (SURVEY §5.1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+            rnd(F.sum(disc_price * (F.lit(1) + F.col("l_tax"))), 2).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@op(
+    "agg_count_distinct",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    scale=(
+        "Exact distinct via Expand + 2-phase agg; at 100 TB prefer "
+        "agg_approx_distinct (HLL sketch, mergeable, no expand blowup)."
+    ),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count(DISTINCT user_id) per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@op(
+    "agg_approx_distinct",
+    # No oracle: approximate result (rows-only check; ±5% asserted in pytest).
+    scale="HLL++ sketch: one pass, tiny mergeable state — the 100 TB path for distincts.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct(user_id) per event_type (rsd=0.05 default)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx")
+    )
+
+
+@op(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, CAST(year(o_orderdate) AS INTEGER))
+    """,
+    scale="Rollup = Expand(3 projections) + one agg; dims broadcast-joined.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (nation, year), (nation), and grand total via ROLLUP."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+    )
+    return joined.rollup("n_name", "o_year").agg(
+        rnd(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+
+
+@op(
+    "agg_collect",
+    oracle="""
+        SELECT user_id, list(event_type ORDER BY event_type) AS evts
+        FROM events GROUP BY user_id
+    """,
+    scale=(
+        "collect_list is unbounded per-key state — fine for bounded "
+        "per-user lists; at 100 TB cap with slice() or pre-aggregate."
+    ),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user list of event_types, sorted for determinism (§7.4 h3)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("event_type")).alias("evts")
+    )
+
+
+@op(
+    "agg_percentile",
+    oracle="""
+        SELECT event_type,
+               floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0  AS p50,
+               floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95
+        FROM events GROUP BY event_type
+    """,
+    scale=(
+        "Exact percentile collects per-group sorted values — OK for small "
+        "groups; at 100 TB use percentile_approx (streaming QDigest sketch)."
+    ),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95 of value per event_type (exact, not approx: §5.2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        rnd(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        rnd(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@op(
+    "agg_distinct_rows",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT on a composite key (hash-agg dedup)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()

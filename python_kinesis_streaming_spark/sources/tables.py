@@ -1,0 +1,57 @@
+"""Batch table loader for the fixture star schema (FIXTURES.md).
+
+One normalization lives here and nowhere else: ``events.ts`` arrives as
+Parquet TIMESTAMP(NANOS) which Spark reads (under the ``nanosAsLong`` legacy
+conf) as a raw long; we convert to a proper TimestampType at microsecond
+precision via integer truncation — bit-identical to what the DuckDB oracle
+produces when it casts its native ns timestamp to its µs TIMESTAMP
+(verified, SURVEY.md §7.4 hazard 1).
+
+Scale notes (100 TB):
+- Loads are plain ``spark.read.parquet`` → vectorized reader, predicate
+  pushdown and column pruning reach the scan for free; callers express
+  filters/projections on the returned DataFrame and Catalyst pushes them.
+- The ts normalization is a cheap per-row projection (whole-stage codegen,
+  no shuffle, no Python).
+- At cluster scale the same loader points at a partitioned table root
+  (e.g. date-partitioned events); partition pruning then composes with the
+  pushed filters untouched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from python_kinesis_streaming_spark.session import ensure_runtime_confs
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing types to the engine's data model."""
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer division, NOT `/1000` double division: ns epoch values
+        # (~1.7e18) exceed double's 2^53 integer range, so float division is
+        # off by ±1µs on ~12% of rows (observed at sf0.01).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once: ``t = load_tables(spark, d, 'orders', ...)``."""
+    return {name: load_table(spark, sf_dir, name) for name in names or TABLE_NAMES}
