@@ -1,1 +1,270 @@
-"""Populated in a later milestone."""
+"""§2.3 Joins (SURVEY.md). Batch joins; stream joins live in streaming/ops.py.
+
+Scale notes (100 TB):
+- Dimension joins (`part`, `nation`, `region`, `customer` at star-schema
+  ratios) are explicitly `F.broadcast(...)`: no shuffle of the fact side.
+- Fact-fact joins shuffle on the join key; AQE handles skew splitting and
+  SMJ→SHJ/broadcast conversion at runtime. For repeated co-located joins at
+  100 TB, bucket both facts on the key (`bucketBy(N, key)`) to eliminate
+  the shuffle entirely.
+- The theta/range self-join keeps an equi prefix (`user_id`) so Catalyst
+  plans a hash/SMJ join with a range residual — NEVER a cartesian product;
+  pair blowup is bounded by per-user event density × window.
+- The as-of join is the union+window trick: one shuffle on (user), no
+  pairwise expansion — this is the 100 TB-safe formulation (a pairs join
+  + filter would be quadratic in per-user density).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+
+@op(
+    "join_broadcast",
+    oracle=f"""
+        SELECT p_brand,
+               {sql_rnd("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    scale="Small dim broadcast → map-side join, zero shuffle of lineitem.",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dim: revenue per part brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@op(
+    "join_shuffle_hash_smj",
+    oracle=f"""
+        SELECT o_orderkey, o_orderdate,
+               {sql_rnd("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+               count(*) AS n_lines
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderdate
+    """,
+    scale=(
+        "Fact-fact equi-join: both sides shuffle on orderkey (or zero "
+        "shuffle if both bucketed on it); AQE picks SMJ/SHJ + skew split."
+    ),
+)
+def join_shuffle_hash_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem with per-order revenue rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@op(
+    "join_multiway",
+    oracle=f"""
+        SELECT n_name,
+               {sql_rnd("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    scale=(
+        "TPC-H Q5 shape: one fact-side shuffle chain; nation/region/supplier "
+        "broadcast; CBO/AQE reorder the chain. The c_nationkey=s_nationkey "
+        "residual rides the supplier broadcast."
+    ),
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table TPC-H Q5-shape join: local-supplier revenue per nation."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@op(
+    "join_outer",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+    """,
+    scale="Outer joins preserve the streamed side; null-fill is free.",
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, with URGENT orders or nulls."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders,
+        (customer.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority == "1-URGENT"),
+        "left",
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+@op(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    scale="Semi-join shuffles only distinct keys of the probe side.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 URGENT order (left semi)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@op(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    scale="Anti-join: same distinct-key shuffle as semi.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT orders (left anti; 203 rows at sf0.01)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@op(
+    "join_theta_range",
+    oracle="""
+        SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+               epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 5 MINUTES
+    """,
+    scale=(
+        "Equi prefix (user_id) + range residual → hash join, not NL/cross. "
+        "At 100 TB additionally bucketize time (join on user AND time-bucket "
+        "of width=range, probing adjacent buckets) to bound the residual scan."
+    ),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self range-join: event pairs of the same user within 5 minutes."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("e1"), F.col("ts").alias("ts1")
+    )
+    b = ev.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("e2"),
+        F.col("ts").alias("ts2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("ts2") > F.col("ts1"))
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "e1",
+            "e2",
+            (F.unix_micros("ts2") - F.unix_micros("ts1")).alias("gap_us"),
+        )
+    )
+
+
+@op(
+    "join_asof",
+    oracle="""
+        SELECT p.event_id AS purchase_id, p.user_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+                WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                  AND c.ts <= p.ts) AS last_click_ts
+        FROM events p WHERE p.event_type = 'purchase'
+    """,
+    scale=(
+        "Union + running `last(ignorenulls)` window: ONE shuffle on user_id, "
+        "linear state — the scale-safe as-of formulation (a pairwise join "
+        "would be quadratic in per-user density). Spark lacks native ASOF; "
+        "this composition is the idiomatic substitute."
+    ),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click of the same user at
+    or before it (click-attribution shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    # kind 0 = click (sorts before purchases at equal ts → 'at/before' incl.)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("kind"),
+        F.col("ts").alias("click_ts"), F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("kind") == 1).select(
+        "purchase_id", "user_id", F.col("ts").alias("purchase_ts"), "last_click_ts"
+    )

@@ -1,1 +1,183 @@
-"""Populated in a later milestone."""
+"""§2.5 Window functions (SURVEY.md).
+
+Scale notes (100 TB):
+- Every window here partitions by a key (customer/user/supplier-bucket) —
+  one shuffle on the partition key, then a local sort; no global sort, no
+  single-reducer hot spot. Skewed partition keys are split by AQE.
+- Deterministic tie-breakers on every ORDER BY (SURVEY §7.4 h3) — rank
+  functions over non-unique keys are otherwise nondeterministic across
+  engines AND across Spark runs.
+- Range frames are expressed on integer epoch-µs, not intervals, so frame
+  membership is bit-exactly comparable with the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+
+@op(
+    "win_rank_topn",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    scale="Top-N per key: rank + filter → Spark pushes a per-partition limit (WindowGroupLimit) before the shuffle.",
+)
+def win_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (row_number + filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@op(
+    "win_rank_dense",
+    oracle="""
+        SELECT s_suppkey, s_acctbal,
+               CAST(rank()       OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS drnk,
+               CAST(ntile(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS quartile
+        FROM supplier
+    """,
+    scale=(
+        "Unpartitioned window = single-reducer sort; fine for dim-sized "
+        "input (suppliers), never for facts — partition or pre-aggregate."
+    ),
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile(4) over suppliers by account balance."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return supplier.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@op(
+    "win_lag_lead",
+    oracle="""
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+               lead(event_type)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap (µs) and next event type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@op(
+    "win_running_sum",
+    oracle=f"""
+        SELECT o_custkey, o_orderkey,
+               {sql_rnd('''sum(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS cum_spend
+        FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative customer spend in order-date order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        rnd(F.sum("o_totalprice").over(w)).alias("cum_spend"),
+    )
+
+
+@op(
+    "win_range_frame",
+    oracle=f"""
+        SELECT user_id, event_id,
+               {sql_rnd('''avg(value) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)''', 4)} AS avg_1h
+        FROM events
+    """,
+    scale="Range frame on epoch-µs; per-user ordering, bounded trailing state.",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h moving average of value per user (RANGE frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        rnd(F.avg("value").over(w), 4).alias("avg_1h"),
+    )
+
+
+@op(
+    "win_first_last",
+    oracle="""
+        SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type)  OVER w AS last_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last event type per user-day (full-frame first/last)."""
+    # day kept as midnight TIMESTAMP, not DATE: DATE pandas-converts
+    # differently across engines (datetime.date vs datetime64) → hash break.
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "day",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+        )
+        .distinct()
+    )
