@@ -1,1 +1,215 @@
-"""Populated in a later milestone."""
+"""§2.8 Scalar function families (SURVEY.md) — one op per family, each a
+deterministic projection exercising the family's functions end-to-end.
+
+Cross-engine semantics pinned here (all verified empirically):
+- DuckDB `dayofweek` is 0=Sunday, Spark is 1=Sunday → oracle adds 1.
+- DuckDB `floor/ceil(double)` → DOUBLE, Spark → LONG → oracle casts BIGINT.
+- DuckDB `regexp_replace` replaces first match unless 'g' — Spark replaces
+  all → oracle passes 'g'.
+- Transcendentals (ln/log10/pow) are not guaranteed correctly-rounded and
+  may differ 1 ulp between JVM and libm → rounded via the shared
+  floor-based `rnd`/`sql_rnd` (sqrt IS IEEE-exact; left raw).
+- Spark `posexplode` pos is 0-based; DuckDB `generate_subscripts` is
+  1-based → oracle subtracts 1.
+
+Scale notes (100 TB): every op here is a narrow, stateless, codegen'd
+projection — no shuffle, no Python; throughput is scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+
+@op(
+    "fn_string",
+    oracle="""
+        SELECT c_custkey,
+               lower(c_name)                              AS lo,
+               upper(c_mktsegment)                        AS up,
+               substring(c_name, 1, 8)                    AS sub8,
+               string_split(c_name, '#')                  AS parts,
+               trim(concat(' ', c_name, ' '))             AS trimmed,
+               concat_ws('-', c_mktsegment, c_name)       AS joined,
+               regexp_extract(c_name, '(\\d+)', 1)        AS digits,
+               regexp_replace(c_name, '0', '', 'g')       AS no_zeros,
+               CAST(length(c_name) AS INTEGER)            AS name_len,
+               lpad(CAST(c_custkey AS VARCHAR), 12, '0')  AS padded
+        FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, split, trim, concat_ws, regex, pad."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lo"),
+        F.upper("c_mktsegment").alias("up"),
+        F.substring("c_name", 1, 8).alias("sub8"),
+        F.split("c_name", "#").alias("parts"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("joined"),
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "0", "").alias("no_zeros"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+    )
+
+
+@op(
+    "fn_date",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)  AS day,
+               date_trunc('hour', o_orderdate)                    AS hour,
+               CAST(year(o_orderdate) AS INTEGER)                 AS yr,
+               CAST(month(o_orderdate) AS INTEGER)                AS mo,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER)        AS dow,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+               o_orderdate + INTERVAL 30 DAY                      AS plus30,
+               CAST(epoch(o_orderdate) AS BIGINT)                 AS unix_sec,
+               strftime(o_orderdate, '%Y-%m-%d')                  AS fmt
+        FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: trunc, parts, dayofweek, datediff, add, unix, format."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.date_trunc("hour", "o_orderdate").alias("hour"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.datediff("o_orderdate", F.lit("1995-01-01")).alias("days_since"),
+        # date_add returns DATE (repo policy: no DATE results) → timestamp
+        F.date_add("o_orderdate", 30).cast("timestamp").alias("plus30"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("fmt"),
+    )
+
+
+@op(
+    "fn_math",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber,
+               {sql_rnd("l_extendedprice")}                        AS rounded,
+               CAST(floor(l_extendedprice) AS BIGINT)              AS flr,
+               CAST(ceil(l_extendedprice) AS BIGINT)               AS cl,
+               abs(l_extendedprice - 30000.0)                      AS dist,
+               {sql_rnd("pow(l_quantity, 2.0)", 6)}                AS q_sq,
+               sqrt(l_extendedprice)                               AS rt,
+               {sql_rnd("ln(l_extendedprice)", 6)}                 AS log_e,
+               {sql_rnd("log10(l_extendedprice)", 6)}              AS log_10,
+               CAST(sign(l_extendedprice - 30000.0) AS INTEGER)    AS sgn,
+               CAST(mod(l_orderkey, 7) AS BIGINT)                  AS key_mod
+        FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: rounding, floor/ceil, abs, pow, sqrt, logs, sign, mod."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(ep).alias("rounded"),
+        F.floor(ep).alias("flr"),
+        F.ceil(ep).alias("cl"),
+        F.abs(ep - 30000.0).alias("dist"),
+        rnd(F.pow("l_quantity", 2.0), 6).alias("q_sq"),
+        F.sqrt(ep).alias("rt"),
+        rnd(F.log(ep), 6).alias("log_e"),
+        rnd(F.log10(ep), 6).alias("log_10"),
+        F.signum(ep - 30000.0).cast("int").alias("sgn"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod"),
+    )
+
+
+@op(
+    "fn_array",
+    oracle=f"""
+        SELECT vec_id,
+               generate_subscripts(embedding[1:4], 1) - 1            AS pos,
+               unnest(embedding[1:4])                                AS val,
+               CAST(len(embedding) AS INTEGER)                       AS n_dims,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+               list_sort(embedding[1:4])                             AS first4_sorted,
+               {sql_rnd("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))", 4)} AS norm_sq
+        FROM embeddings
+    """,
+    scale="HOFs (transform/filter/aggregate) run in codegen JVM-side — the vectorized path for array<float> embedding columns.",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: slice, size, sort, posexplode, higher-order
+    transform/filter/aggregate on the 64-d embedding column."""
+    e = load_table(spark, sf_dir, "embeddings")
+    first4 = F.slice("embedding", 1, 4)
+    dot_self = F.aggregate(
+        F.zip_with("embedding", "embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.posexplode(first4).alias("pos", "val"),
+        F.size("embedding").alias("n_dims"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.sort_array(first4).alias("first4_sorted"),
+        rnd(dot_self, 4).alias("norm_sq"),
+    )
+
+
+@op(
+    "fn_map",
+    oracle="""
+        SELECT event_id,
+               json_keys(props)                                   AS ks,
+               CAST(json_extract(props, '$.k') AS INTEGER)        AS k_val,
+               CAST(len(json_keys(props)) AS INTEGER)             AS n_keys
+        FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: JSON payload → MapType, keys/values/element_at/size."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("ks"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@op(
+    "fn_json",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k')                  AS k_str,
+               CAST(json_extract(props, '$.k') AS INTEGER)        AS k_int,
+               replace(props, ' ', '')                            AS roundtrip,
+               props LIKE '%"k"%'                                 AS has_k
+        FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object, from_json→to_json round-trip, predicates.
+
+    The roundtrip column relies on Spark's to_json emitting minified JSON;
+    the oracle minifies the source text (fixture payloads are '{"k": N}')."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT").getField("k").alias("k_int"),
+        F.to_json(F.from_json("props", "k INT")).alias("roundtrip"),
+        F.col("props").like('%"k"%').alias("has_k"),
+    )
