@@ -1,1 +1,203 @@
-"""Populated in a later milestone."""
+"""§2.10 UDF / UDAF / UDTF surface (SURVEY.md).
+
+These five ops deliberately exercise every Python-extension execution path
+Spark offers, slowest to fastest:
+
+- row-at-a-time Python UDF (``@udf``)            — BatchEvalPython
+- vectorized Arrow scalar UDF (``@pandas_udf``)  — ArrowEvalPython
+- grouped-agg pandas UDF (UDAF)                  — AggregateInPandas
+- grouped-map ``applyInPandas`` (UDTF-by-group)  — FlatMapGroupsInPandas
+- ``mapInPandas`` (UDTF-by-partition)            — MapInPandas
+
+Serialization constraint (driver contract): every UDF body is a NESTED
+function, defined inside its op. Top-level functions are cloudpickled by
+*reference* to this module, which the driver's Python workers cannot import
+(the grading harness launches a bare session from an arbitrary cwd, so
+``python_kinesis_streaming_spark`` is not on the workers' sys.path). Nested
+functions are pickled by *value* — fully self-contained. Same reason the
+UDF objects are built lazily (Spark 4 resolves return types against an
+active session at decoration time).
+
+Scale notes (100 TB):
+- Python UDFs are the slow path by design (SURVEY §2.10): each op here has a
+  pure-SQL twin proving the logic is *expressible* JVM-side; the op exists to
+  verify the extension mechanism, not to recommend it for hot paths.
+- The Arrow paths (pandas_udf / applyInPandas / mapInPandas) move data in
+  columnar batches — 10-100× the row-at-a-time throughput; the only Python
+  style acceptable at scale.
+- applyInPandas shuffles by the grouping key: per-group state must fit one
+  executor. Groups here (event_type: 5) are tiny; for skewed keys pre-salt
+  or use window functions instead.
+- mapInPandas is per-partition: no shuffle at all, output can expand or
+  contract rows arbitrarily (the generator yields batches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import PandasUDFType, pandas_udf, udf
+
+from python_kinesis_streaming_spark.functions.rounding import rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+
+@op(
+    "udf_scalar_py",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN value < 10.0 THEN 'low'
+                    WHEN value < 100.0 THEN 'mid'
+                    ELSE 'high' END AS tier
+        FROM events
+    """,
+    scale=(
+        "Row-at-a-time Python: pickled rows over a socket, no codegen. "
+        "Exists to prove the extension path; the CASE twin is the 100 TB way."
+    ),
+)
+def udf_scalar_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain Python UDF: bucketize event value into a tier label."""
+
+    def tier_label(value):
+        # Same boundaries as the oracle CASE; doubles compare exactly.
+        if value is None:
+            return "unknown"
+        if value < 10.0:
+            return "low"
+        if value < 100.0:
+            return "mid"
+        return "high"
+
+    ev = load_table(spark, sf_dir, "events")
+    tier = udf(tier_label, "string")
+    return ev.select("event_id", tier(F.col("value")).alias("tier"))
+
+
+@op(
+    "udf_pandas_scalar",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               floor((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) / 100.0
+                   AS net_revenue
+        FROM lineitem
+    """,
+    scale=(
+        "Arrow scalar UDF: columnar batches to Python, numpy-vectorized "
+        "compute, zero-copy back. The acceptable Python hot path."
+    ),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF computing per-line net revenue."""
+
+    def net_revenue_fn(price, discount):
+        return price * (1.0 - discount)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    net_revenue = pandas_udf(net_revenue_fn, "double")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(net_revenue(F.col("l_extendedprice"), F.col("l_discount")), 2).alias(
+            "net_revenue"
+        ),
+    )
+
+
+@op(
+    "udaf_pandas_agg",
+    oracle="""
+        SELECT l_returnflag,
+               floor((sum(l_extendedprice * l_quantity) / sum(l_quantity))
+                     * 10000.0 + 0.5) / 10000.0 AS wavg_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    scale=(
+        "Grouped-agg pandas UDF shuffles raw rows by key (no partial agg!) — "
+        "unlike native sum/avg which combine map-side. At 100 TB prefer the "
+        "sum(x*w)/sum(w) decomposition (the oracle) which *does* partial-agg."
+    ),
+)
+def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean extended price per returnflag (pandas UDAF).
+
+    Result rounded to 4 dp on both engines to absorb order-of-summation ulps.
+    """
+
+    def weighted_mean_fn(v, w):
+        den = float(w.sum())
+        return float((v * w).sum() / den) if den else float("nan")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    weighted_mean = pandas_udf(weighted_mean_fn, "double", PandasUDFType.GROUPED_AGG)
+    return li.groupBy("l_returnflag").agg(
+        rnd(weighted_mean(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias(
+            "wavg_price"
+        )
+    )
+
+
+@op(
+    "udtf_grouped_map",
+    oracle="""
+        SELECT event_id, event_type,
+               floor(((value - avg(value) OVER w) / stddev_pop(value) OVER w)
+                     * 10000.0 + 0.5) / 10000.0 AS z
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
+    """,
+    scale=(
+        "applyInPandas = shuffle by key + whole group materialized in one "
+        "Python worker: per-group size must fit memory (5 types here; at "
+        "100 TB sub-bucket or use the window-function twin which streams)."
+    ),
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type z-score of value via grouped-map applyInPandas."""
+
+    def zscore_group(pdf):
+        import numpy as np
+
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=0)  # population std == stddev_pop in SQL
+        z = (pdf["value"] - mean) / std if std else pdf["value"] * 0.0
+        out = pdf[["event_id", "event_type"]].copy()
+        # floor(x*1e4+0.5)/1e4 — identical rounding expression to rounding.rnd.
+        out["z"] = np.floor(z * 10000.0 + 0.5) / 10000.0
+        return out
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(zscore_group, "event_id long, event_type string, z double")
+    )
+
+
+@op(
+    "udtf_map_partitions",
+    oracle="""
+        SELECT doc_id, t.token AS token
+        FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        WHERE len(t.token) > 0
+    """,
+    scale=(
+        "mapInPandas: per-partition generator, no shuffle, arbitrary row "
+        "expansion (here ~docs×tokens). Output partitioning == input "
+        "partitioning, so downstream aggs shuffle the expanded rows — "
+        "pre-aggregate inside the generator when reducing."
+    ),
+)
+def udtf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding UDTF: explode each document into (doc_id, token) rows."""
+
+    def tokenize_batches(batches):
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            out = pdf[["doc_id"]].join(toks.rename("token")).explode("token")
+            yield out[out["token"].str.len() > 0]
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInPandas(
+        tokenize_batches, "doc_id long, token string"
+    )
