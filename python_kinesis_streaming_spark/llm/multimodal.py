@@ -1,0 +1,119 @@
+"""Multimodal-column operators (SURVEY §2.11 / north-star).
+
+The engine's multimodal model: media payloads are opaque ``binary`` columns
+with a typed metadata struct alongside; decode / feature-extraction runs as
+Arrow-batched Python over ``mapInPandas``. The media libraries (PIL,
+torchaudio, ffmpeg, ...) are NOT in this container, so the decode kernel is
+a clearly-marked deterministic stand-in — the Spark-side plumbing (binary
+schema, metadata struct, Arrow batch shape, partition-local execution) is
+real and tested.
+
+Scale notes (100 TB):
+- Binary payloads ride the scan as plain columns: column pruning drops them
+  for metadata-only queries (the common case) — never pay for bytes you
+  don't decode.
+- ``mapInPandas`` decode is partition-local (no shuffle) and batch-sized by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` — tune down for large
+  frames so a batch of decoded images fits executor memory.
+- Real pipelines partition by (modality, size-bucket) so one straggler
+  video doesn't skew a task; metadata struct carries enough to route
+  without touching bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+
+@op(
+    "multimodal_cols",
+    oracle="""
+        SELECT e.label,
+               count(*) AS n,
+               floor((avg(d.n_chars)) * 100.0 + 0.5) / 100.0 AS avg_chars,
+               floor((avg(e.embedding[1])) * 10000.0 + 0.5) / 10000.0 AS avg_e0,
+               floor((avg(e.embedding[64])) * 10000.0 + 0.5) / 10000.0 AS avg_e63
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        GROUP BY e.label
+    """,
+    scale=(
+        "array<float> columns flow through join+agg untouched (no "
+        "serialization cliff); element access is a codegen expression. "
+        "The join key (vec_id=doc_id) co-partitions both sides in one "
+        "shuffle — or zero with bucketed tables."
+    ),
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text + vector columns joined and aggregated together, arrays intact."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id)
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n"),
+        rnd(F.avg("n_chars"), 2).alias("avg_chars"),
+        rnd(F.avg(F.col("embedding")[0].cast("double")), 4).alias("avg_e0"),
+        rnd(F.avg(F.col("embedding")[63].cast("double")), 4).alias("avg_e63"),
+    )
+
+
+@op(
+    "multimodal_decode",
+    # No SQL oracle: the decode kernel is Python-side (rows-only check;
+    # exact values asserted in pytest against hand-computed expectations).
+    scale=(
+        "The multimodal decode path: binary column + metadata struct in, "
+        "fixed-schema features out via Arrow-batched mapInPandas. Swap the "
+        "stand-in kernel for PIL/ffmpeg per modality; everything else "
+        "(schema, batching, partition-locality) is the production shape."
+    ),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over an opaque binary payload column.
+
+    Payload: utf-8 bytes of ``text`` standing in for an image blob, with a
+    ``meta`` struct (modality, n_bytes). The "decode" kernel computes
+    deterministic features (byte length, bytes-sum checksum, 4-byte header
+    as float features) — a stand-in for image decode + resize + embed,
+    which would need media libs this container doesn't ship.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("modality"),
+            F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+    def decode_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                buf = np.frombuffer(row["payload"], dtype=np.uint8)
+                # Deterministic stand-in for a real decoder:
+                #   raise NotImplementedError("image decode needs PIL")
+                feats.append(
+                    {
+                        "doc_id": row["doc_id"],
+                        "modality": row["meta"]["modality"],
+                        "n_bytes": int(buf.size),
+                        "checksum": int(buf.sum() % 2_147_483_647),
+                        "header": [float(b) for b in buf[:4]],
+                    }
+                )
+            import pandas as pd
+
+            yield pd.DataFrame(feats)
+
+    out_schema = (
+        "doc_id long, modality string, n_bytes int, checksum long, "
+        "header array<float>"
+    )
+    return payload.mapInPandas(decode_batches, out_schema)

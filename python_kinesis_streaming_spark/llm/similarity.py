@@ -1,0 +1,264 @@
+"""Vector-similarity operators over the ``embeddings`` table (SURVEY §2.11).
+
+Cosine math is pure higher-order-function Spark SQL (``zip_with`` dot
+product + ``aggregate`` fold) — JVM-side, codegen, no Python. Floats are
+accumulated in double and every emitted similarity is rounded to 4 dp with
+the shared cross-engine rounding expression; all ORDER BY / thresholds
+operate on the ROUNDED value with integer tie-breaks, so Spark and DuckDB
+(`list_cosine_similarity`) select identical row sets.
+
+Scale notes (100 TB / billions of vectors):
+- ``sim_knn_cosine`` broadcasts the query vector — a map-only scan + top-k
+  (TakeOrderedAndProject): no shuffle at all. The canonical brute-force
+  baseline; throughput = scan bandwidth.
+- ``sim_pairwise_topk`` / ``dedup_embed_cosine`` join within a blocking key
+  (label) — never a global cross join. At scale the blocking key becomes an
+  IVF/LSH bucket id (``sim_ann_lsh``) and the same plan shape holds.
+- ``sim_ann_lsh`` shows the scale path: random-hyperplane signatures shrink
+  the candidate set to one bucket; recall is tunable via bits/tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ in double precision (HOF fold — no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+QUERY_VEC_ID = 0  # the deterministic "query" for knn ops
+
+
+@op(
+    "sim_knn_cosine",
+    oracle=f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                   WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id,
+               floor((list_cosine_similarity(embedding::DOUBLE[], qe))
+                     * 10000.0 + 0.5) / 10000.0 AS sim
+        FROM embeddings, q
+        WHERE vec_id <> {QUERY_VEC_ID}
+        ORDER BY sim DESC, vec_id
+        LIMIT 10
+    """,
+    scale=(
+        "Broadcast one query vector; map-only cosine + TakeOrderedAndProject "
+        "top-k — zero shuffles, scales linearly with scan bandwidth. "
+        "Batch-of-queries variant: broadcast the query SET, explode per "
+        "partition, per-query top-k via window."
+    ),
+)
+def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors of vec_id=0, brute force (exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    return (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            rnd(cosine(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@op(
+    "sim_pairwise_topk",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]))
+                         * 10000.0 + 0.5) / 10000.0 AS sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT label, vec_a, vec_b, sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY label ORDER BY sim DESC, vec_a, vec_b) AS rn
+            FROM pairs
+        ) WHERE rn <= 5
+    """,
+    scale=(
+        "All-pairs restricted to a blocking key (label): the join fans out "
+        "per-bucket, never globally. Bucket size is the knob — at 100 TB "
+        "use finer blocking (LSH bucket) so |bucket|² stays bounded; AQE "
+        "splits skewed buckets."
+    ),
+)
+def sim_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most-similar vector pairs within each label (blocked all-pairs)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        rnd(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("sim"), F.asc("vec_a"), F.asc("vec_b")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@op(
+    "dedup_embed_cosine",
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]))
+                     * 10000.0 + 0.5) / 10000.0 AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]))
+                    * 10000.0 + 0.5) / 10000.0 >= 0.30
+    """,
+    scale=(
+        "Embedding near-dup = threshold variant of the blocked pair join; "
+        "the label block stands in for an ANN bucket at scale. Threshold "
+        "compares the rounded value on both engines — no float-boundary "
+        "divergence."
+    ),
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs: cosine ≥ 0.30 within the same label.
+
+    (0.30 is calibrated to the synthetic fixtures — max within-label cosine
+    is ~0.47 — so the op exercises a non-empty result; real pipelines use
+    ~0.9+ on normalized embeddings.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            rnd(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.30)
+    )
+
+
+#: Deterministic pseudo-random hyperplanes for the LSH signature: plane p,
+#: dim d weight derived from a fixed integer hash → [-0.5, 0.5). No RNG at
+#: runtime, identical across sessions/executors. 6 planes → 64 buckets
+#: (~n/64 candidates each); scale bits up with corpus size to hold the
+#: bucket-size target, add tables/probes to recover recall.
+LSH_PLANES = 6
+
+
+def _hyperplane_weight(p: int, d: int) -> float:
+    # Splitmix64-style integer scramble, reduced to a unit-ish float.
+    x = (p * 64 + d) * 0x9E3779B97F4A7C15 % (1 << 64)
+    x = (x ^ (x >> 31)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+    x = (x ^ (x >> 27)) % (1 << 64)
+    return (x % 10_000_019) / 10_000_019.0 - 0.5
+
+
+@op(
+    "sim_ann_lsh",
+    # No SQL oracle (signature math is engine-local); recall vs the exact
+    # brute-force result is asserted in pytest instead.
+    scale=(
+        "The 100 TB ANN path: fixed random hyperplanes → bucket id; the "
+        "query probes its own bucket plus all Hamming-1 neighbors "
+        "(multi-probe) via an equi-join on bucket — index build is one "
+        "map-only pass, lookup shuffles only probed buckets. Recall/latency "
+        "tuned by bits, probes, and table count."
+    ),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec_id=0 via random-hyperplane LSH.
+
+    Signature bit p = sign(v · hyperplane_p) with hyperplanes derived from a
+    fixed integer hash (deterministic everywhere). Candidates = vectors in
+    the query's bucket or any Hamming-1 neighbor bucket (multi-probe);
+    exact cosine re-rank over the candidates.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = 64
+
+    def bucket_col() -> Column:
+        acc = F.lit(0)
+        for p in range(LSH_PLANES):
+            proj = F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(
+                        *[F.lit(_hyperplane_weight(p, d)) for d in range(dims)]
+                    ),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return acc
+
+    with_bucket = emb.withColumn("bucket", bucket_col())
+    # Multi-probe: the query's bucket plus every Hamming-1 neighbor
+    # (flip each of the LSH_PLANES bits) — 1+6 probed buckets of 64.
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_PLANES)],
+    )
+    q = with_bucket.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), probes.alias("qprobes")
+    )
+    return (
+        with_bucket.join(F.broadcast(q), how="cross")
+        .where(
+            F.array_contains(F.col("qprobes"), F.col("bucket"))
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select("vec_id", rnd(cosine(F.col("embedding"), F.col("qe")), 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -1,0 +1,285 @@
+"""Text-analysis operators over ``documents`` (SURVEY §2.11 + north-star
+training-data-pipeline surface): corpus stats, tf-idf, language ID, quality
+scoring, fingerprinting, regex token counting.
+
+All of these are explode → join → aggregate compositions of built-in
+functions — the tokenizer is ``split``/``regexp_extract_all``, never Python.
+
+Scale notes (100 TB):
+- ``explode(split(text))`` multiplies rows by ~tokens/doc BEFORE any
+  shuffle; every op below aggregates or pre-filters immediately after the
+  explode so the exchange carries (key, count) pairs, not raw tokens.
+- The language-ID profile and the idf table are tiny (|vocab|×|langs|) —
+  broadcast; the big side never shuffles for the join.
+- Determinism: scores that feed an argmax/top-k are either pure integers
+  (langid: Σ tf·freq) or rounded before ordering (tfidf), with total
+  tie-break keys — hash-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from python_kinesis_streaming_spark.functions.rounding import rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+
+def doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) — whitespace tokens, one row per occurrence."""
+    return docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).where(
+        F.length("tok") > 0
+    )
+
+
+@op(
+    "text_tokenize_stats",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t.tok AS tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE len(t.tok) > 0
+        ),
+        per_lang AS (
+            SELECT d.lang, count(*) AS n_tokens, count(DISTINCT tok) AS vocab
+            FROM tok JOIN documents d USING (doc_id) GROUP BY d.lang
+        ),
+        per_doc AS (
+            SELECT lang, count(*) AS n_docs,
+                   floor((avg(n_chars)) * 100.0 + 0.5) / 100.0 AS avg_chars
+            FROM documents GROUP BY lang
+        )
+        SELECT lang, n_docs, avg_chars, n_tokens, vocab
+        FROM per_doc JOIN per_lang USING (lang)
+    """,
+    scale=(
+        "Token counts aggregate immediately after the explode (map-side "
+        "combine) — the shuffle carries 5 lang rows, not 100 TB of tokens."
+    ),
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: docs, avg chars, token count, vocab size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = doc_tokens(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    per_lang = tok.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"), F.countDistinct("tok").alias("vocab")
+    )
+    per_doc = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), rnd(F.avg("n_chars"), 2).alias("avg_chars")
+    )
+    return per_doc.join(per_lang, "lang").select(
+        "lang", "n_docs", "avg_chars", "n_tokens", "vocab"
+    )
+
+
+@op(
+    "text_tfidf",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t.tok AS tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE len(t.tok) > 0
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, tok,
+                   floor((tf * ln(n / df)) * 1000000.0 + 0.5) / 1000000.0
+                       AS tfidf
+            FROM tf JOIN df USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, tok, tfidf FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    scale=(
+        "tf and df are both partial-agg reductions; the idf table is "
+        "|vocab| rows → broadcast join back onto tf. Per-doc top-3 via "
+        "window on the doc_id partitioning the tf agg already produced."
+    ),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (tf · ln(N/df), rounded 6 dp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = doc_tokens(docs)
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.count()  # scalar: fixture count; at scale use a broadcast agg
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        rnd(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@op(
+    "text_langid",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t.tok AS tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE len(t.tok) > 0
+        ),
+        profile AS (
+            SELECT d.lang, tok, count(*) AS freq
+            FROM tok JOIN documents d USING (doc_id) GROUP BY d.lang, tok
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        scores AS (
+            SELECT tf.doc_id, p.lang, sum(tf.tf * p.freq) AS score
+            FROM tf JOIN profile p USING (tok)
+            GROUP BY tf.doc_id, p.lang
+        )
+        SELECT doc_id, lang AS pred_lang, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    """,
+    scale=(
+        "Corpus-trained unigram classifier: the profile is |vocab|×|langs| "
+        "rows (tiny → broadcast); scoring is one broadcast join + integer "
+        "partial agg. Pure integer scores: argmax is exactly reproducible "
+        "(no float summation order hazard)."
+    ),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: argmax over per-language unigram-frequency scores.
+
+    The per-language token-frequency profile is learned from the corpus's
+    own ``lang`` labels (two-pass: profile build, then score+argmax) —
+    the distributed shape of any n-gram language identifier. Scores are
+    integers (Σ tf·freq), ties broken by lang name.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = doc_tokens(docs)
+    profile = (
+        tok.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    scores = (
+        tf.join(F.broadcast(profile), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.col("freq")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )
+
+
+@op(
+    "text_quality",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t.tok AS tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE len(t.tok) > 0
+        ),
+        stats AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(DISTINCT tok) AS n_distinct,
+                   sum(len(tok)) AS chars_in_tokens
+            FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               floor((CAST(n_distinct AS DOUBLE) / n_tokens) * 10000.0 + 0.5)
+                   / 10000.0 AS ttr,
+               floor((CAST(chars_in_tokens AS DOUBLE) / n_tokens) * 10000.0 + 0.5)
+                   / 10000.0 AS avg_tok_len,
+               CASE WHEN n_tokens BETWEEN 20 AND 80
+                     AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.25
+                    THEN 1 ELSE 0 END AS keep
+        FROM stats
+    """,
+    scale=(
+        "Per-doc quality features reduce at the doc_id key the explode "
+        "already carries — single partial-agg shuffle; the keep-flag is the "
+        "pipeline's filter gate (apply BEFORE expensive downstream ops)."
+    ),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features per doc: token count, type-token ratio, avg token
+    length, and a keep/drop gate (the LLM-pipeline quality filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = doc_tokens(docs).groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(F.length("tok")).alias("chars_in_tokens"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        rnd(ttr, 4).alias("ttr"),
+        rnd(F.col("chars_in_tokens").cast("double") / F.col("n_tokens"), 4).alias(
+            "avg_tok_len"
+        ),
+        F.when(
+            F.col("n_tokens").between(20, 80) & (ttr >= 0.25), F.lit(1)
+        ).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+@op(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                                   ' ')) AS fp
+        FROM documents
+    """,
+    scale=(
+        "Canonical-form fingerprint (sorted distinct token set → md5): "
+        "map-only, no shuffle; downstream dedup groups by the 16-byte fp. "
+        "Word-order-insensitive by construction — catches shuffled copies "
+        "exact dedup misses."
+    ),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted token set."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    return docs.select("doc_id", F.md5(canon).alias("fp"))
+
+
+@op(
+    "text_token_count",
+    oracle=r"""
+        SELECT source,
+               count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS ws_tokens,
+               sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS re_tokens
+        FROM documents GROUP BY source
+    """,
+    scale=(
+        "Token counting never leaves the JVM: size(split) / "
+        "size(regexp_extract_all) are per-row expressions folded into the "
+        "scan stage; only (source, counts) rows shuffle."
+    ),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs regex ([a-z0-9]+, a BPE-ish word pattern) token counts
+    per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("ws_tokens"),
+        F.sum(F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))).alias(
+            "re_tokens"
+        ),
+    )
