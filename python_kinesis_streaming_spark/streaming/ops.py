@@ -1,1 +1,404 @@
-"""Populated in a later milestone."""
+"""§2.9 Streaming operators + §2.3 streaming joins (SURVEY.md).
+
+Every op here REALLY runs Structured Streaming — micro-batches over the
+chunked replay source (streaming/replay.py), state stores, watermarks,
+``availableNow`` drain — and returns the final result as a batch DataFrame
+so the driver can hash it. SQL-expressible ops carry a **batch-twin
+oracle**: the identical computation in DuckDB over the static ``events``
+view; hash-match proves stream == batch (the exactly-once contract).
+
+Kinesis lineage (BASELINE.json north_star): the replay chunks model shard
+get-records batches; checkpointLocation models the sequence-number
+checkpoint (KCL lease table); dropDuplicates models consumer idempotence;
+applyInPandasWithState models per-key KCL processor state.
+
+Scale notes (100 TB / unbounded):
+- State lives in the state store: windows keyed by (window, type), dedup by
+  event_id, join buffers by user_id. At real scale: RocksDB provider,
+  watermarks bound every state (the only op without one is complete-mode,
+  which is itself bounded by group cardinality).
+- Output modes: append (finalized-only, the high-volume path), update
+  (changelog), complete (small dimensional results only).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+from python_kinesis_streaming_spark.streaming.replay import (
+    SCRATCH,
+    ensure_chunks,
+    replay_stream,
+    run_to_memory,
+)
+
+#: DuckDB-side µs-truncated event time (matches the engine's ns→µs load).
+TS = "CAST(ts AS TIMESTAMP)"
+
+
+@op(
+    "source_stream_replay",
+    oracle=f"SELECT event_id, {TS} AS ts, user_id, event_type, value, props FROM events",
+    scale=(
+        "Identity pass-through proves the source: N micro-batches, offsets "
+        "committed per batch, zero loss/dup. Swap file-replay for the "
+        "kinesis/kafka format and nothing downstream changes."
+    ),
+)
+def source_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events as a 4-batch stream; all rows must arrive exactly once."""
+    s = replay_stream(spark, sf_dir)
+    return run_to_memory(
+        s.select("event_id", "ts", "user_id", "event_type", "value", "props"),
+        "append",
+    )
+
+
+@op(
+    "stream_tumbling",
+    oracle=f"""
+        SELECT date_trunc('hour', {TS}) AS w_start, event_type,
+               count(*) AS n,
+               floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    scale=(
+        "Windowed agg state = (window × type) keys; partial agg runs before "
+        "the state-store shuffle. Append+watermark is the unbounded-safe "
+        "mode; complete used here to emit every window for the hash."
+    ),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour per-type count + sum over the stream == batch GROUP BY."""
+    s = replay_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    mem = run_to_memory(
+        agg.select(F.col("w.start").alias("w_start"), "event_type", "n", "sv"),
+        "complete",
+    )
+    return mem.select("w_start", "event_type", "n", rnd(F.col("sv"), 4).alias("sum_value"))
+
+
+@op(
+    "stream_sliding",
+    oracle=f"""
+        SELECT make_timestamp(((floor(epoch({TS}) / 900) - o.o) * 900)::BIGINT
+                              * 1000000) AS w_start,
+               count(*) AS n
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o) o
+        GROUP BY 1
+    """,
+    scale=(
+        "Slide 15m over 1h: each event updates 4 windows (state write "
+        "amplification = length/slide — keep the ratio small at scale)."
+    ),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min: global event counts."""
+    s = replay_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w")).agg(
+        F.count("*").alias("n")
+    )
+    return run_to_memory(
+        agg.select(F.col("w.start").alias("w_start"), "n"), "complete"
+    )
+
+
+@op(
+    "stream_session",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, {TS} AS ts,
+                   CASE WHEN {TS} - lag({TS}) OVER (PARTITION BY user_id ORDER BY {TS}, event_id)
+                             > INTERVAL 30 MINUTE OR
+                             lag({TS}) OVER (PARTITION BY user_id ORDER BY {TS}, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM e
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    scale=(
+        "session_window merges overlapping per-key gap intervals in the "
+        "state store; watermark evicts closed sessions. Batch twin is the "
+        "classic lag-gap-flag + running-sum sessionization."
+    ),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap sessions: start, last event time, event count."""
+    s = replay_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("session_last"),
+             F.min("ts").alias("session_start"))
+    )
+    return run_to_memory(
+        agg.select("user_id", "session_start", "session_last", "n_events"),
+        "complete",
+    )
+
+
+@op(
+    "stream_watermark_late",
+    # rows-only: result intentionally excludes late-arriving rows, so it
+    # cannot equal any batch query; semantics asserted in pytest.
+    scale=(
+        "withWatermark bounds state AND drops late rows — the knob that "
+        "makes unbounded aggregation finite. 10-min delay here; real "
+        "pipelines size it to observed out-of-orderness."
+    ),
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling agg in append mode with a 10-min watermark over a replay
+    whose final chunk delivers genuinely late rows → they are dropped."""
+    s = replay_stream(spark, sf_dir, variant="late", chunks=4)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return run_to_memory(
+        agg.select(F.col("w.start").alias("w_start"), "event_type", "n"),
+        "append",
+    )
+
+
+@op(
+    "stream_dedup",
+    oracle=f"SELECT event_id, {TS} AS ts, user_id, event_type, value FROM events",
+    scale=(
+        "Exactly-once by key across micro-batches: state = seen keys. "
+        "Unbounded here (fixture); at scale use "
+        "dropDuplicatesWithinWatermark so old keys age out."
+    ),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream with cross-batch duplicates injected (every 10th event arrives
+    again in a later chunk); dropDuplicates restores exactly-once — result
+    hash-equals the clean batch table."""
+    s = replay_stream(spark, sf_dir, variant="dups", chunks=4)
+    deduped = s.select("event_id", "ts", "user_id", "event_type", "value").dropDuplicates(
+        ["event_id"]
+    )
+    return run_to_memory(deduped, "append")
+
+
+@op(
+    "stream_stateful_counter",
+    oracle="""
+        SELECT user_id, count(*) AS n,
+               floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total
+        FROM events GROUP BY user_id
+    """,
+    scale=(
+        "applyInPandasWithState = the KCL per-key processor analogue: "
+        "arbitrary Python state per key, checkpointed in the state store. "
+        "State is (count, sum) — constant per key; watermark/timeout would "
+        "GC idle keys at scale."
+    ),
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful op: running per-user (count, sum) via
+    applyInPandasWithState; final snapshot == batch GROUP BY."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_counts(key, pdfs, state):
+        # Nested: cloudpickled by value (driver workers can't import us).
+        import pandas as pd
+
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [cnt], "total": [total]})
+
+    s = replay_stream(spark, sf_dir)
+    updates = s.groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id long, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(updates, "update")
+    # The memory table holds one row per (key, batch-with-updates); the final
+    # snapshot is the row with the largest running count per key.
+    final = mem.groupBy("user_id").agg(
+        F.max("n").alias("n"), F.max_by("total", "n").alias("t")
+    )
+    return final.select("user_id", "n", rnd(F.col("t"), 4).alias("total"))
+
+
+@op(
+    "stream_output_modes",
+    # rows-only: the append/update row counts depend on batch boundaries
+    # (deterministic for the fixed 4-chunk replay, but not SQL-expressible).
+    scale=(
+        "Same agg, three contracts: append = finalized windows only "
+        "(needs watermark), update = changelog rows, complete = full "
+        "refresh (only viable for small results)."
+    ),
+)
+def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the tumbling agg in append/update/complete; one summary row per
+    mode: rows emitted to the sink + distinct windows among them."""
+    rows = []
+    for mode in ["append", "update", "complete"]:
+        s = replay_stream(spark, sf_dir)
+        base = s.withWatermark("ts", "10 minutes") if mode != "complete" else s
+        agg = base.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+            F.count("*").alias("n")
+        )
+        mem = run_to_memory(
+            agg.select(F.col("w.start").alias("w_start"), "event_type", "n"), mode
+        )
+        summary = mem.agg(
+            F.count("*").alias("rows_emitted"),
+            F.countDistinct("w_start").alias("n_windows"),
+        ).collect()[0]
+        rows.append((mode, summary.rows_emitted, summary.n_windows))
+    return spark.createDataFrame(
+        rows, "output_mode string, rows_emitted long, n_windows long"
+    )
+
+
+@op(
+    "stream_checkpoint_resume",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    scale=(
+        "The Kinesis sequence-number checkpoint analogue: offsets + sink "
+        "commit log in checkpointLocation give exactly-once file output "
+        "across restarts; resumed query skips committed batches."
+    ),
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill-and-resume: drain chunks 1-2 to a parquet sink, stop, deliver
+    chunks 3-4, restart from the same checkpoint — the read-back equals the
+    batch table exactly (no loss, no duplicates)."""
+    src = ensure_chunks(spark, sf_dir, "plain", 4)
+    files = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    root = os.path.join(SCRATCH, "resume", os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(root, ignore_errors=True)
+    data, ckpt, out = (os.path.join(root, d) for d in ["data", "ckpt", "out"])
+    os.makedirs(data)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in files[:2]:
+        shutil.copy(os.path.join(src, f), os.path.join(data, f))
+    run_once()  # first incarnation: commits chunks 1-2, then "dies"
+    for f in files[2:]:
+        shutil.copy(os.path.join(src, f), os.path.join(data, f))
+    run_once()  # resumed incarnation: checkpoint skips committed batches
+
+    return (
+        spark.read.parquet(out).groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+
+
+@op(
+    "join_stream_static",
+    oracle="""
+        SELECT e.event_id, e.user_id, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    scale=(
+        "Stream-static join is stateless: the static side is (re)broadcast "
+        "per micro-batch — the streaming enrichment-dimension pattern; "
+        "refresh the dim by re-reading it, no state to migrate."
+    ),
+)
+def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich the event stream with the static customer dimension."""
+    s = replay_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = s.join(F.broadcast(dim), s.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    return run_to_memory(joined, "append")
+
+
+@op(
+    "join_stream_stream",
+    oracle=f"""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+    """,
+    scale=(
+        "Stream-stream inner join buffers both sides in the state store; "
+        "the watermark + time-range bound lets Spark evict rows that can "
+        "no longer match — without them state is unbounded."
+    ),
+)
+def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks joined to same-user purchases within 10 minutes, both sides
+    streaming (watermarked, time-bounded state)."""
+    clicks = (
+        replay_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        replay_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.col("c_user").alias("user_id"),
+    )
+    return run_to_memory(joined, "append")
