@@ -17,5 +17,7 @@ Design principles (see SURVEY.md §4):
 
 from python_kinesis_streaming_spark.registry import all_oracles, all_queries, get_op
 
-__all__ = ["all_queries", "all_oracles", "get_op"]
+__all__ = ["all_queries", "all_oracles", "get_op", "api"]
 __version__ = "0.1.0"
+
+from python_kinesis_streaming_spark import api  # noqa: E402  (public surface)

@@ -1,0 +1,201 @@
+"""Public, composable library API.
+
+The registry ops (SURVEY §2) are fixture-bound callables for the driver's
+correctness gate; THIS module is what an application imports: the same
+algorithms as general functions over arbitrary DataFrames. Each function is
+a thin, documented generalization of a hash-verified registry op (named in
+the docstring), so the oracle gate transitively pins these too — and
+tests/test_api.py asserts API(fixtures) ≡ registry op output.
+
+Everything returns lazy DataFrames built from built-in expressions; nothing
+here collects, nothing is Python-per-row (the documented exceptions:
+decode kernels in llm.multimodal).
+
+Scale notes live with each underlying implementation; the API adds none of
+its own shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from python_kinesis_streaming_spark.llm.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
+from python_kinesis_streaming_spark.llm.similarity import cosine, dot, l2norm
+
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "dedup_exact",
+    "near_dup_candidates",
+    "knn_cosine",
+    "tokenize",
+    "tfidf",
+    "quality_features",
+    "cosine",
+    "dot",
+    "l2norm",
+]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str] = (),
+) -> DataFrame:
+    """For each LEFT row, attach the latest RIGHT row of the same ``on`` key
+    with ``right_time`` ≤ ``left_time`` (generalizes registry op
+    ``join_asof``; semantics of DuckDB/pandas ASOF JOIN backward).
+
+    Implementation: union both sides tagged by kind, one window pass with
+    ``last(ignorenulls)`` over (key, time, kind) ordering — a single shuffle
+    on the key, no range self-join blowup. Output: every left column plus
+    ``asof_<right_time>`` and ``asof_<c>`` for each requested value column.
+    """
+    vcols = list(value_cols)
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_kind"),
+        F.col(right_time).alias("_rt"),
+        *[F.col(c).alias(f"_rv_{c}") for c in vcols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_lc_{c}") for c in left.columns],
+    )
+    l_ = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in vcols],
+        *[F.col(c).alias(f"_lc_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l_).select(
+        "*",
+        F.last("_rt", ignorenulls=True).over(w).alias(f"asof_{right_time}"),
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in vcols
+        ],
+    )
+    out = merged.where(F.col("_kind") == 1).select(
+        *[F.col(f"_lc_{c}").alias(c) for c in left.columns],
+        f"asof_{right_time}",
+        *[f"asof_{c}" for c in vcols],
+    )
+    return out
+
+
+def sessionize(
+    df: DataFrame, key: str, ts: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Per-key event-time sessions with the given inactivity gap (the batch
+    twin of registry op ``stream_session``; native ``session_window`` under
+    the hood — one shuffle + interval merge)."""
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts), f"{gap_seconds} seconds").alias("_w"),
+            F.col(key),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Exact dedup on the given columns' content hash, keeping one arbitrary
+    deterministic representative (lowest of all remaining columns is not
+    defined — callers needing a specific keep-rule should window instead).
+    Generalizes registry op ``dedup_exact``."""
+    h = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    return df.withColumn("_h", h).dropDuplicates(["_h"]).drop("_h")
+
+
+def near_dup_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (registry op
+    ``dedup_near_minhash`` without the fixture-demo injection)."""
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    sigs = minhash_signatures(word_shingles(base, n=shingle_n))
+    return lsh_candidate_pairs(sigs)
+
+
+def knn_cosine(df: DataFrame, vec_col: str, query: Sequence[float], k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors of a literal query vector (registry op
+    ``sim_knn_cosine``): literal-coefficient dot product, codegen'd scan →
+    TakeOrderedAndProject, zero shuffles."""
+    qv = [float(x) for x in query]
+    qnorm = sum(x * x for x in qv) ** 0.5
+    d: Column = F.lit(0.0)
+    for i, wgt in enumerate(qv):
+        d = d + F.col(vec_col)[i].cast("double") * F.lit(wgt)
+    sim = d / (l2norm(F.col(vec_col)) * F.lit(qnorm))
+    return df.withColumn("sim", sim).orderBy(F.desc("sim")).limit(k)
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tok) whitespace tokens, one row per occurrence (llm.text)."""
+    return df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+
+
+def tfidf(df: DataFrame, id_col: str, text_col: str, top_k: int = 3) -> DataFrame:
+    """Top-k tf·ln(N/df) terms per document (registry op ``text_tfidf``)."""
+    tok = tokenize(df, id_col, text_col)
+    tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    n = df.count()
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        id_col,
+        "tok",
+        (F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("tok"))
+    return scored.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= top_k
+    ).drop("_rn")
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality gate features (registry op ``text_quality``)."""
+    tok = tokenize(df, id_col, text_col)
+    stats = tok.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(F.length("tok")).alias("chars_in_tokens"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return stats.select(
+        id_col,
+        "n_tokens",
+        ttr.alias("ttr"),
+        (F.col("chars_in_tokens").cast("double") / F.col("n_tokens")).alias(
+            "avg_tok_len"
+        ),
+        F.when(F.col("n_tokens").between(20, 80) & (ttr >= 0.25), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )

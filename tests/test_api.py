@@ -1,0 +1,111 @@
+"""Public API ≡ registry-op equivalence tests: the library functions must
+produce the same results as their oracle-verified registry twins, and the
+Kinesis facade must expose the documented record plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_kinesis_streaming_spark import api
+from python_kinesis_streaming_spark.registry import all_queries
+from python_kinesis_streaming_spark.sources.kinesis import (
+    decode_json_records,
+    kinesis_record_schema,
+)
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+Q = all_queries()
+
+
+def test_asof_join_matches_registry_op(spark, sf_dir):
+    """api.asof_join(purchases, clicks) row-set == registry join_asof."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = api.asof_join(
+        purchases, clicks, on="user_id", left_time="purchase_ts", right_time="ts"
+    ).select(
+        "purchase_id", "user_id", "purchase_ts", F.col("asof_ts").alias("last_click_ts")
+    )
+    expected = Q["join_asof"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_sessionize_matches_stream_session(spark, sf_dir):
+    """api.sessionize == the streaming session op's (hash-verified) result."""
+    ev = load_table(spark, sf_dir, "events")
+    out = api.sessionize(ev, key="user_id", ts="ts", gap_seconds=1800).select(
+        "user_id", "session_start", "n_events"
+    )
+    expected = Q["stream_session"](spark, sf_dir).select(
+        "user_id", "session_start", "n_events"
+    )
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_dedup_exact_api(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)
+    out = api.dedup_exact(doubled, ["text"])
+    assert out.count() == docs.count()
+    # idempotence
+    assert api.dedup_exact(out, ["text"]).count() == out.count()
+
+
+def test_near_dup_candidates_api(spark, sf_dir):
+    """Injecting a mutated copy must surface (orig, mutant) as a candidate."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    mutated = docs.where(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(999_999)
+    ).withColumn("text", F.concat("text", F.lit(" zz")))
+    pairs = api.near_dup_candidates(docs.unionByName(mutated))
+    assert pairs.where(
+        (F.col("doc_a") == 0) & (F.col("doc_b") == 999_999)
+    ).count() == 1
+
+
+def test_knn_cosine_api_matches_registry(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    out = api.knn_cosine(emb.where(F.col("vec_id") != 0), "embedding", qv, k=10)
+    got = [r.vec_id for r in out.collect()]
+    expected = [r.vec_id for r in Q["sim_knn_cosine"](spark, sf_dir).collect()]
+    assert got == expected
+
+
+def test_tfidf_and_quality_run(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = api.tfidf(docs, "doc_id", "text", top_k=2)
+    assert t.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0] <= 2
+    q = api.quality_features(docs, "doc_id", "text")
+    assert q.count() == docs.count()
+
+
+def test_kinesis_record_decode(spark):
+    """The Data-blob decode path over synthetic Kinesis-shaped records."""
+    import datetime
+
+    rows = [
+        ("user-1", "49590338271490256608559692538361571095921575989136588898",
+         datetime.datetime(2024, 1, 1, 0, 0, 0), b'{"k": 7, "v": 1.5}'),
+        ("user-2", "49590338271490256608559692538361571095921575989136588899",
+         datetime.datetime(2024, 1, 1, 0, 0, 1), b'{"k": 9, "v": -2.0}'),
+    ]
+    records = spark.createDataFrame(rows, kinesis_record_schema())
+    decoded = decode_json_records(records, "k INT, v DOUBLE")
+    got = {r.partitionKey: (r.k, r.v) for r in decoded.collect()}
+    assert got == {"user-1": (7, 1.5), "user-2": (9, -2.0)}
+
+
+def test_read_kinesis_raises_without_connector(spark):
+    from python_kinesis_streaming_spark.sources.kinesis import read_kinesis
+
+    with pytest.raises(RuntimeError, match="connector"):
+        read_kinesis(spark, "my-stream", "us-east-1")
