@@ -17,9 +17,12 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+from python_kinesis_streaming_spark.operators.scans import SCRATCH
 from python_kinesis_streaming_spark.registry import op
 from python_kinesis_streaming_spark.sources.tables import load_table
 
@@ -267,4 +270,90 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.where(F.col("kind") == 1).select(
         "purchase_id", "user_id", F.col("ts").alias("purchase_ts"), "last_click_ts"
+    )
+
+
+@op(
+    "join_skew_salted",
+    oracle=f"""
+        SELECT o_orderpriority,
+               {sql_rnd("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    scale=(
+        "Manual skew salting (the pre-AQE / beyond-AQE tool): big side's "
+        "key becomes (key, salt) with salt derived per row; small side is "
+        "exploded x SALT_BUCKETS so every salted key finds its match. A hot "
+        "key's rows now spread over SALT_BUCKETS reducers instead of one. "
+        "Cost: small side replicated xN - use only on diagnosed hot keys "
+        "(AQE skew-join split handles the moderate cases for free)."
+    ),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi join via explicit salting; result identical to the
+    plain join (the oracle) - salting is pure physical redistribution."""
+    SALT_BUCKETS = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        # Deterministic per-row salt; any per-row-varying value works.
+        "_salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(SALT_BUCKETS))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)])))
+    )
+    joined = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey) & (li._salt == orders._salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        rnd(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@op(
+    "join_bucketed",
+    oracle=f"""
+        SELECT o_orderstatus,
+               {sql_rnd("sum(l_quantity)")} AS sum_qty,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    scale=(
+        "Bucketed co-located join: both facts written bucketBy(8, key) + "
+        "sortBy(key); the SMJ then needs NO Exchange and NO Sort on either "
+        "side (asserted in tests/test_plans.py). At 100 TB this is THE "
+        "repeated-join layout: pay one bucketed write, join shuffle-free "
+        "forever after. Bucket count scales with cluster width."
+    ),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join over bucket-co-located tables."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    names = {}
+    for t, key in [("lineitem", "l_orderkey"), ("orders", "o_orderkey")]:
+        name = f"bkt_{t}_{sf_tag}"
+        if not spark.catalog.tableExists(name):
+            path = os.path.join(SCRATCH, "bucketed", sf_tag, t)
+            (
+                load_table(spark, sf_dir, t)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", path)
+                .saveAsTable(name)
+            )
+        names[t] = name
+    li = spark.table(names["lineitem"]).select("l_orderkey", "l_quantity")
+    orders = spark.table(names["orders"]).select("o_orderkey", "o_orderstatus")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return joined.groupBy("o_orderstatus").agg(
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
     )

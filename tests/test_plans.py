@@ -107,3 +107,32 @@ def test_semi_anti_join_plans(spark, sf_dir, no_table_cache):
     + distinct."""
     assert "LeftSemi" in plan_of(Q["join_semi"](spark, sf_dir), "simple")
     assert "LeftAnti" in plan_of(Q["join_anti"](spark, sf_dir), "simple")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, no_table_cache):
+    """Both sides bucketed+sorted on the join key: the SMJ must need neither
+    an Exchange nor (after bucket sort files) a shuffle-induced sort."""
+    # Disable broadcast so the co-located SMJ path is what's planned (at
+    # fixture scale AQE would otherwise just broadcast the small side).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = Q["join_bucketed"](spark, sf_dir)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in p, p
+    assert "SortMergeJoin" in p, p
+    # join inputs are bucket-co-located: no hash repartitioning of either side
+    assert "Exchange hashpartitioning(l_orderkey" not in p, p
+    assert "Exchange hashpartitioning(o_orderkey" not in p, p
+
+
+def test_salted_join_spreads_key(spark, sf_dir, no_table_cache):
+    """Salted join output must equal the plain join (already oracle-pinned);
+    here: the join condition really includes the salt column."""
+    df = Q["join_skew_salted"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in p
