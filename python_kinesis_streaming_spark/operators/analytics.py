@@ -1,0 +1,182 @@
+"""Analytical SQL surface: subqueries, pivot, cube, statistical aggregates.
+
+Subquery ops deliberately run through ``spark.sql`` (entry point E2,
+SURVEY §3.2) over temp views — exercising the parser + Catalyst subquery
+decorrelation, not just the DataFrame builder path.
+
+Scale notes (100 TB):
+- The scalar subquery executes once (its own tiny job) and is inlined as a
+  literal into the main scan's filter — full pushdown applies.
+- The correlated EXISTS decorrelates to a LeftSemi hash join on the
+  correlation key — never a per-row re-execution.
+- pivot with an EXPLICIT value list compiles to one pass of conditional
+  aggregates (no distinct-values pre-query, no second shuffle).
+- cube = Expand×4 + one partial-agg pass; output cardinality is the sum of
+  the grouping-set cardinalities, not their product.
+- corr/covar/stddev are single-pass mergeable moments (sum, sum², sum·xy) —
+  partial-agg friendly like plain sums.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Register the fixture table as a temp view (sf-tagged, idempotent)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    vname = f"v_{name}_{tag}"
+    load_table(spark, sf_dir, name).createOrReplaceTempView(vname)
+    return vname
+
+
+@op(
+    "subquery_scalar",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_quantity > (
+            SELECT floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0
+            FROM lineitem
+        )
+    """,
+    scale=(
+        "Scalar subquery → one tiny agg job, result inlined as a literal "
+        "into the main filter → parquet pushdown still applies. The avg is "
+        "rounded on both engines so the comparison boundary is identical."
+    ),
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows above the (scalar-subquery) global average quantity — via
+    spark.sql, exercising the parser entry point."""
+    v = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM {v}
+        WHERE l_quantity > (
+            SELECT floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0
+            FROM {v}
+        )
+    """)
+
+
+@op(
+    "subquery_exists_correlated",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+        )
+    """,
+    scale=(
+        "Correlated EXISTS decorrelates to a LeftSemi join on o_custkey — "
+        "one shuffle, no per-row subquery re-execution (Catalyst rewrite; "
+        "same rewrite the semi-join op uses directly)."
+    ),
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one >400k order, written as correlated
+    EXISTS through the SQL parser."""
+    vc = _view(spark, sf_dir, "customer")
+    vo = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c_custkey, c_name
+        FROM {vc} c
+        WHERE EXISTS (
+            SELECT 1 FROM {vo} o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+        )
+    """)
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@op(
+    "pivot_wide",
+    oracle=f"""
+        SELECT user_id,
+               {", ".join(
+                   f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
+                   for t in EVENT_TYPES
+               )}
+        FROM events GROUP BY user_id
+    """,
+    scale=(
+        "Explicit pivot value list → ONE aggregation pass of conditional "
+        "counts (no distinct-values discovery job, no extra shuffle); "
+        "output width is fixed at plan time."
+    ),
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide: per-user event counts, one column per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@op(
+    "agg_cube",
+    oracle=f"""
+        SELECT c_mktsegment, o_orderstatus,
+               {sql_rnd("sum(o_totalprice)")} AS revenue,
+               count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY CUBE(c_mktsegment, o_orderstatus)
+    """,
+    scale="Cube = Expand(4 grouping sets) + one partial-agg pass; dims broadcast.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by every subset of (mktsegment, orderstatus) via CUBE."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    return j.cube("c_mktsegment", "o_orderstatus").agg(
+        rnd(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@op(
+    "agg_stats_moments",
+    oracle="""
+        SELECT event_type,
+               floor((corr(value, CAST(json_extract_string(props, '$.k') AS INTEGER)))
+                     * 10000.0 + 0.5) / 10000.0 AS corr_vk,
+               floor((covar_samp(value, CAST(json_extract_string(props, '$.k') AS INTEGER)))
+                     * 10000.0 + 0.5) / 10000.0 AS covar_vk,
+               floor((stddev_samp(value)) * 10000.0 + 0.5) / 10000.0 AS std_v
+        FROM events GROUP BY event_type
+    """,
+    scale=(
+        "corr/covar/stddev are mergeable moment sketches (Σx, Σx², Σxy, n): "
+        "partial-agg + tiny shuffle state, exactly like plain sums — the "
+        "statistical profile pass of a data-quality pipeline."
+    ),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type correlation/covariance of value vs the JSON payload's k,
+    plus stddev — single-pass moment aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            rnd(F.corr("value", "k"), 4).alias("corr_vk"),
+            rnd(F.covar_samp("value", "k"), 4).alias("covar_vk"),
+            rnd(F.stddev_samp("value"), 4).alias("std_v"),
+        )
+    )

@@ -41,6 +41,7 @@ _OP_MODULES = [
     "python_kinesis_streaming_spark.operators.windows",
     "python_kinesis_streaming_spark.operators.sorts",
     "python_kinesis_streaming_spark.operators.setops",
+    "python_kinesis_streaming_spark.operators.analytics",
     "python_kinesis_streaming_spark.functions.families",
     "python_kinesis_streaming_spark.streaming.ops",
     "python_kinesis_streaming_spark.operators.udfs",

@@ -402,3 +402,53 @@ def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
     )
     return run_to_memory(joined, "append")
+
+
+@op(
+    "stream_foreach_batch",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    scale=(
+        "foreachBatch = the escape hatch: each micro-batch arrives as a "
+        "batch DataFrame for arbitrary sinks (JDBC upsert, MERGE INTO, "
+        "multi-sink fan-out). Per-batch partial aggregates land in the "
+        "target; a final re-aggregation merges them - the classic "
+        "incremental-materialization pattern. Exactly-once comes from "
+        "idempotent/transactional writes keyed by batchId."
+    ),
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via foreachBatch: each micro-batch appends
+    its partial per-type counts (tagged with batchId) to a parquet target;
+    re-aggregating the target equals the batch GROUP BY exactly."""
+    out = os.path.join(
+        SCRATCH, "fe_batch", os.path.basename(os.path.normpath(sf_dir))
+    )
+    ckpt = os.path.join(SCRATCH, "ckpt", f"febatch_{os.path.basename(out)}")
+    # Output AND checkpoint are one unit for this demo: a stale checkpoint
+    # with a fresh output dir would replay zero batches and write nothing.
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Runs on the DRIVER per micro-batch; the agg itself is distributed.
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("partial_n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    s = replay_stream(spark, sf_dir)
+    q = (
+        s.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum("partial_n").alias("n"))
+    )

@@ -17,12 +17,15 @@ Q = all_queries()
 
 
 @pytest.fixture()
-def no_table_cache(monkeypatch):
+def no_table_cache(monkeypatch, spark):
+    """Disable the load_table cache AND drop Spark's cached relations:
+    the CacheManager substitutes InMemoryRelation into any matching plan
+    fragment, so clearing our dict alone wouldn't expose the parquet scan."""
     monkeypatch.setenv("SPARK_GRAFT_NO_TABLE_CACHE", "1")
-    saved = dict(tables._CACHE)
+    spark.catalog.clearCache()
     tables._CACHE.clear()
     yield
-    tables._CACHE.update(saved)
+    tables._CACHE.clear()  # stale entries are no longer persisted; re-cache lazily
 
 
 def plan_of(df, mode: str = "formatted") -> str:
