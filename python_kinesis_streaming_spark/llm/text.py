@@ -283,3 +283,41 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "re_tokens"
         ),
     )
+
+
+@op(
+    "text_levenshtein",
+    oracle="""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+        FROM documents a JOIN documents b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 50 AND b.doc_id < 50
+    """,
+    scale=(
+        "Edit distance is O(len_a*len_b) per pair - NEVER all-pairs at "
+        "scale: block first (here: same source + id range), truncate "
+        "inputs, or gate behind cheaper filters (fingerprint/MinHash). "
+        "levenshtein() itself is a JVM builtin (codegen, no Python)."
+    ),
+)
+def text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance on 40-char prefixes over blocked doc pairs -
+    the exact-verify step of a fuzzy-dedup pipeline."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(
+                F.substring(F.col("a.text"), 1, 40), F.substring(F.col("b.text"), 1, 40)
+            ).alias("dist"),
+        )
+    )

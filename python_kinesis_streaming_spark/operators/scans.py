@@ -86,3 +86,55 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out)
     return back.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@op(
+    "sink_json_roundtrip",
+    oracle=(
+        "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,"
+        " value, props FROM events"
+    ),
+    scale=(
+        "JSON-lines is the interchange sink (schemaless consumers, Kinesis "
+        "Firehose-style delivery): ~5-10x parquet's bytes and no pushdown, "
+        "so at 100 TB it is an EDGE format only - land as JSON, compact to "
+        "parquet. Explicit schema on read-back: no inference pass."
+    ),
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as JSON lines, read back with explicit schema, prove the
+    round-trip lossless (timestamps ISO-8601 w/ micros, doubles exact via
+    Spark's shortest-repr JSON encoding)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(SCRATCH, f"sink_json_{uuid.uuid4().hex[:8]}")
+    # default JSON timestampFormat truncates to milliseconds — force µs
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev.write.mode("overwrite").option("timestampFormat", fmt).json(out)
+    back = spark.read.schema(ev.schema).option("timestampFormat", fmt).json(out)
+    return back.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@op(
+    "sink_csv_roundtrip",
+    oracle="SELECT event_id, user_id, event_type, props FROM events",
+    scale=(
+        "CSV: header-on, explicit schema + timestampFormat on read. Text "
+        "floats are NOT bit-safe (shortest-repr vs locale pitfalls), so the "
+        "contract covers the int/string columns - the honest statement of "
+        "what CSV can carry losslessly."
+    ),
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the int/string columns of events to CSV, read back with an
+    explicit schema, prove losslessness for CSV-safe types."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    out = os.path.join(SCRATCH, f"sink_csv_{uuid.uuid4().hex[:8]}")
+    ev.write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.schema("event_id long, user_id long, event_type string, props string")
+        .option("header", "true")
+        .csv(out)
+    )
+    return back
