@@ -180,3 +180,72 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.stddev_samp("value"), 4).alias("std_v"),
         )
     )
+
+
+@op(
+    "q17_correlated_avg",
+    oracle="""
+        SELECT floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0
+                   AS avg_yearly
+        FROM lineitem l1
+        WHERE l_quantity < (
+            SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
+    """,
+    scale=(
+        "TPC-H Q17 shape: per-group correlated scalar subquery. Catalyst "
+        "decorrelates to [per-part avg agg] JOIN [lineitem] - one agg + one "
+        "equi join on l_partkey instead of a per-row subquery; AQE picks "
+        "broadcast for the agg side when small."
+    ),
+)
+def q17_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue vs the per-part average (correlated scalar
+    subquery through the SQL parser, decorrelated by Catalyst)."""
+    v = _view(spark, sf_dir, "lineitem")
+    # CAST to double: Spark parses `100.0` literals as DECIMAL, and
+    # bigint(floor)/decimal would yield a Decimal result vs DuckDB's double.
+    return spark.sql(f"""
+        SELECT CAST(floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0
+                    AS DOUBLE) AS avg_yearly
+        FROM {v} l1
+        WHERE l_quantity < (
+            SELECT 0.5 * avg(l_quantity) FROM {v} l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
+    """)
+
+
+@op(
+    "q13_count_distribution",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    scale=(
+        "TPC-H Q13 shape: left join preserving customers with zero orders, "
+        "then a two-level count-of-counts. Both aggs partial-combine; the "
+        "second agg's key (c_count) is tiny-cardinality - near-total "
+        "map-side reduction."
+    ),
+)
+def q13_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-order-count histogram (zero-order customers included)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

@@ -61,3 +61,43 @@ def test_replay_is_really_chunked(spark, sf_dir):
     # chunks partition the table exactly
     n = spark.read.parquet(d).count()
     assert n == load_table(spark, sf_dir, "events").count()
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """The big-state path (SURVEY §4): the same windowed agg must produce
+    identical results with the RocksDB state store provider — proving the
+    state backend is swappable by config alone (the 100 TB setting)."""
+    from python_kinesis_streaming_spark.streaming.replay import (
+        replay_stream,
+        run_to_memory,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, "")
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = replay_stream(spark, sf_dir)
+        agg = s.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n"))
+        mem = run_to_memory(
+            agg.select(F.col("w.start").alias("w_start"), "event_type", "n"),
+            "complete",
+        )
+        got = {(r.w_start, r.event_type): r.n for r in mem.collect()}
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.w_start, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("w_start"), "event_type"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
