@@ -249,3 +249,113 @@ def q13_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@op(
+    "win_percent_rank",
+    oracle="""
+        SELECT s_suppkey,
+               floor((percent_rank() OVER (ORDER BY s_acctbal, s_suppkey))
+                     * 1000000.0 + 0.5) / 1000000.0 AS pr,
+               floor((cume_dist() OVER (ORDER BY s_acctbal, s_suppkey))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cd
+        FROM supplier
+    """,
+    scale=(
+        "Global-ORDER window = single-partition sort: fine for dims "
+        "(suppliers); for facts PARTITION the window or pre-bucket - a "
+        "global percent_rank over 100 TB is a design smell."
+    ),
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over suppliers by account balance."""
+    from pyspark.sql.window import Window
+
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_suppkey",
+        rnd(F.percent_rank().over(w), 6).alias("pr"),
+        rnd(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@op(
+    "fn_conditional",
+    oracle="""
+        SELECT event_id,
+               coalesce(nullif(event_type, 'error'), 'recovered') AS et,
+               least(value, 100.0) AS capped,
+               greatest(value, 1.0) AS floored,
+               CASE WHEN value IS NULL THEN 'null' ELSE 'set' END AS nullness
+        FROM events
+    """,
+    scale="Pure per-row conditionals: folded into the scan stage, no shuffle.",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar family: coalesce / nullif / least / greatest."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("recovered")).alias("et"),
+        F.least("value", F.lit(100.0)).alias("capped"),
+        F.greatest("value", F.lit(1.0)).alias("floored"),
+        F.when(F.col("value").isNull(), "null").otherwise("set").alias("nullness"),
+    )
+
+
+@op(
+    "agg_max_by",
+    oracle="""
+        SELECT o_custkey,
+               arg_max(o_orderkey,
+                       floor(o_totalprice * 100.0 + 0.5)::BIGINT * 100000000
+                       + o_orderkey) AS best_order,
+               arg_min(o_orderkey,
+                       floor(o_totalprice * 100.0 + 0.5)::BIGINT * 100000000
+                       + o_orderkey) AS worst_order
+        FROM orders GROUP BY o_custkey
+    """,
+    scale=(
+        "max_by/min_by carry (arg, ord) pairs through partial agg - one "
+        "pass, no join-back. Tie-break: (price, orderkey) encoded into one "
+        "BIGINT (price has 2dp; orderkey < 1e8) because DuckDB's arg_max "
+        "can't order by structs - determinism without engine-specific ties."
+    ),
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: the orderkey of their most/least expensive order."""
+    orders = load_table(spark, sf_dir, "orders")
+    ordv = (
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        * F.lit(100000000)
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordv).alias("best_order"),
+        F.min_by("o_orderkey", ordv).alias("worst_order"),
+    )
+
+
+@op(
+    "join_cross_bounded",
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS member
+        FROM region r CROSS JOIN nation n
+    """,
+    scale=(
+        "Explicit cartesian - legal ONLY between bounded dims (5x25 here). "
+        "Spark requires crossJoin() to be deliberate; any fact-side "
+        "cartesian at scale is a bug the optimizer should never pick."
+    ),
+)
+def join_cross_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded dim x dim cartesian with a derived membership flag."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0).alias("member"),
+    )

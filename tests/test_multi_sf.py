@@ -1,0 +1,35 @@
+"""Multi-scale-factor smoke: ops must be generic over sf_dir.
+
+The driver runs entry() at sf0.001, correctness at sf0.01, bench at sf0.1 —
+an op that hardcodes any fixture-size assumption breaks silently until the
+wrong gate. A representative op per family runs at BOTH other scale factors
+(rows-only: the DuckDB oracle at sf0.01 already pins values)."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_kinesis_streaming_spark.registry import all_queries
+
+Q = all_queries()
+
+REPRESENTATIVE = [
+    "agg_groupby_q1",       # the t1 entry query
+    "join_multiway",
+    "win_rank_topn",
+    "fn_json",
+    "stream_tumbling",      # streaming replay at a different sf
+    "dedup_near_minhash",   # injection logic must not assume doc count
+    "sim_knn_cosine",
+    "text_tfidf",
+    "pivot_wide",
+    "q17_correlated_avg",
+]
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_runs_at_sf(name, sf, spark):
+    df = Q[name](spark, sf)
+    assert df.columns
+    assert df.count() >= 0
