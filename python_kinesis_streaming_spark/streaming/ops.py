@@ -452,3 +452,52 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("partial_n").alias("n"))
     )
+
+
+@op(
+    "join_stream_stream_outer",
+    # rows-only: outer-side null emission depends on watermark passage, and
+    # rows still buffered at end-of-stream never emit their null match -
+    # semantics asserted in tests/test_streaming.py instead.
+    scale=(
+        "Left-outer stream-stream join: matched rows emit eagerly (like "
+        "inner); unmatched left rows emit with nulls only once the "
+        "watermark proves no future match can arrive - the state-eviction "
+        "deadline doubles as the null-emission trigger."
+    ),
+)
+def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks left-outer-joined to same-user purchases within 10 minutes;
+    unmatched clicks surface with a null purchase once provably final."""
+    clicks = (
+        replay_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        replay_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+    )
+    return run_to_memory(joined, "append")

@@ -101,3 +101,20 @@ def test_rocksdb_state_store_provider(spark, sf_dir):
         ).agg(F.count("*").alias("n")).collect()
     }
     assert got == expected
+
+
+def test_stream_outer_join_semantics(spark, sf_dir):
+    """Left-outer stream-stream join: its matched rows == the inner join's
+    rows (oracle-pinned op); null rows only for clicks with no purchase;
+    no click appears both matched and null."""
+    from python_kinesis_streaming_spark.registry import all_queries
+
+    q = all_queries()
+    outer = q["join_stream_stream_outer"](spark, sf_dir).collect()
+    inner = {(r.click_id, r.purchase_id) for r in
+             q["join_stream_stream"](spark, sf_dir).collect()}
+    matched = {(r.click_id, r.purchase_id) for r in outer if r.purchase_id is not None}
+    nulls = {r.click_id for r in outer if r.purchase_id is None}
+    assert matched == inner
+    assert not nulls & {c for c, _ in matched}
+    assert len(nulls) > 0, "no unmatched clicks emitted - watermark never fired"
