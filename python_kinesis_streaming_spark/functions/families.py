@@ -213,3 +213,78 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.from_json("props", "k INT")).alias("roundtrip"),
         F.col("props").like('%"k"%').alias("has_k"),
     )
+
+
+@op(
+    "fn_bitwise",
+    oracle="""
+        SELECT event_id,
+               event_id & 255 AS band,
+               event_id | 4096 AS ord_,
+               xor(event_id, user_id) AS xo,
+               event_id << 2 AS shl,
+               event_id >> 3 AS shr
+        FROM events
+    """,
+    scale="Bitwise ops are codegen'd integer ALU ops - scan-stage, free.",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts (band keys, bloom bits, salts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("band"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("ord_"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xo"),
+        F.shiftleft("event_id", 2).alias("shl"),
+        F.shiftright("event_id", 3).alias("shr"),
+    )
+
+
+@op(
+    "fn_struct",
+    oracle="""
+        SELECT event_id,
+               {'etype': event_type, 'val': value}.etype AS unpacked_type,
+               {'etype': event_type, 'val': value}.val AS unpacked_val
+        FROM events
+    """,
+    scale=(
+        "Struct columns are zero-cost at plan level (no serialization until "
+        "a sink); nested field access prunes to just the touched leaves. "
+        "Output carries only unpacked scalar leaves: struct RESULT columns "
+        "serialize differently across fetch paths (Arrow dict vs Row tuple) "
+        "and are not hash-comparable cross-engine."
+    ),
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct pack/unpack: named_struct built then field-accessed in one
+    projection (the struct lives only inside the plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    pack = F.struct(
+        F.col("event_type").alias("etype"), F.col("value").alias("val")
+    )
+    return ev.select(
+        "event_id",
+        pack.getField("etype").alias("unpacked_type"),
+        pack.getField("val").alias("unpacked_val"),
+    )
+
+
+@op(
+    "agg_approx_quantile",
+    # No oracle: sketch-based (KLL/GK) results are engine-specific;
+    # tolerance vs the exact percentile is asserted in pytest.
+    scale=(
+        "approx_percentile = mergeable quantile sketch: one pass, bounded "
+        "memory, partial-agg - the 100 TB path where exact percentile's "
+        "per-group sort/collect is infeasible."
+    ),
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95 of value per event_type (sketch-based)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
+    )

@@ -20,3 +20,86 @@ from python_kinesis_streaming_spark.llm import (  # noqa: F401
     similarity,
     text,
 )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the full training-data cleaning pipeline as ONE op.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+from python_kinesis_streaming_spark.functions.rounding import rnd  # noqa: E402
+from python_kinesis_streaming_spark.registry import op  # noqa: E402
+from python_kinesis_streaming_spark.sources.tables import load_table  # noqa: E402
+
+
+@op(
+    "pipeline_clean_corpus",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t.tok AS tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE len(t.tok) > 0
+        ),
+        quality AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(DISTINCT tok) AS n_distinct
+            FROM tok GROUP BY doc_id
+        ),
+        kept AS (
+            SELECT doc_id FROM quality
+            WHERE n_tokens BETWEEN 20 AND 80
+              AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.25
+        ),
+        deduped AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents JOIN kept USING (doc_id)
+            GROUP BY md5(text)
+        )
+        SELECT d.lang,
+               count(*) AS n_docs,
+               sum(q.n_tokens) AS total_tokens,
+               floor((avg(q.n_tokens)) * 100.0 + 0.5) / 100.0 AS avg_tokens
+        FROM deduped
+        JOIN documents d USING (doc_id)
+        JOIN quality q USING (doc_id)
+        GROUP BY d.lang
+    """,
+    scale=(
+        "The composed LLM-data pipeline: quality gate -> exact dedup -> "
+        "per-lang corpus stats, in ONE lazy plan. Order matters at 100 TB: "
+        "the cheap quality filter runs FIRST so dedup hashes only survivors; "
+        "every stage is partial-agg/broadcast-friendly; nothing materializes "
+        "between stages (Catalyst fuses the whole chain)."
+    ),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality-filter, dedup, then summarize
+    the surviving corpus per language - one composed DataFrame plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    quality = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.countDistinct("tok").alias("n_distinct")
+    )
+    kept = quality.where(
+        F.col("n_tokens").between(20, 80)
+        & (F.col("n_distinct").cast("double") / F.col("n_tokens") >= 0.25)
+    ).select("doc_id")
+    deduped = (
+        docs.join(kept, "doc_id")
+        .groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        deduped.join(docs.select("doc_id", "lang"), "doc_id")
+        .join(quality, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            rnd(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+    )

@@ -92,3 +92,26 @@ def test_langid_learns_something(spark, sf_dir):
     pred = Q["text_langid"](spark, sf_dir)
     assert pred.count() == docs.count()
     assert pred.select("doc_id").distinct().count() == docs.count()
+
+
+def test_approx_quantile_tolerance(spark, sf_dir):
+    """Sketch quantiles must sit within 5% relative error of the exact
+    percentiles (the accuracy contract that justifies the 100 TB path)."""
+    approx = {r.event_type: (r.p50_approx, r.p95_approx)
+              for r in Q["agg_approx_quantile"](spark, sf_dir).collect()}
+    exact = {r.event_type: (r.p50, r.p95)
+             for r in Q["agg_percentile"](spark, sf_dir).collect()}
+    for et, (a50, a95) in approx.items():
+        e50, e95 = exact[et]
+        assert abs(a50 - e50) / e50 < 0.05, (et, a50, e50)
+        assert abs(a95 - e95) / e95 < 0.05, (et, a95, e95)
+
+
+def test_approx_distinct_tolerance(spark, sf_dir):
+    """HLL distinct counts within 5% of exact (SURVEY §5.2 requirement)."""
+    approx = {r.event_type: r.n_users_approx
+              for r in Q["agg_approx_distinct"](spark, sf_dir).collect()}
+    exact = {r.event_type: r.n_users
+             for r in Q["agg_count_distinct"](spark, sf_dir).collect()}
+    for et, a in approx.items():
+        assert abs(a - exact[et]) / exact[et] < 0.05, (et, a, exact[et])
