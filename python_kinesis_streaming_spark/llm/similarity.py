@@ -287,3 +287,82 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@op(
+    "sim_centroids",
+    oracle="""
+        SELECT label, i.i AS pos,
+               floor((avg(embedding[i.i])) * 10000.0 + 0.5) / 10000.0
+                   AS centroid_val
+        FROM embeddings, range(1, 65) i(i)
+        GROUP BY label, i.i
+    """,
+    scale=(
+        "Elementwise centroid via posexplode -> (label, pos) partial-agg "
+        "avg: the shuffle carries |labels| x dims tiny rows. The k-means / "
+        "IVF-index build step; reassemble arrays downstream only if needed "
+        "(array_agg over sorted pos)."
+    ),
+)
+def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("p", "v"))
+        .groupBy("label", (F.col("p") + 1).alias("pos"))
+        .agg(rnd(F.avg(F.col("v").cast("double")), 4).alias("centroid_val"))
+    )
+
+
+@op(
+    "sim_query_batch",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   floor((list_cosine_similarity(e.embedding::DOUBLE[], q.qe))
+                         * 10000.0 + 0.5) / 10000.0 AS sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.qid
+        )
+        SELECT qid, vec_id, sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    scale=(
+        "Batched knn: broadcast the (small) query set, score every corpus "
+        "vector against all queries in one scan pass, per-query top-k via "
+        "window on qid. Corpus scanned ONCE for Q queries - the serving "
+        "batch shape; at larger Q block queries into broadcast-sized "
+        "groups."
+    ),
+)
+def sim_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine neighbors for each of 5 query vectors in one pass."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            rnd(cosine(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
