@@ -288,3 +288,49 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
         F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
     )
+
+
+@op(
+    "fn_hash",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS h_md5,
+               sha256(text) AS h_sha256,
+               md5(text || ':' || lang) AS h_salted
+        FROM documents
+    """,
+    scale=(
+        "Cryptographic hashes are per-row JVM intrinsics; 16/32-byte "
+        "outputs replace arbitrary-size payloads as shuffle/dedup keys."
+    ),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: md5 / sha2-256 / salted md5 over document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.md5(F.concat_ws(":", "text", "lang")).alias("h_salted"),
+    )
+
+
+@op(
+    "agg_bool",
+    oracle="""
+        SELECT event_type,
+               bool_and(value > 0.0) AS all_positive,
+               bool_or(value > 400.0) AS any_large,
+               count(*) FILTER (WHERE value > 100.0) AS n_over_100
+        FROM events GROUP BY event_type
+    """,
+    scale="bool_and/bool_or partial-agg to single bits; FILTER folds into the agg.",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates + filtered count per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("value") > 400.0).alias("any_large"),
+        F.count_if(F.col("value") > 100.0).alias("n_over_100"),
+    )

@@ -138,3 +138,32 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
     )
     return back
+
+
+@op(
+    "scan_partition_pruned",
+    oracle="""
+        SELECT event_id, user_id, value, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    """,
+    scale=(
+        "Partition pruning: the IN-filter on the partition column resolves "
+        "at PLAN time to 2 of 5 directories - 60% of the data is never "
+        "listed, opened, or read (PartitionFilters in the scan node, "
+        "asserted in tests/test_plans.py). THE layout lever for 100 TB "
+        "time-series: partition by (date, ...), prune by predicate."
+    ),
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a hive-partitioned copy of events with a partition-column filter
+    that prunes directories at plan time."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    out = os.path.join(SCRATCH, "part_events", tag)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return back.where(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "user_id", "value", "event_type")

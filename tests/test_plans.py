@@ -139,3 +139,13 @@ def test_salted_join_spreads_key(spark, sf_dir, no_table_cache):
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in p
+
+
+def test_partition_pruning(spark, sf_dir, no_table_cache):
+    """The partition-column IN filter must appear as PartitionFilters on the
+    hive-partitioned scan (2 of 5 event_type dirs read)."""
+    df = Q["scan_partition_pruned"](spark, sf_dir)
+    p = plan_of(df)
+    assert "PartitionFilters: [" in p, p
+    pf = p.split("PartitionFilters: ")[1].splitlines()[0]
+    assert "event_type" in pf, pf
