@@ -359,3 +359,44 @@ def join_cross_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0).alias("member"),
     )
+
+
+@op(
+    "cdc_upsert_compact",
+    oracle="""
+        SELECT user_id,
+               arg_max(event_id,
+                       (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                       * 3500000 + event_id) AS last_event_id,
+               arg_max(event_type,
+                       (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                       * 3500000 + event_id) AS last_type,
+               count(*) AS n_versions
+        FROM events GROUP BY user_id
+    """,
+    scale=(
+        "Changelog compaction (CDC upsert): keep the newest version per "
+        "key. max_by with a (ts, id)-encoded ordinal does it in ONE "
+        "partial-agg pass - no window sort, no rn=1 filter; the agg state "
+        "per key is a single row. THE pattern for compacting a 100 TB "
+        "append log into current-state."
+    ),
+)
+def cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat events as a changelog keyed by user_id: latest event wins.
+
+    Determinism: ordinal = (µs since 2024-01-01)·3.5e6 + event_id — unique
+    and int64-safe for the fixture domain (≤35 days of µs, event_id <
+    3.5e6), so equal-timestamp versions resolve identically on both
+    engines. (Rebasing is required: raw epoch-µs × anything overflows.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ordv = (
+        (F.unix_micros("ts") - F.lit(1_704_067_200_000_000)) * F.lit(3_500_000)
+        + F.col("event_id")
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", ordv).alias("last_event_id"),
+        F.max_by("event_type", ordv).alias("last_type"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )

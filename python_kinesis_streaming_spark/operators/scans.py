@@ -167,3 +167,39 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.where(
         F.col("event_type").isin("click", "purchase")
     ).select("event_id", "user_id", "value", "event_type")
+
+
+@op(
+    "scan_schema_evolution",
+    oracle="""
+        SELECT event_id, user_id, NULL AS value FROM events
+        WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, NULL AS user_id, value FROM events
+        WHERE event_type = 'purchase'
+    """,
+    scale=(
+        "mergeSchema unions the footers of heterogenous parquet files into "
+        "one wide schema (absent columns read as NULL) - how a long-lived "
+        "100 TB table absorbs column additions without rewrites. Cost: "
+        "footer-merge at planning; keep it off (default) for fixed-schema "
+        "tables."
+    ),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read two parquet generations with different schemas via mergeSchema:
+    generation 1 has (event_id, user_id), generation 2 adds value."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    out = os.path.join(SCRATCH, "evolution", tag)
+    if not os.path.exists(os.path.join(out, "_GENS_DONE")):
+        ev = load_table(spark, sf_dir, "events")
+        ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id"
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "value"
+        ).coalesce(1).write.mode("append").parquet(out)
+        with open(os.path.join(out, "_GENS_DONE"), "w") as fh:
+            fh.write("ok")
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.select("event_id", "user_id", "value")
