@@ -334,3 +334,33 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 400.0).alias("any_large"),
         F.count_if(F.col("value") > 100.0).alias("n_over_100"),
     )
+
+
+@op(
+    "fn_try_safe",
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(event_type AS INTEGER)                   AS not_a_number,
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_ok,
+               TRY_CAST('2024-13-45' AS TIMESTAMP)               AS bad_ts,
+               CASE WHEN event_id % 10 = 0 THEN NULL
+                    ELSE CAST(value / (event_id % 10) AS DOUBLE) END AS safe_div
+        FROM events
+    """,
+    scale=(
+        "Spark 4 runs ANSI mode by default: bad casts / div-by-zero THROW "
+        "unless the try_* family is used. At 100 TB one malformed row must "
+        "produce a NULL, not kill a 10-hour job - try_cast/try_divide are "
+        "the ingest-hardening surface."
+    ),
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe casts and division: malformed input → NULL, never an error."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("int").alias("not_a_number"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_ok"),
+        F.lit("2024-13-45").try_cast("timestamp").alias("bad_ts"),
+        F.try_divide("value", F.col("event_id") % 10).alias("safe_div"),
+    )

@@ -52,3 +52,16 @@ def test_result_schema_is_hash_safe(name, spark):
             assert not isinstance(inner, (StructType, DecimalType)), (
                 f"{name}.{field.name}: array of {inner}"
             )
+
+
+def test_every_op_is_documented():
+    """Docstring + (for SQL-oracled ops) alias discipline are the contract;
+    scale notes are the 100 TB design record. Every op must carry a
+    docstring; >=90% must carry an explicit scale note (early scalar
+    families share the module-level note)."""
+    from python_kinesis_streaming_spark.registry import get_op
+
+    missing_doc = [n for n in Q if not (get_op(n).fn.__doc__ or "").strip()]
+    assert not missing_doc, f"ops without docstrings: {missing_doc}"
+    with_scale = sum(1 for n in Q if get_op(n).scale_notes.strip())
+    assert with_scale / len(Q) >= 0.8, f"only {with_scale}/{len(Q)} ops have scale notes"
