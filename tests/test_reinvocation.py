@@ -1,0 +1,31 @@
+"""Same-session re-invocation: every stateful-on-disk op must produce the
+IDENTICAL result when called twice with the same session (the driver may
+re-run queries; stale checkpoints/outputs were a real bug class — the
+stream_foreach_batch incident)."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_kinesis_streaming_spark.registry import all_queries
+
+Q = all_queries()
+
+#: The ops that touch .scratch state (checkpoints, sinks, warehouse tables,
+#: replay caches) — exactly the ones where a second call can diverge.
+STATEFUL_ON_DISK = [
+    "stream_checkpoint_resume",
+    "stream_foreach_batch",
+    "sink_parquet",
+    "join_bucketed",
+    "scan_partition_pruned",
+    "scan_schema_evolution",
+    "stream_dedup",
+]
+
+
+@pytest.mark.parametrize("name", STATEFUL_ON_DISK)
+def test_second_invocation_identical(name, spark, sf_dir):
+    first = sorted(map(repr, Q[name](spark, sf_dir).collect()))
+    second = sorted(map(repr, Q[name](spark, sf_dir).collect()))
+    assert first == second, f"{name}: second invocation diverged"
