@@ -400,3 +400,63 @@ def cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", ordv).alias("last_type"),
         F.count(F.lit(1)).alias("n_versions"),
     )
+
+
+@op(
+    "agg_histogram",
+    oracle="""
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+               count(*) AS n,
+               floor((min(value)) * 10000.0 + 0.5) / 10000.0 AS lo,
+               floor((max(value)) * 10000.0 + 0.5) / 10000.0 AS hi
+        FROM events GROUP BY 1
+    """,
+    scale=(
+        "Fixed-width histogram = integer bucket key + partial-agg count: "
+        "one pass, shuffle carries |buckets| rows. The data-profiling "
+        "primitive (distribution sketches before choosing partitioning/"
+        "filters); for unknown ranges pair with approx_percentile."
+    ),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (50-unit) histogram of event values with bin extrema."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.min("value"), 4).alias("lo"),
+            rnd(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@op(
+    "unpivot_melt",
+    oracle="""
+        WITH wide AS (
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'view') AS view
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, 'click' AS etype, click AS n FROM wide
+        UNION ALL
+        SELECT user_id, 'view' AS etype, view AS n FROM wide
+    """,
+    scale=(
+        "unpivot/melt is a zero-shuffle row expansion (Expand node, xK "
+        "columns -> rows) - the inverse of pivot_wide; long form feeds "
+        "groupBy/window ops that wide form cannot."
+    ),
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user counts melted back to (user_id, etype, n) long form."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view"])
+    )
+    return wide.unpivot("user_id", ["click", "view"], "etype", "n")
