@@ -32,7 +32,7 @@ from python_kinesis_streaming_spark.sources.tables import load_table
                lower(c_name)                              AS lo,
                upper(c_mktsegment)                        AS up,
                substring(c_name, 1, 8)                    AS sub8,
-               string_split(c_name, '#')                  AS parts,
+               array_to_string(string_split(c_name, '#'), '|') AS parts,
                trim(concat(' ', c_name, ' '))             AS trimmed,
                concat_ws('-', c_mktsegment, c_name)       AS joined,
                regexp_extract(c_name, '(\\d+)', 1)        AS digits,
@@ -50,7 +50,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("c_name").alias("lo"),
         F.upper("c_mktsegment").alias("up"),
         F.substring("c_name", 1, 8).alias("sub8"),
-        F.split("c_name", "#").alias("parts"),
+        F.concat_ws("|", F.split("c_name", "#")).alias("parts"),
         F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
         F.concat_ws("-", "c_mktsegment", "c_name").alias("joined"),
         F.regexp_extract("c_name", r"(\d+)", 1).alias("digits"),
@@ -140,7 +140,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(embedding[1:4])                                AS val,
                CAST(len(embedding) AS INTEGER)                       AS n_dims,
                CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
-               list_sort(embedding[1:4])                             AS first4_sorted,
+               array_to_string(list_transform(list_sort(embedding[1:4]),
+                   x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS first4_sorted,
                {sql_rnd("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))", 4)} AS norm_sq
         FROM embeddings
     """,
@@ -162,7 +163,16 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(first4).alias("pos", "val"),
         F.size("embedding").alias("n_dims"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-        F.sort_array(first4).alias("first4_sorted"),
+        # Stringified with fixed-point int encoding: float->string formatting
+        # differs across engines; ints don't. Top-level arrays crash the
+        # driver's canonicalizer (r1 agg_collect FAIL class).
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(first4),
+                lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("string"),
+            ),
+        ).alias("first4_sorted"),
         rnd(dot_self, 4).alias("norm_sq"),
     )
 
@@ -171,7 +181,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
         SELECT event_id,
-               json_keys(props)                                   AS ks,
+               array_to_string(list_sort(json_keys(props)), ',')  AS ks,
                CAST(json_extract(props, '$.k') AS INTEGER)        AS k_val,
                CAST(len(json_keys(props)) AS INTEGER)             AS n_keys
         FROM events
@@ -183,7 +193,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("ks"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("ks"),
         F.element_at(m, "k").alias("k_val"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )

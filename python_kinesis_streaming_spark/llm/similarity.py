@@ -227,10 +227,43 @@ def _hyperplane_weight(p: int, d: int) -> float:
     return (x % 10_000_019) / 10_000_019.0 - 0.5
 
 
+def _ann_lsh_oracle(dims: int = 64) -> str:
+    """DuckDB twin of sim_ann_lsh: the hyperplane weights are deterministic
+    pure arithmetic (splitmix-style scramble computed at import time), so the
+    SAME double literals are inlined into SQL; projection sum order matches
+    the Spark fold (left-to-right over dims), making the bucket id — and
+    therefore the candidate set — bit-identical across engines."""
+    projs = []
+    for p in range(LSH_PLANES):
+        terms = " + ".join(
+            f"CAST({_hyperplane_weight(p, d)!r} AS DOUBLE) * e[{d + 1}]"
+            for d in range(dims)
+        )
+        projs.append(f"CASE WHEN (CAST(0.0 AS DOUBLE) + {terms}) > 0 THEN {1 << p} ELSE 0 END")
+    bucket = "\n                 + ".join(projs)
+    probes = " OR ".join(
+        ["w.bucket = q.qb"]
+        + [f"w.bucket = xor(q.qb, {1 << p})" for p in range(LSH_PLANES)]
+    )
+    return f"""
+        WITH wb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   ({bucket}) AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT e AS qe, bucket AS qb FROM wb WHERE vec_id = {QUERY_VEC_ID})
+        SELECT w.vec_id,
+               floor((list_cosine_similarity(w.e, q.qe)) * 10000.0 + 0.5) / 10000.0 AS sim
+        FROM wb w, q
+        WHERE w.vec_id <> {QUERY_VEC_ID} AND ({probes})
+        ORDER BY sim DESC, w.vec_id
+        LIMIT 10
+    """
+
+
 @op(
     "sim_ann_lsh",
-    # No SQL oracle (signature math is engine-local); recall vs the exact
-    # brute-force result is asserted in pytest instead.
+    oracle=_ann_lsh_oracle(),
     scale=(
         "The 100 TB ANN path: fixed random hyperplanes → bucket id; the "
         "query probes its own bucket plus all Hamming-1 neighbors "

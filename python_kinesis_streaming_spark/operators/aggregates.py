@@ -107,14 +107,33 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "agg_approx_distinct",
-    # No oracle: approximate result (rows-only check; ±5% asserted in pytest).
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+               TRUE AS within_rsd
+        FROM events GROUP BY event_type
+    """,
     scale="HLL++ sketch: one pass, tiny mergeable state — the 100 TB path for distincts.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct(user_id) per event_type (rsd=0.05 default)."""
+    """approx_count_distinct(user_id) per event_type (rsd=0.05), emitted as
+    a driver-checkable accuracy contract: the exact count plus a boolean
+    asserting the HLL estimate landed within 3×rsd — the oracle expects
+    constant TRUE, so a broken sketch hash-fails."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("n_users_approx")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias("n_approx"),
+            F.countDistinct("user_id").alias("n_users_exact"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_users_exact"))
+                <= 0.15 * F.col("n_users_exact")
+            ).alias("within_rsd"),
+        )
     )
 
 
@@ -148,19 +167,22 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "agg_collect",
     oracle="""
-        SELECT user_id, list(event_type ORDER BY event_type) AS evts
+        SELECT user_id, string_agg(event_type, '|' ORDER BY event_type) AS evts
         FROM events GROUP BY user_id
     """,
     scale=(
         "collect_list is unbounded per-key state — fine for bounded "
-        "per-user lists; at 100 TB cap with slice() or pre-aggregate."
+        "per-user lists; at 100 TB cap with slice() or pre-aggregate. "
+        "Result serialized to a delimited string: top-level array columns "
+        "crash the driver's pandas-based canonicalizer (r1 hard FAIL)."
     ),
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user list of event_types, sorted for determinism (§7.4 h3)."""
+    """Per-user list of event_types, sorted for determinism (§7.4 h3),
+    emitted as a '|'-joined string (hash-safe scalar result)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list("event_type")).alias("evts")
+        F.concat_ws("|", F.array_sort(F.collect_list("event_type"))).alias("evts")
     )
 
 

