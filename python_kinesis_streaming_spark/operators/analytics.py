@@ -366,10 +366,10 @@ def join_cross_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT user_id,
                arg_max(event_id,
-                       (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                       CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) / 1000.0) AS BIGINT)
                        * 3500000 + event_id) AS last_event_id,
                arg_max(event_type,
-                       (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                       CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) / 1000.0) AS BIGINT)
                        * 3500000 + event_id) AS last_type,
                count(*) AS n_versions
         FROM events GROUP BY user_id
@@ -385,16 +385,18 @@ def join_cross_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Treat events as a changelog keyed by user_id: latest event wins.
 
-    Determinism: ordinal = (µs since 2024-01-01)·3.5e6 + event_id — unique
-    and int64-safe for the fixture domain (≤35 days of µs, event_id <
-    3.5e6), so equal-timestamp versions resolve identically on both
-    engines. (Rebasing is required: raw epoch-µs × anything overflows.)
+    Determinism: ordinal = (ms since 2024-01-01)·3.5e6 + event_id — unique
+    (event_id < 3.5e6 breaks same-ms ties identically on both engines) and
+    int64-safe for ~83 years of ms (9.22e18 / 3.5e6 ≈ 2.6e12 ms); µs would
+    cap out at ~30.5 days, too close to the ~29-day fixture span. The
+    rebased value stays < 2^53 so the floor(/1000) round-trip through
+    double is exact in both engines.
     """
     ev = load_table(spark, sf_dir, "events")
-    ordv = (
-        (F.unix_micros("ts") - F.lit(1_704_067_200_000_000)) * F.lit(3_500_000)
-        + F.col("event_id")
+    ord_ms = F.floor(
+        (F.unix_micros("ts") - F.lit(1_704_067_200_000_000)) / F.lit(1000)
     )
+    ordv = ord_ms * F.lit(3_500_000) + F.col("event_id")
     return ev.groupBy("user_id").agg(
         F.max_by("event_id", ordv).alias("last_event_id"),
         F.max_by("event_type", ordv).alias("last_type"),

@@ -25,6 +25,7 @@ from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
 from python_kinesis_streaming_spark.operators.scans import SCRATCH
 from python_kinesis_streaming_spark.registry import op
 from python_kinesis_streaming_spark.sources.tables import load_table
+from python_kinesis_streaming_spark.sources.tables import sf_tag as fixture_tag
 
 
 @op(
@@ -193,8 +194,9 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
         FROM events a JOIN events b
           ON a.user_id = b.user_id
-         AND b.ts > a.ts
-         AND b.ts <= a.ts + INTERVAL 5 MINUTES
+         AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+         AND CAST(b.ts AS TIMESTAMP)
+             <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTES
     """,
     scale=(
         "Equi prefix (user_id) + range residual → hash join, not NL/cross. "
@@ -236,7 +238,8 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(p.ts AS TIMESTAMP) AS purchase_ts,
                (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
-                  AND c.ts <= p.ts) AS last_click_ts
+                  AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+               ) AS last_click_ts
         FROM events p WHERE p.event_type = 'purchase'
     """,
     scale=(
@@ -335,7 +338,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free fact-fact join over bucket-co-located tables."""
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sf_tag = fixture_tag(sf_dir)
     names = {}
     for t, key in [("lineitem", "l_orderkey"), ("orders", "o_orderkey")]:
         name = f"bkt_{t}_{sf_tag}"

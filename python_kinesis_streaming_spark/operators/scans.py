@@ -14,12 +14,12 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from python_kinesis_streaming_spark.registry import op
 from python_kinesis_streaming_spark.sources.tables import load_table
+from python_kinesis_streaming_spark.sources.tables import sf_tag as fixture_tag
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 
@@ -82,7 +82,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip (timestamps at µs, doubles bit-exact, partition column
     restored)."""
     ev = load_table(spark, sf_dir, "events")
-    out = os.path.join(SCRATCH, f"sink_parquet_{uuid.uuid4().hex[:8]}")
+    out = os.path.join(SCRATCH, f"sink_parquet_{fixture_tag(sf_dir)}")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out)
     return back.select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -106,7 +106,7 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip lossless (timestamps ISO-8601 w/ micros, doubles exact via
     Spark's shortest-repr JSON encoding)."""
     ev = load_table(spark, sf_dir, "events")
-    out = os.path.join(SCRATCH, f"sink_json_{uuid.uuid4().hex[:8]}")
+    out = os.path.join(SCRATCH, f"sink_json_{fixture_tag(sf_dir)}")
     # default JSON timestampFormat truncates to milliseconds — force µs
     fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     ev.write.mode("overwrite").option("timestampFormat", fmt).json(out)
@@ -130,7 +130,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "props"
     )
-    out = os.path.join(SCRATCH, f"sink_csv_{uuid.uuid4().hex[:8]}")
+    out = os.path.join(SCRATCH, f"sink_csv_{fixture_tag(sf_dir)}")
     ev.write.mode("overwrite").option("header", "true").csv(out)
     back = (
         spark.read.schema("event_id long, user_id long, event_type string, props string")
@@ -157,7 +157,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read a hive-partitioned copy of events with a partition-column filter
     that prunes directories at plan time."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = fixture_tag(sf_dir)
     out = os.path.join(SCRATCH, "part_events", tag)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
@@ -189,7 +189,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read two parquet generations with different schemas via mergeSchema:
     generation 1 has (event_id, user_id), generation 2 adds value."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = fixture_tag(sf_dir)
     out = os.path.join(SCRATCH, "evolution", tag)
     if not os.path.exists(os.path.join(out, "_GENS_DONE")):
         ev = load_table(spark, sf_dir, "events")

@@ -78,9 +78,11 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id,
                epoch_us(CAST(ts AS TIMESTAMP))
                  - lag(epoch_us(CAST(ts AS TIMESTAMP)))
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+                   OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us,
                lead(event_type)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+                   OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
         FROM events
     """,
 )
@@ -156,7 +158,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                last_value(event_type)  OVER w AS last_type
         FROM events
         WINDOW w AS (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
-                     ORDER BY ts, event_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )

@@ -20,6 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -46,13 +47,36 @@ TABLE_NAMES = [
 #: scan each time. Spark's `.cache()` is lazy — first action materializes the
 #: columnar in-memory relation; fixture tables are ≤tens of MB. Disable with
 #: SPARK_GRAFT_NO_TABLE_CACHE=1 (e.g. to measure cold-scan plans).
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def sf_tag(sf_dir: str) -> str:
+    """Filesystem-safe tag unique to a fixture root: basename + path hash.
+
+    Scratch dirs (replay chunks, bucketed tables, evolution/pruned copies)
+    key on this instead of the bare basename so two different roots that
+    happen to share a basename (e.g. /a/sf0.01 vs /b/sf0.01) never silently
+    share cached on-disk state.
+    """
+    p = os.path.normpath(os.path.abspath(sf_dir))
+    digest = hashlib.md5(p.encode()).hexdigest()[:8]
+    return f"{os.path.basename(p).replace('.', '_')}_{digest}"
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Session-unique cache key. ``applicationId``, not ``id(spark)``:
+    CPython reuses object ids, so a stopped-and-recreated session could
+    alias a dead session's cache entries."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # stopped context — never cache against it
+        return f"dead-{id(spark)}"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing types to the engine's data model."""
     use_cache = os.environ.get("SPARK_GRAFT_NO_TABLE_CACHE", "") != "1"
-    key = (id(spark), os.path.normpath(sf_dir), name)
+    key = (_session_key(spark), os.path.normpath(os.path.abspath(sf_dir)), name)
     if use_cache and key in _CACHE:
         return _CACHE[key]
     ensure_runtime_confs(spark)

@@ -32,7 +32,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from python_kinesis_streaming_spark.sources.tables import load_table
+from python_kinesis_streaming_spark.sources.tables import load_table, sf_tag
 
 SCRATCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -43,8 +43,9 @@ DEFAULT_CHUNKS = 4
 
 
 def _chunk_dir(sf_dir: str, variant: str, chunks: int) -> str:
-    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(SCRATCH, "replay", f"{sf_name}_{variant}_{chunks}")
+    # sf_tag (basename + abs-path hash), not bare basename: two fixture
+    # roots sharing a basename must never share replay chunks.
+    return os.path.join(SCRATCH, "replay", f"{sf_tag(sf_dir)}_{variant}_{chunks}")
 
 
 def ensure_chunks(
@@ -166,4 +167,7 @@ def run_to_memory(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # The memory-sink table is already materialized; the uuid-named
+        # checkpoint would otherwise accumulate forever under .scratch/.
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
