@@ -26,7 +26,7 @@ from python_kinesis_streaming_spark.llm import (  # noqa: F401
 # Flagship composition: the full training-data cleaning pipeline as ONE op.
 # ---------------------------------------------------------------------------
 
-from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F  # noqa: E402
 
 from python_kinesis_streaming_spark.functions.rounding import rnd  # noqa: E402
 from python_kinesis_streaming_spark.registry import op  # noqa: E402
@@ -102,4 +102,95 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
             rnd(F.avg("n_tokens"), 2).alias("avg_tokens"),
         )
+    )
+
+
+@op(
+    "pipeline_train_test_split",
+    oracle="""
+        SELECT lang,
+               CASE WHEN CAST(('0x' || substring(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               sum(n_chars) AS n_chars_sum
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    scale=(
+        "Deterministic 90/10 train/test split by portable keyed hash "
+        "(md5-derived, seed 13): no RNG state, no sampling job — every "
+        "engine, retry, and cluster size assigns each doc to the SAME "
+        "split (leakage-proof, the property that matters for training "
+        "data). Map-only decision + partial-agg summary."
+    ),
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 90/10 split of documents; per (lang, split)
+    doc and char counts."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        md5_hash64(F.col("doc_id").cast("string"), seed=13) % 100 < 90, "train"
+    ).otherwise("test")
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_sum"),
+        )
+    )
+
+
+@op(
+    "corpus_pack_sequences",
+    oracle="""
+        WITH t AS (
+            SELECT lang, doc_id,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        packed AS (
+            SELECT lang, doc_id, n_tok,
+                   CAST(floor(
+                       coalesce(sum(n_tok) OVER (PARTITION BY lang
+                                                 ORDER BY doc_id
+                                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                                          AND 1 PRECEDING), 0)
+                       / 2048.0) AS BIGINT) AS bin
+            FROM t
+        )
+        SELECT lang, bin, count(*) AS n_docs, sum(n_tok) AS n_tokens
+        FROM packed GROUP BY lang, bin
+    """,
+    scale=(
+        "Sequence packing for training (fixed 2048-token budget): bin = "
+        "exclusive-prefix-token-count // budget over a deterministic "
+        "doc order — one window pass per lang partition, no driver "
+        "loop, no per-bin state. At 100 TB the lang partitions are "
+        "range-partitioned on doc_id so the running sum streams; the "
+        "greedy close-on-overflow variant is the same window with a "
+        "session-style carry, traded here for the closed-form bin id."
+    ),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (ordered by doc_id per lang) into 2048-token bins;
+    per-bin doc and token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.select("lang", "doc_id", n_tok.alias("n_tok")).withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(2048.0)).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
     )

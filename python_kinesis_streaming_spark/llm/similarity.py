@@ -399,3 +399,57 @@ def sim_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@op(
+    "emb_normalize_quantize",
+    oracle="""
+        WITH n AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> x) AS e,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, nrm,
+                   list_transform(e, x -> CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT)) AS qv
+            FROM n
+        )
+        SELECT vec_id,
+               floor(nrm * 10000.0 + 0.5) / 10000.0 AS norm,
+               list_sum(qv) AS q_sum,
+               list_min(qv) AS q_min,
+               list_max(qv) AS q_max
+        FROM q
+    """,
+    scale=(
+        "Int8 quantization of an embedding corpus (ANN index prep): "
+        "unit-normalize then round each coordinate to [-127,127] — 4× "
+        "bandwidth/memory cut for the billion-vector scan. Map-only, "
+        "JVM HOFs, zero shuffles; per-vector scalars out (norm + "
+        "quantized checksums) keep the result hash-safe. Rounding is the "
+        "repo-wide floor(x·k+0.5) so both engines quantize identically."
+    ),
+)
+def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize each embedding and quantize to int8; emit per-vector
+    norm + quantized-vector summary scalars (sum/min/max)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = l2norm(F.col("embedding"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / F.col("nrm") * 127.0 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return (
+        emb.withColumn("nrm", nrm)
+        .withColumn("qv", qv)
+        .select(
+            "vec_id",
+            rnd(F.col("nrm"), 4).alias("norm"),
+            F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+            F.array_min("qv").alias("q_min"),
+            F.array_max("qv").alias("q_max"),
+        )
+    )

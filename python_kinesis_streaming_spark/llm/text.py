@@ -321,3 +321,55 @@ def text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist"),
         )
     )
+
+
+@op(
+    "text_ngram_freq",
+    oracle="""
+        WITH grams AS (
+            SELECT d.lang, g.bg AS bigram
+            FROM documents d,
+                 unnest([array_to_string(string_split(text, ' ')[i:i+1], ' ')
+                         FOR i IN range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1)]) AS g(bg)
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        counted AS (
+            SELECT lang, bigram, count(*) AS n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY count(*) DESC, bigram) AS rn
+            FROM grams GROUP BY lang, bigram
+        )
+        SELECT lang, bigram, n FROM counted WHERE rn <= 5
+    """,
+    scale=(
+        "Corpus n-gram statistics (tokenizer/vocab induction input): "
+        "bigrams explode JVM-side, counts partial-agg immediately "
+        "(shuffle carries |vocab²∩corpus| rows, not tokens), and the "
+        "top-k window ranks only aggregated (lang,bigram) rows. Total "
+        "tie-break (count desc, bigram asc) keeps the result engine-"
+        "independent."
+    ),
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language across the document corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    counted = (
+        # ≥2-token guard on BOTH sides: sequence(0, size-2) would run
+        # DESCENDING for a 1-token doc (Spark sequence semantics) and emit
+        # phantom grams the oracle's range() never generates.
+        docs.where(F.size(toks) >= 2)
+        .select("lang", F.explode(grams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "bigram", "n")
+    )

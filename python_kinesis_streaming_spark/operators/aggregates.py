@@ -14,7 +14,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
 from python_kinesis_streaming_spark.registry import op
@@ -216,3 +216,76 @@ def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT on a composite key (hash-agg dedup)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select("user_id", "event_type").distinct()
+
+
+@op(
+    "agg_rollup",
+    oracle=f"""
+        SELECT grouping(r_name) * 2 + grouping(n_name) AS gid,
+               r_name, n_name,
+               {sql_rnd("sum(o_totalprice)")} AS revenue, count(*) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    scale=(
+        "ROLLUP(region, nation) = 3 grouping sets along the hierarchy — "
+        "Expand ×3 + ONE partial-agg pass (vs CUBE's 2^n sets). The "
+        "hierarchy rollup of a hypertable: hourly→daily→monthly follows "
+        "the identical plan shape. gid disambiguates real NULL keys from "
+        "subtotal rows."
+    ),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue subtotals along the region→nation hierarchy via ROLLUP."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            # grouping_id() must live inside the Aggregate (Spark rejects it
+            # in a post-agg projection).
+            F.grouping_id().alias("gid"),
+            rnd(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("gid", "r_name", "n_name", "revenue", "n")
+    )
+
+
+@op(
+    "agg_mode",
+    oracle="""
+        SELECT user_id, event_type AS mode_type, n FROM (
+            SELECT user_id, event_type, count(*) AS n,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY count(*) DESC, event_type) AS rn
+            FROM events GROUP BY user_id, event_type
+        ) WHERE rn = 1
+    """,
+    scale=(
+        "Grouped mode: partial-agg (user,type) counts FIRST, then the "
+        "window ranks only |users|x|types| aggregated rows — the sort "
+        "never sees raw events. Ties break lexicographically (total "
+        "order, engine-independent)."
+    ),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent event_type per user (count desc, name asc on ties)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )

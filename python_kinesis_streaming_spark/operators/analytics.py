@@ -30,8 +30,9 @@ from python_kinesis_streaming_spark.sources.tables import load_table
 
 def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Register the fixture table as a temp view (sf-tagged, idempotent)."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    vname = f"v_{name}_{tag}"
+    from python_kinesis_streaming_spark.sources.tables import sf_tag
+
+    vname = f"v_{name}_{sf_tag(sf_dir)}"
     load_table(spark, sf_dir, name).createOrReplaceTempView(vname)
     return vname
 
@@ -462,3 +463,98 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["click", "view"])
     )
     return wide.unpivot("user_id", ["click", "view"], "etype", "n")
+
+
+@op(
+    "batch_sessionize",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - lag(CAST(ts AS TIMESTAMP))
+                               OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                             > INTERVAL 30 MINUTE OR
+                             lag(CAST(ts AS TIMESTAMP))
+                               OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM e
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    scale=(
+        "Native session_window in BATCH: one shuffle on user_id + "
+        "per-partition interval merge (no second window pass, no re-agg "
+        "like the classic lag-gap formulation — the oracle IS that "
+        "formulation, pinning their equivalence). This is the bench's "
+        "sessionize_30min headline query as a driver-graded op."
+    ),
+)
+def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap sessions over the full batch events table."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
+
+
+@op(
+    "sample_stratified",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_total,
+               count(*) FILTER (
+                   CAST(('0x' || substring(md5('7:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10
+                   < CASE event_type WHEN 'purchase' THEN 10
+                                     WHEN 'signup'   THEN 5
+                                     ELSE 1 END
+               ) AS n_kept,
+               floor((sum(value) FILTER (
+                   CAST(('0x' || substring(md5('7:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10
+                   < CASE event_type WHEN 'purchase' THEN 10
+                                     WHEN 'signup'   THEN 5
+                                     ELSE 1 END
+               )) * 10000.0 + 0.5) / 10000.0 AS kept_value_sum
+        FROM events GROUP BY event_type
+    """,
+    scale=(
+        "Class-rebalancing sample for training data: rare classes kept "
+        "whole (purchase 100%, signup 50%), majority classes thinned to "
+        "10% — decided per row by a DETERMINISTIC portable hash of the "
+        "key (md5-derived, seed 7), no RNG state, no driver round-trip; "
+        "reproducible across engines, retries, and cluster sizes. Pure "
+        "map-side filter → partial agg."
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of events with per-stratum rates
+    (purchase 1.0 / signup 0.5 / rest 0.1); emits per-type keep counts."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    rate10 = (
+        F.when(F.col("event_type") == "purchase", 10)
+        .when(F.col("event_type") == "signup", 5)
+        .otherwise(1)
+    )
+    keep = md5_hash64(F.col("event_id").cast("string"), seed=7) % 10 < rate10
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(keep).alias("n_kept"),
+        rnd(F.sum(F.when(keep, F.col("value"))), 4).alias("kept_value_sum"),
+    )

@@ -360,3 +360,69 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@op(
+    "join_range_bucketed",
+    oracle="""
+        SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+               epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+         AND CAST(b.ts AS TIMESTAMP)
+             <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTES
+    """,
+    scale=(
+        "The 100 TB range-join plan join_theta_range's scale note "
+        "prescribes, implemented: time is bucketized at the range width "
+        "(5 min), the probe side is exploded to (bucket, bucket-1), and "
+        "the join becomes EQUI on (user_id, bucket) with the exact range "
+        "as a cheap residual filter. The residual scan per probe row is "
+        "bounded by two buckets' worth of build rows — independent of "
+        "per-user history length — and the equi key feeds a plain "
+        "hash/SMJ join (never nested-loop). Identical result set to "
+        "join_theta_range (same oracle), different physical strategy."
+    ),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self range-join via time-bucket equi-join: same-user event pairs
+    within 5 minutes, bucketized to bound the probe space."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket_us = 300 * 1_000_000  # bucket width == range width (5 min)
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("e1"),
+        F.col("ts").alias("ts1"),
+        (F.unix_micros("ts") / F.lit(bucket_us)).cast("long").alias("bkt"),
+    )
+    # b matches a iff ts2 ∈ (ts1, ts1+5min] ⇒ bucket(b) ∈ {bucket(a), bucket(a)+1}
+    # ⇒ explode b to claim keys (bucket, bucket-1); each (a,b) pair meets on
+    # exactly one key (a's single bucket), so no post-join dedup is needed.
+    b = ev.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("e2"),
+        F.col("ts").alias("ts2"),
+        F.explode(
+            F.array(
+                (F.unix_micros("ts") / F.lit(bucket_us)).cast("long"),
+                (F.unix_micros("ts") / F.lit(bucket_us)).cast("long") - 1,
+            )
+        ).alias("bkt_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b")) & (F.col("bkt") == F.col("bkt_b")),
+        )
+        .where(
+            (F.col("ts2") > F.col("ts1"))
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .select(
+            "user_id",
+            "e1",
+            "e2",
+            (F.unix_micros("ts2") - F.unix_micros("ts1")).alias("gap_us"),
+        )
+    )

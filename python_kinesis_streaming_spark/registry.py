@@ -117,6 +117,15 @@ _GRADING_PRIORITY = [
     "pipeline_clean_corpus",
     # --- end of intended round-2 window (50) ---
     # next-up: never-graded safest pure-SQL ops + rows-only ops (round 3)
+    "agg_rollup",
+    "agg_mode",
+    "batch_sessionize",
+    "sample_stratified",
+    "join_range_bucketed",
+    "text_ngram_freq",
+    "emb_normalize_quantize",
+    "pipeline_train_test_split",
+    "corpus_pack_sequences",
     "set_union",
     "set_intersect",
     "set_except",
