@@ -374,3 +374,36 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-13-45").try_cast("timestamp").alias("bad_ts"),
         F.try_divide("value", F.col("event_id") % 10).alias("safe_div"),
     )
+
+
+@op(
+    "fn_regex",
+    oracle=r"""
+        SELECT c_custkey,
+               regexp_replace(c_name, '\d', '#', 'g')              AS masked,
+               CAST(len(regexp_extract_all(c_name, '\d+')) AS INTEGER) AS n_runs,
+               array_to_string(regexp_extract_all(c_name, '\d+'), ',') AS runs,
+               regexp_matches(c_name, '^Customer#\d+$')            AS well_formed
+        FROM customer
+    """,
+    scale=(
+        "Regex family (mask / count / extract-all / validate): all "
+        "JVM-side codegen expressions over the scan — zero shuffles; the "
+        "PII-masking + format-validation pass of an ingest pipeline. "
+        "extract-all result stringified (array outputs crash the "
+        "driver's canonicalizer)."
+    ),
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit masking, digit-run count/extraction, format validation over
+    customer names."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace("c_name", r"\d", "#").alias("masked"),
+        F.regexp_count("c_name", F.lit(r"\d+")).alias("n_runs"),
+        F.concat_ws(",", F.regexp_extract_all("c_name", F.lit(r"\d+"), 0)).alias(
+            "runs"
+        ),
+        F.rlike("c_name", F.lit(r"^Customer#\d+$")).alias("well_formed"),
+    )

@@ -142,3 +142,55 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "header string"
     )
     return payload.mapInPandas(decode_batches, out_schema)
+
+
+@op(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH v AS (
+            SELECT doc_id,
+                   CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, n_frames, s.i AS frame_idx
+            FROM v, unnest(range(0, n_frames, 4)) AS s(i)
+        )
+        SELECT doc_id, n_frames,
+               count(*) AS n_sampled,
+               sum(frame_idx) * 64 AS sampled_offset_sum
+        FROM f GROUP BY doc_id, n_frames
+    """,
+    scale=(
+        "Video frame-sampling plumbing: payload length → frame count "
+        "(fixed 64-byte 'frames' standing in for codec frames) → every "
+        "4th frame index generated JVM-side (sequence + explode, no "
+        "Python) → per-doc sample manifest. At 100 TB the explode feeds "
+        "the decode stage's mapInPandas directly, so frames stream "
+        "partition-locally without materializing the full frame list; "
+        "metadata-only queries never touch payload bytes."
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every 4th fixed-size frame of each payload; emit the per-doc
+    sampling manifest (frame count, sampled count, byte-offset checksum).
+
+    DuckDB ``strlen`` counts BYTES, so the Spark side measures the same
+    utf-8 payload via ``octet_length(encode(text))`` — identical numbers
+    for any content.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = F.ceil(
+        F.octet_length(F.encode("text", "utf-8")) / F.lit(64.0)
+    ).cast("long")
+    frames = docs.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(4).cast("long"))
+        ).alias("frame_idx"),
+    )
+    return frames.groupBy("doc_id", "n_frames").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        (F.sum("frame_idx") * 64).alias("sampled_offset_sum"),
+    )

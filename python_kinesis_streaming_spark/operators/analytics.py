@@ -558,3 +558,105 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(keep).alias("n_kept"),
         rnd(F.sum(F.when(keep, F.col("value"))), 4).alias("kept_value_sum"),
     )
+
+
+@op(
+    "funnel_conversion",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_click
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ),
+        p AS (
+            SELECT c.user_id, min(CAST(e.ts AS TIMESTAMP)) AS first_purchase
+            FROM c JOIN events e
+              ON e.user_id = c.user_id
+             AND e.event_type = 'purchase'
+             AND CAST(e.ts AS TIMESTAMP) > c.first_click
+            GROUP BY c.user_id
+        )
+        SELECT c.user_id, c.first_click, p.first_purchase,
+               p.first_purchase IS NOT NULL AS converted
+        FROM c LEFT JOIN p ON c.user_id = p.user_id
+    """,
+    scale=(
+        "Two-step funnel (first click → first later purchase): two "
+        "partial-agg min()s + one equi-join on user_id — NOT a per-user "
+        "subquery and NOT an event-pair blowup; state per user is two "
+        "timestamps. Extends to k steps as k chained min-after joins."
+    ),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel per user: first click, first purchase strictly
+    after it, and a converted flag."""
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        first_click.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("first_click")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    return (
+        first_click.join(first_purchase, "user_id", "left")
+        .select(
+            "user_id",
+            "first_click",
+            "first_purchase",
+            F.col("first_purchase").isNotNull().alias("converted"),
+        )
+    )
+
+
+@op(
+    "retention_cohort",
+    oracle="""
+        WITH cohort AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS TIMESTAMP)
+                       AS cohort_day
+            FROM events GROUP BY user_id
+        )
+        SELECT c.cohort_day,
+               date_diff('day', c.cohort_day,
+                         CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP))
+                   AS day_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM events e JOIN cohort c ON e.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+    scale=(
+        "Cohort retention matrix: per-user cohort day is ONE partial-agg "
+        "min, joined back on user_id (same shuffle key as the agg — one "
+        "exchange reused), then distinct-count per (cohort, offset) cell. "
+        "Output is |cohorts|×|offsets| cells regardless of event volume."
+    ),
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort × day-offset distinct active users (retention grid)."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).cast(
+                "long"
+            ).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -426,3 +426,30 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("ts2") - F.unix_micros("ts1")).alias("gap_us"),
         )
     )
+
+
+@op(
+    "join_full_outer",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        FROM customer FULL OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_totalprice > 400000.0
+    """,
+    scale=(
+        "Full outer preserves BOTH sides (null-padded): same single "
+        "shuffle as an inner join; only SMJ/SHJ support it (no broadcast "
+        "fallback), which AQE respects. The reconciliation join of two "
+        "datasets that must both survive."
+    ),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer ⟗ high-value orders: every customer AND every order kept,
+    null-padded where the >400k condition finds no partner."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders,
+        (customer.c_custkey == orders.o_custkey)
+        & (orders.o_totalprice > 400000.0),
+        "full_outer",
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")

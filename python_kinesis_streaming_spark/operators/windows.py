@@ -183,3 +183,32 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@op(
+    "win_cume_dist",
+    oracle="""
+        SELECT event_id, event_type,
+               floor((cume_dist() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id))
+                     * 10000.0 + 0.5) / 10000.0 AS cd,
+               ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS decile
+        FROM events
+    """,
+    scale=(
+        "cume_dist/ntile: one shuffle on the partition key + per-partition "
+        "sort; the event_id tie-break makes every row's rank — and the "
+        "decile boundary — a total order, identical across engines."
+    ),
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distribution + decile of value within each event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        rnd(F.cume_dist().over(w), 4).alias("cd"),
+        F.ntile(10).over(w).alias("decile"),
+    )

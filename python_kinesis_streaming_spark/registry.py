@@ -126,6 +126,13 @@ _GRADING_PRIORITY = [
     "emb_normalize_quantize",
     "pipeline_train_test_split",
     "corpus_pack_sequences",
+    "funnel_conversion",
+    "retention_cohort",
+    "join_full_outer",
+    "win_cume_dist",
+    "dedup_keep_canonical",
+    "multimodal_frame_sample",
+    "fn_regex",
     "set_union",
     "set_intersect",
     "set_except",
