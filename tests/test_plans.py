@@ -149,3 +149,42 @@ def test_partition_pruning(spark, sf_dir, no_table_cache):
     assert "PartitionFilters: [" in p, p
     pf = p.split("PartitionFilters: ")[1].splitlines()[0]
     assert "event_type" in pf, pf
+
+
+def test_range_bucketed_join_is_equi_hash(spark, sf_dir, no_table_cache):
+    """join_range_bucketed must plan as an equi hash/SMJ join on
+    (user_id, bucket) — never BroadcastNestedLoop/Cartesian (the exact
+    failure the bucketization exists to prevent)."""
+    p = plan_of(Q["join_range_bucketed"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p
+
+
+def test_quantize_is_map_only(spark, sf_dir, no_table_cache):
+    """emb_normalize_quantize is index prep over the corpus: pure per-row
+    math, so its plan must contain ZERO exchanges."""
+    p = plan_of(Q["emb_normalize_quantize"](spark, sf_dir))
+    assert "Exchange" not in p, p
+
+
+def test_funnel_single_join_chain(spark, sf_dir, no_table_cache):
+    """funnel_conversion: two partial aggs + joins on user_id; no
+    nested-loop/cartesian pair expansion may appear."""
+    p = plan_of(Q["funnel_conversion"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "partial_min" in p or "partial" in p.lower(), p
+
+
+def test_mode_preaggregates_before_window(spark, sf_dir, no_table_cache):
+    """agg_mode must aggregate (user,type) counts BEFORE the rank window —
+    the window sorting raw events would be the 100 TB failure mode."""
+    p = plan_of(Q["agg_mode"](spark, sf_dir), "extended")
+    agg_pos = p.find("count(1)")
+    win_pos = p.find("row_number")
+    assert agg_pos != -1 and win_pos != -1
+    # In the optimized logical plan (printed after == Optimized ==), the
+    # Window node must sit ABOVE the Aggregate (appear before it textually).
+    opt = p.split("== Optimized Logical Plan ==")[1]
+    assert opt.find("Window") < opt.find("Aggregate"), opt[:2000]
