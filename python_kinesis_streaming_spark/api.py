@@ -41,6 +41,10 @@ __all__ = [
     "cosine",
     "dot",
     "l2norm",
+    "train_test_split",
+    "stratified_sample",
+    "pack_sequences",
+    "quantize_embeddings",
 ]
 
 
@@ -198,4 +202,82 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.when(F.col("n_tokens").between(20, 80) & (ttr >= 0.25), F.lit(1))
         .otherwise(F.lit(0))
         .alias("keep"),
+    )
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, train_pct: int = 90, seed: int = 13
+) -> DataFrame:
+    """Deterministic, leakage-proof train/test assignment: adds a ``split``
+    column ('train'/'test') decided by a portable keyed hash of ``key_col``
+    (registry op ``pipeline_train_test_split``). Same key → same split on
+    every engine, retry, and cluster size; no RNG state, no sampling job."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    bucket = md5_hash64(F.col(key_col).cast("string"), seed=seed) % 100
+    return df.withColumn(
+        "split", F.when(bucket < train_pct, "train").otherwise("test")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, rates: dict, key_col: str, seed: int = 7
+) -> DataFrame:
+    """Deterministic per-stratum sampling (registry op ``sample_stratified``):
+    keep each row iff hash(key) mod 100 < rates[stratum]·100. ``rates`` maps
+    stratum value → keep fraction in [0,1]; absent strata keep everything.
+    The class-rebalancing primitive for training corpora — map-side filter,
+    reproducible, no RNG."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    bucket = md5_hash64(F.col(key_col).cast("string"), seed=seed) % 100
+    rate100 = None
+    for stratum, rate in rates.items():
+        pct = F.lit(int(round(rate * 100)))
+        rate100 = (
+            F.when(F.col(stratum_col) == stratum, pct)
+            if rate100 is None
+            else rate100.when(F.col(stratum_col) == stratum, pct)
+        )
+    rate100 = F.lit(100) if rate100 is None else rate100.otherwise(F.lit(100))
+    return df.where(bucket < rate100)
+
+
+def pack_sequences(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: Column | str,
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign each row a ``bin`` id packing rows (in ``order_col`` order,
+    within ``part_col`` partitions) into fixed ``budget``-sized bins via an
+    exclusive prefix sum (registry op ``corpus_pack_sequences``). One window
+    pass, no driver loop."""
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum(size).over(w), F.lit(0)) / F.lit(float(budget))).cast(
+            "long"
+        ),
+    )
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str) -> DataFrame:
+    """L2-normalize and int8-quantize a vector column (registry op
+    ``emb_normalize_quantize``): adds ``norm`` (double) and ``qvec``
+    (array<long> in [-127,127]). Map-only JVM HOFs — zero shuffles; the
+    4× bandwidth cut of ANN index prep."""
+    nrm = l2norm(F.col(vec_col))
+    return df.withColumn("norm", nrm).withColumn(
+        "qvec",
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") / F.col("norm") * 127.0 + F.lit(0.5)).cast("long"),
+        ),
     )

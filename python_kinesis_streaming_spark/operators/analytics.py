@@ -519,16 +519,16 @@ def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                count(*) AS n_total,
                count(*) FILTER (
-                   CAST(('0x' || substring(md5('7:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10
-                   < CASE event_type WHEN 'purchase' THEN 10
-                                     WHEN 'signup'   THEN 5
-                                     ELSE 1 END
+                   CAST(('0x' || substring(md5('7:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+                   < CASE event_type WHEN 'purchase' THEN 100
+                                     WHEN 'signup'   THEN 50
+                                     ELSE 10 END
                ) AS n_kept,
                floor((sum(value) FILTER (
-                   CAST(('0x' || substring(md5('7:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10
-                   < CASE event_type WHEN 'purchase' THEN 10
-                                     WHEN 'signup'   THEN 5
-                                     ELSE 1 END
+                   CAST(('0x' || substring(md5('7:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+                   < CASE event_type WHEN 'purchase' THEN 100
+                                     WHEN 'signup'   THEN 50
+                                     ELSE 10 END
                )) * 10000.0 + 0.5) / 10000.0 AS kept_value_sum
         FROM events GROUP BY event_type
     """,
@@ -547,12 +547,12 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_kinesis_streaming_spark.llm.dedup import md5_hash64
 
     ev = load_table(spark, sf_dir, "events")
-    rate10 = (
-        F.when(F.col("event_type") == "purchase", 10)
-        .when(F.col("event_type") == "signup", 5)
-        .otherwise(1)
+    rate100 = (
+        F.when(F.col("event_type") == "purchase", 100)
+        .when(F.col("event_type") == "signup", 50)
+        .otherwise(10)
     )
-    keep = md5_hash64(F.col("event_id").cast("string"), seed=7) % 10 < rate10
+    keep = md5_hash64(F.col("event_id").cast("string"), seed=7) % 100 < rate100
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count_if(keep).alias("n_kept"),

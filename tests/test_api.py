@@ -109,3 +109,80 @@ def test_read_kinesis_raises_without_connector(spark):
 
     with pytest.raises(RuntimeError, match="connector"):
         read_kinesis(spark, "my-stream", "us-east-1")
+
+
+def test_train_test_split_matches_registry(spark, sf_dir):
+    """api.train_test_split summary == pipeline_train_test_split op."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        api.train_test_split(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_sum"),
+        )
+    )
+    expected = Q["pipeline_train_test_split"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_stratified_sample_matches_registry(spark, sf_dir):
+    """api.stratified_sample keep-counts == sample_stratified op."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = api.stratified_sample(
+        ev,
+        "event_type",
+        {"purchase": 1.0, "signup": 0.5, "click": 0.1, "view": 0.1, "error": 0.1},
+        key_col="event_id",
+    )
+    out = kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+    expected = Q["sample_stratified"](spark, sf_dir).select("event_type", "n_kept")
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_stratified_sample_is_deterministic_subset(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = api.stratified_sample(ev, "event_type", {"click": 0.1}, key_col="event_id")
+    b = api.stratified_sample(ev, "event_type", {"click": 0.1}, key_col="event_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # purchase stratum absent from rates → kept whole
+    n_purch = ev.where(F.col("event_type") == "purchase").count()
+    assert a.where(F.col("event_type") == "purchase").count() == n_purch
+
+
+def test_pack_sequences_matches_registry(spark, sf_dir):
+    """api.pack_sequences bin summary == corpus_pack_sequences op."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    packed = api.pack_sequences(
+        docs.select("lang", "doc_id", n_tok.alias("n_tok")),
+        part_col="lang",
+        order_col="doc_id",
+        size_col="n_tok",
+    )
+    out = packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    expected = Q["corpus_pack_sequences"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_quantize_embeddings_matches_registry(spark, sf_dir):
+    """api.quantize_embeddings summary == emb_normalize_quantize op."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = api.quantize_embeddings(emb, "embedding")
+    out = q.select(
+        "vec_id",
+        F.floor(F.col("norm") * 10000 + F.lit(0.5)).cast("double").alias("norm_f"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+    ).withColumn("norm_f", F.col("norm_f") / 10000)
+    expected = Q["emb_normalize_quantize"](spark, sf_dir).withColumnRenamed(
+        "norm", "norm_f"
+    )
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
