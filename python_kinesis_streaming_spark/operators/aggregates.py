@@ -289,3 +289,31 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
     )
+
+
+@op(
+    "agg_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               floor((sum(l_extendedprice * l_quantity) / sum(l_quantity))
+                     * 10000.0 + 0.5) / 10000.0 AS wavg_price,
+               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    scale=(
+        "Weighted average = two partial sums merged at the end — "
+        "associative state like any sum; never a collect-and-divide. The "
+        "same decomposition generalizes to any ratio-of-sums metric."
+    ),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag (ratio of sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            4,
+        ).alias("wavg_price"),
+        rnd(F.sum("l_quantity"), 2).alias("total_qty"),
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
 from python_kinesis_streaming_spark.registry import op
@@ -659,4 +659,88 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@op(
+    "events_path_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       AS next_type
+            FROM events
+        )
+        SELECT event_type, next_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+    scale=(
+        "Clickstream transition matrix (Markov counts): one shuffle on "
+        "user_id for the lead window, then the pair counts partial-agg "
+        "down to |types|² rows. The path-analysis primitive; k-step paths "
+        "are k chained leads over the SAME sorted partition (no extra "
+        "shuffle)."
+    ),
+)
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_type → next event_type transition counts across all users."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@op(
+    "win_gaps_islands",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d
+            FROM events
+        ),
+        isl AS (
+            SELECT user_id, d,
+                   date_diff('day', TIMESTAMP '2024-01-01',  d)
+                     - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                       AS grp
+            FROM days
+        ),
+        runs AS (
+            SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp
+        )
+        SELECT user_id, count(*) AS n_streaks, max(len) AS longest_streak
+        FROM runs GROUP BY user_id
+    """,
+    scale=(
+        "Gaps-and-islands (consecutive-active-day streaks) via the "
+        "ordinal-minus-row_number trick: distinct days first (partial-agg "
+        "shrinks events to |user|×|days|), ONE window pass, two cheap "
+        "re-aggs. No self-join, no recursion — the streak/uptime query at "
+        "any scale."
+    ),
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count of consecutive-day activity streaks and the longest."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        (
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("timestamp"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
     )

@@ -203,3 +203,43 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write("ok")
     back = spark.read.option("mergeSchema", "true").parquet(out)
     return back.select("event_id", "user_id", "value")
+
+
+@op(
+    "source_json_corrupt",
+    oracle="""
+        WITH raw AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 7 = 0
+                        THEN replace(props, '{', '{,')
+                        ELSE props END AS p
+            FROM events
+        )
+        SELECT event_type,
+               count(*) FILTER (json_valid(p)) AS n_valid,
+               count(*) FILTER (NOT json_valid(p)) AS n_corrupt,
+               sum(CASE WHEN json_valid(p)
+                        THEN CAST(json_extract(p, '$.k') AS BIGINT) END) AS k_sum
+        FROM raw GROUP BY event_type
+    """,
+    scale=(
+        "Malformed-payload ingest: every 7th payload is deterministically "
+        "mangled, then parsed with null-on-error semantics (from_json) — "
+        "corrupt rows are COUNTED and quarantined, never fail the job. "
+        "The at-scale property: one bad producer can't poison a 100 TB "
+        "backfill; the valid/corrupt split is a partial-agg rollup."
+    ),
+)
+def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse a stream with injected malformed JSON; per-type valid/corrupt
+    counts and the recovered payload sum."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.when(
+        F.col("event_id") % 7 == 0, F.regexp_replace("props", r"\{", "{,")
+    ).otherwise(F.col("props"))
+    k = F.from_json(p, "k INT").getField("k")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count_if(F.col("k").isNotNull()).alias("n_valid"),
+        F.count_if(F.col("k").isNull()).alias("n_corrupt"),
+        F.sum("k").cast("long").alias("k_sum"),
+    )

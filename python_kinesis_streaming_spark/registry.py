@@ -133,6 +133,10 @@ _GRADING_PRIORITY = [
     "dedup_keep_canonical",
     "multimodal_frame_sample",
     "fn_regex",
+    "source_json_corrupt",
+    "events_path_transitions",
+    "win_gaps_islands",
+    "agg_weighted_avg",
     "set_union",
     "set_intersect",
     "set_except",
