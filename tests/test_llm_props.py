@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from python_kinesis_streaming_spark.registry import all_queries
+from python_kinesis_streaming_spark.sources.tables import load_table
 
 Q = all_queries()
 
@@ -117,3 +118,39 @@ def test_approx_distinct_tolerance(spark, sf_dir):
     assert rows and all(r.within_rsd for r in rows), rows
     for r in rows:
         assert r.n_users_exact == exact[r.event_type]
+
+
+def test_train_test_split_partitions_completely(spark, sf_dir):
+    """Split is total, disjoint, and ~90/10 (property of the keyed hash)."""
+    from python_kinesis_streaming_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = api.train_test_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert counts.get("train", 0) + counts.get("test", 0) == n
+    # keyed-hash split should land near 90% (loose bound, deterministic)
+    assert 0.80 <= counts.get("train", 0) / n <= 0.97, counts
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(spark, sf_dir):
+    """Bin ids are dense per lang and no bin (except via one oversized doc)
+    exceeds budget + max single doc size."""
+    from python_kinesis_streaming_spark import api
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    packed = api.pack_sequences(
+        docs.select("lang", "doc_id", n_tok.alias("n_tok")),
+        part_col="lang", order_col="doc_id", size_col="n_tok",
+    )
+    per_bin = packed.groupBy("lang", "bin").agg(
+        F.sum("n_tok").alias("tokens"), F.max("n_tok").alias("max_doc")
+    ).collect()
+    bins_by_lang = {}
+    for r in per_bin:
+        bins_by_lang.setdefault(r["lang"], []).append(r["bin"])
+        assert r["tokens"] <= 2048 + r["max_doc"], r
+    for lang, bins in bins_by_lang.items():
+        assert sorted(bins) == list(range(len(bins))), (lang, sorted(bins)[:5])

@@ -24,6 +24,12 @@ REPRESENTATIVE = [
     "text_tfidf",
     "pivot_wide",
     "q17_correlated_avg",
+    # round-2 ops with size-sensitive logic
+    "text_ngram_freq",        # 1-token-doc guard must hold at any corpus
+    "corpus_pack_sequences",  # bin math over varying doc counts
+    "join_range_bucketed",    # bucket explosion at varying densities
+    "multimodal_frame_sample",  # payload-length arithmetic
+    "win_gaps_islands",       # streak grouping across different day spans
 ]
 
 
