@@ -407,3 +407,32 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rlike("c_name", F.lit(r"^Customer#\d+$")).alias("well_formed"),
     )
+
+
+@op(
+    "fn_encoding",
+    oracle="""
+        SELECT c_custkey,
+               to_base64(encode(c_name))          AS b64,
+               lower(hex(encode(c_name)))         AS hx,
+               decode(from_base64(to_base64(encode(c_name)))) AS roundtrip,
+               CAST(octet_length(encode(c_name)) AS INTEGER) AS n_bytes
+        FROM customer
+    """,
+    scale=(
+        "Binary encode/decode family (base64 / hex / roundtrip): pure "
+        "codegen projections — the wire-format boundary ops for payload "
+        "columns (Kinesis Data blobs arrive base64 in the AWS REST API)."
+    ),
+)
+def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64/hex encodings of utf-8 names and a lossless roundtrip."""
+    cust = load_table(spark, sf_dir, "customer")
+    raw = F.encode("c_name", "utf-8")
+    return cust.select(
+        "c_custkey",
+        F.base64(raw).alias("b64"),
+        F.lower(F.hex(raw)).alias("hx"),
+        F.decode(F.unbase64(F.base64(raw)), "utf-8").alias("roundtrip"),
+        F.octet_length(raw).alias("n_bytes"),
+    )

@@ -453,3 +453,50 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (orders.o_totalprice > 400000.0),
         "full_outer",
     ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+@op(
+    "join_asof_forward",
+    oracle="""
+        SELECT c.event_id AS click_id, c.user_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p
+                WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+               ) AS next_purchase_ts
+        FROM events c WHERE c.event_type = 'click'
+    """,
+    scale=(
+        "Forward as-of (next-event attribution): the mirror of join_asof — "
+        "union + running first(ignorenulls) over a DESCENDING time order, "
+        "still ONE shuffle on user_id and linear state. Forward+backward "
+        "together cover both attribution directions without any pairwise "
+        "join."
+    ),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the EARLIEST purchase of the same user at or after
+    it (time-to-convert shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    # kind 0 = purchase: at equal ts it sorts before clicks in the
+    # descending-time window, so 'at/after' is inclusive.
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("kind"),
+        F.col("ts").alias("purchase_ts"), F.lit(None).cast("long").alias("click_id"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = purchases.unionByName(clicks).withColumn(
+        "next_purchase_ts", F.last("purchase_ts", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("kind") == 1).select(
+        "click_id", "user_id", F.col("ts").alias("click_ts"), "next_purchase_ts"
+    )

@@ -137,6 +137,8 @@ _GRADING_PRIORITY = [
     "events_path_transitions",
     "win_gaps_islands",
     "agg_weighted_avg",
+    "join_asof_forward",
+    "fn_encoding",
     "set_union",
     "set_intersect",
     "set_except",
