@@ -436,3 +436,46 @@ def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.unbase64(F.base64(raw)), "utf-8").alias("roundtrip"),
         F.octet_length(raw).alias("n_bytes"),
     )
+
+
+@op(
+    "fn_null_handling",
+    oracle="""
+        SELECT c_custkey, o_orderkey,
+               coalesce(o_orderpriority, 'NO-ORDER')          AS prio,
+               ifnull(o_totalprice, 0.0)                      AS price0,
+               nullif(c_mktsegment, 'BUILDING')               AS seg_nb,
+               CASE WHEN o_orderkey IS NULL THEN 'none'
+                    ELSE 'some' END                            AS has_order,
+               (o_orderkey IS NOT NULL)                        AS matched
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+    """,
+    scale=(
+        "NULL-handling family over an outer join's null-padded rows: "
+        "coalesce/ifnull/nullif/IS NULL are all codegen projections — "
+        "the null-discipline surface every outer-join consumer needs."
+    ),
+)
+def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / ifnull / nullif / null predicates over null-padded
+    outer-join output."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = customer.join(
+        orders,
+        (customer.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority == "1-URGENT"),
+        "left",
+    )
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        F.coalesce("o_orderpriority", F.lit("NO-ORDER")).alias("prio"),
+        F.ifnull("o_totalprice", F.lit(0.0)).alias("price0"),
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_nb"),
+        F.when(F.col("o_orderkey").isNull(), "none").otherwise("some").alias(
+            "has_order"
+        ),
+        F.col("o_orderkey").isNotNull().alias("matched"),
+    )

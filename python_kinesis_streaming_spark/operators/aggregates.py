@@ -317,3 +317,42 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_price"),
         rnd(F.sum("l_quantity"), 2).alias("total_qty"),
     )
+
+
+@op(
+    "agg_entropy",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+        SELECT c.user_id,
+               floor((-sum((n / CAST(tot AS DOUBLE))
+                           * ln(n / CAST(tot AS DOUBLE))))
+                     * 10000.0 + 0.5) / 10000.0 AS entropy,
+               CAST(count(*) AS INTEGER) AS n_types
+        FROM c JOIN t ON c.user_id = t.user_id
+        GROUP BY c.user_id
+    """,
+    scale=(
+        "Behavioral entropy (distribution profiling): two partial-agg "
+        "passes over (user,type) counts — the heavy reduction happens "
+        "before any division; shuffle state is |users|×|types| counters. "
+        "Same shape profiles label balance in a training corpus."
+    ),
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type distribution."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            rnd(-F.sum(p * F.log(p)), 4).alias("entropy"),
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+        )
+    )

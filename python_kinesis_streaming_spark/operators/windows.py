@@ -212,3 +212,40 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.cume_dist().over(w), 4).alias("cd"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@op(
+    "win_moving_zscore",
+    oracle="""
+        SELECT user_id, event_id,
+               floor((CASE WHEN stddev_samp(value) OVER w > 0
+                           THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+                      END) * 10000.0 + 0.5) / 10000.0 AS zscore
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    """,
+    scale=(
+        "Streaming-style anomaly score in batch: each event scored "
+        "against ITS OWN trailing window (20 events, exclusive of self — "
+        "no target leakage). Bounded ROWS frame = O(1) state per row; "
+        "one shuffle on user_id. The outlier-flagging pass of a "
+        "data-quality pipeline."
+    ),
+)
+def win_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score of value per user (self-exclusive frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        rnd(F.when(sd > 0, (F.col("value") - mu) / sd), 4).alias("zscore"),
+    )

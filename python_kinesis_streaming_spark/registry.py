@@ -139,6 +139,9 @@ _GRADING_PRIORITY = [
     "agg_weighted_avg",
     "join_asof_forward",
     "fn_encoding",
+    "win_moving_zscore",
+    "agg_entropy",
+    "fn_null_handling",
     "set_union",
     "set_intersect",
     "set_except",
