@@ -17,6 +17,8 @@ STATEFUL_ON_DISK = [
     "stream_checkpoint_resume",
     "stream_foreach_batch",
     "sink_parquet",
+    "sink_json_roundtrip",
+    "sink_csv_roundtrip",
     "join_bucketed",
     "scan_partition_pruned",
     "scan_schema_evolution",
