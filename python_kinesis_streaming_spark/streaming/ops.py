@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from python_kinesis_streaming_spark.functions.rounding import rnd
 from python_kinesis_streaming_spark.registry import op
-from python_kinesis_streaming_spark.sources.tables import load_table
+from python_kinesis_streaming_spark.sources.tables import load_table, sf_tag
 from python_kinesis_streaming_spark.streaming.replay import (
     SCRATCH,
     ensure_chunks,
@@ -296,7 +296,7 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = sorted(
         f for f in os.listdir(src) if f.endswith(".parquet") and not f.startswith("_")
     )
-    root = os.path.join(SCRATCH, "resume", os.path.basename(os.path.normpath(sf_dir)))
+    root = os.path.join(SCRATCH, "resume", sf_tag(sf_dir))
     shutil.rmtree(root, ignore_errors=True)
     data, ckpt, out = (os.path.join(root, d) for d in ["data", "ckpt", "out"])
     os.makedirs(data)
@@ -421,7 +421,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     its partial per-type counts (tagged with batchId) to a parquet target;
     re-aggregating the target equals the batch GROUP BY exactly."""
     out = os.path.join(
-        SCRATCH, "fe_batch", os.path.basename(os.path.normpath(sf_dir))
+        SCRATCH, "fe_batch", sf_tag(sf_dir)
     )
     ckpt = os.path.join(SCRATCH, "ckpt", f"febatch_{os.path.basename(out)}")
     # Output AND checkpoint are one unit for this demo: a stale checkpoint
