@@ -283,20 +283,45 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "agg_approx_quantile",
-    # No oracle: sketch-based (KLL/GK) results are engine-specific;
-    # tolerance vs the exact percentile is asserted in pytest.
+    oracle="""
+        SELECT event_type,
+               floor((quantile_cont(value, 0.5))  * 100.0 + 0.5) / 100.0 AS p50_exact,
+               floor((quantile_cont(value, 0.95)) * 100.0 + 0.5) / 100.0 AS p95_exact,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type
+    """,
     scale=(
         "approx_percentile = mergeable quantile sketch: one pass, bounded "
         "memory, partial-agg - the 100 TB path where exact percentile's "
-        "per-group sort/collect is infeasible."
+        "per-group sort/collect is infeasible. Emitted as an accuracy "
+        "contract (exact quantiles + a sketch-within-2%% boolean the "
+        "oracle expects constant-TRUE), so a broken sketch hash-fails "
+        "the driver gate — same pattern as agg_approx_distinct."
     ),
 )
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate p50/p95 of value per event_type (sketch-based)."""
+    """Sketch p50/p95 of value per event_type, driver-checkable: exact
+    quantiles plus a boolean asserting the sketch landed within 2% of the
+    group's value range."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
-        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_a"),
+            F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_a"),
+            F.expr("percentile(value, 0.5)").alias("p50_e"),
+            F.expr("percentile(value, 0.95)").alias("p95_e"),
+            (F.max("value") - F.min("value")).alias("vrange"),
+        )
+        .select(
+            "event_type",
+            rnd(F.col("p50_e"), 2).alias("p50_exact"),
+            rnd(F.col("p95_e"), 2).alias("p95_exact"),
+            (
+                (F.abs(F.col("p50_a") - F.col("p50_e")) <= 0.02 * F.col("vrange"))
+                & (F.abs(F.col("p95_a") - F.col("p95_e")) <= 0.02 * F.col("vrange"))
+            ).alias("within_tol"),
+        )
     )
 
 

