@@ -188,3 +188,36 @@ def test_mode_preaggregates_before_window(spark, sf_dir, no_table_cache):
     # Window node must sit ABOVE the Aggregate (appear before it textually).
     opt = p.split("== Optimized Logical Plan ==")[1]
     assert opt.find("Window") < opt.find("Aggregate"), opt[:2000]
+
+
+#: Ops whose plan legitimately contains a BroadcastNestedLoopJoin — each
+#: joins against a TINY broadcast side (1-row query vector, 5-row region,
+#: query batch), so the "nested loop" is O(n·k) with constant k.
+BNLJ_ALLOWED = {"sim_ann_lsh", "join_cross_bounded", "sim_query_batch"}
+
+#: Ops that execute real work (streams, sinks, iterative algorithms, disk
+#: prep) when the DataFrame is BUILT — excluded from the cheap global audit
+#: (their joins are covered by op-specific tests above and by execution).
+_EXECUTES_ON_BUILD = ("stream_", "source_stream", "join_stream", "sink_")
+_EXECUTES_EXTRA = {
+    "scan_partition_pruned", "scan_schema_evolution", "join_bucketed",
+    "dedup_clusters",
+}
+
+
+def test_no_unbounded_nested_loop_anywhere(spark, sf_dir, no_table_cache):
+    """Global net: NO op may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin only with a documented tiny broadcast side.
+    A regressed join condition (lost equi key) shows up here first."""
+    audited = 0
+    for name, fn in Q.items():
+        if name.startswith(_EXECUTES_ON_BUILD) or name in _EXECUTES_EXTRA:
+            continue
+        p = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+        if name not in BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in p, (
+                f"{name} plans an unlisted nested-loop join"
+            )
+        audited += 1
+    assert audited >= 100, audited
