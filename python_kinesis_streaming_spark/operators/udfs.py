@@ -201,3 +201,45 @@ def udtf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         tokenize_batches, "doc_id long, token string"
     )
+
+
+@op(
+    "udf_arrow_optimized",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN value < 10.0 THEN 'low'
+                    WHEN value < 100.0 THEN 'mid'
+                    ELSE 'high' END AS tier,
+               floor((value * 2.0) * 10000.0 + 0.5) / 10000.0 AS doubled
+        FROM events
+    """,
+    scale=(
+        "Spark 4 Arrow-optimized Python UDF (useArrow=True): row-at-a-time "
+        "author model, but serialization is Arrow columnar batches instead "
+        "of pickled rows — the middle rung between the legacy pickle UDF "
+        "and a true pandas_udf (which stays the recommended hot path)."
+    ),
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-serialized scalar Python UDF: same tiering as udf_scalar_py
+    plus a numeric output, transported as Arrow batches."""
+
+    def tier_label(value):
+        if value is None:
+            return "unknown"
+        if value < 10.0:
+            return "low"
+        if value < 100.0:
+            return "mid"
+        return "high"
+
+    ev = load_table(spark, sf_dir, "events")
+    tier = udf(tier_label, "string", useArrow=True)
+    dbl = udf(lambda v: None if v is None else v * 2.0, "double", useArrow=True)
+    from python_kinesis_streaming_spark.functions.rounding import rnd as _rnd
+
+    return ev.select(
+        "event_id",
+        tier(F.col("value")).alias("tier"),
+        _rnd(dbl(F.col("value")), 4).alias("doubled"),
+    )

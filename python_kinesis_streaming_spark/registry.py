@@ -142,6 +142,7 @@ _GRADING_PRIORITY = [
     "win_moving_zscore",
     "agg_entropy",
     "fn_null_handling",
+    "udf_arrow_optimized",
     "set_union",
     "set_intersect",
     "set_except",
