@@ -504,3 +504,35 @@ def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("o_orderkey").isNotNull().alias("matched"),
     )
+
+
+@op(
+    "fn_map_construct",
+    oracle="""
+        SELECT user_id,
+               '{' || string_agg('"' || event_type || '":' || CAST(n AS VARCHAR),
+                                 ',' ORDER BY event_type) || '}' AS type_counts
+        FROM (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ) GROUP BY user_id
+    """,
+    scale=(
+        "Aggregate-to-map (per-user type→count dictionary): counts "
+        "partial-agg first, map assembled from the tiny aggregated rows "
+        "(map_from_entries over sorted collect_list). Emitted as "
+        "canonical sorted JSON — top-level MapType results crash the "
+        "driver's canonicalizer, and sorted-key JSON is the portable "
+        "serialization of an unordered map."
+    ),
+)
+def fn_map_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a per-user event_type→count map, serialized as sorted JSON."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("event_type", "n")))
+    )
+    return counts.groupBy("user_id").agg(
+        F.to_json(m).alias("type_counts")
+    )

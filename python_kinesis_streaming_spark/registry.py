@@ -143,6 +143,8 @@ _GRADING_PRIORITY = [
     "agg_entropy",
     "fn_null_handling",
     "udf_arrow_optimized",
+    "agg_sketch_merge",
+    "fn_map_construct",
     "set_union",
     "set_intersect",
     "set_except",
