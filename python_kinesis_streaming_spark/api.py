@@ -278,6 +278,6 @@ def quantize_embeddings(df: DataFrame, vec_col: str) -> DataFrame:
         "qvec",
         F.transform(
             F.col(vec_col),
-            lambda x: F.floor(x.cast("double") / F.col("norm") * 127.0 + F.lit(0.5)).cast("long"),
+            lambda x: F.floor(x.cast("double") / F.col("norm") * 127.0 + F.lit(0.505)).cast("long"),
         ),
     )

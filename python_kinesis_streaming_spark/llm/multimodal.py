@@ -34,9 +34,9 @@ from python_kinesis_streaming_spark.sources.tables import load_table
     oracle="""
         SELECT e.label,
                count(*) AS n,
-               floor((avg(d.n_chars)) * 100.0 + 0.5) / 100.0 AS avg_chars,
-               floor((avg(e.embedding[1])) * 10000.0 + 0.5) / 10000.0 AS avg_e0,
-               floor((avg(e.embedding[64])) * 10000.0 + 0.5) / 10000.0 AS avg_e63
+               floor((avg(d.n_chars)) * 100.0 + 0.505) / 100.0 AS avg_chars,
+               floor((avg(e.embedding[1])) * 10000.0 + 0.505) / 10000.0 AS avg_e0,
+               floor((avg(e.embedding[64])) * 10000.0 + 0.505) / 10000.0 AS avg_e63
         FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
         GROUP BY e.label
     """,

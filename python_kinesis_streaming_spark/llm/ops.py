@@ -59,7 +59,7 @@ from python_kinesis_streaming_spark.sources.tables import load_table  # noqa: E4
         SELECT d.lang,
                count(*) AS n_docs,
                sum(q.n_tokens) AS total_tokens,
-               floor((avg(q.n_tokens)) * 100.0 + 0.5) / 100.0 AS avg_tokens
+               floor((avg(q.n_tokens)) * 100.0 + 0.505) / 100.0 AS avg_tokens
         FROM deduped
         JOIN documents d USING (doc_id)
         JOIN quality q USING (doc_id)

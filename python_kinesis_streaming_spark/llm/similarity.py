@@ -74,7 +74,7 @@ def emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHERE vec_id = {QUERY_VEC_ID})
         SELECT vec_id,
                floor((list_cosine_similarity(embedding::DOUBLE[], qe))
-                     * 10000.0 + 0.5) / 10000.0 AS sim
+                     * 10000.0 + 0.505) / 10000.0 AS sim
         FROM embeddings, q
         WHERE vec_id <> {QUERY_VEC_ID}
         ORDER BY sim DESC, vec_id
@@ -123,7 +123,7 @@ def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
                    floor((list_cosine_similarity(a.embedding::DOUBLE[],
                                                  b.embedding::DOUBLE[]))
-                         * 10000.0 + 0.5) / 10000.0 AS sim
+                         * 10000.0 + 0.505) / 10000.0 AS sim
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
         )
@@ -173,12 +173,12 @@ def sim_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                floor((list_cosine_similarity(a.embedding::DOUBLE[],
                                              b.embedding::DOUBLE[]))
-                     * 10000.0 + 0.5) / 10000.0 AS sim
+                     * 10000.0 + 0.505) / 10000.0 AS sim
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
                                             b.embedding::DOUBLE[]))
-                    * 10000.0 + 0.5) / 10000.0 >= 0.30
+                    * 10000.0 + 0.505) / 10000.0 >= 0.30
     """,
     scale=(
         "Embedding near-dup = threshold variant of the blocked pair join; "
@@ -253,7 +253,7 @@ def _ann_lsh_oracle(dims: int = 64) -> str:
         ),
         q AS (SELECT e AS qe, bucket AS qb FROM wb WHERE vec_id = {QUERY_VEC_ID})
         SELECT w.vec_id,
-               floor((list_cosine_similarity(w.e, q.qe)) * 10000.0 + 0.5) / 10000.0 AS sim
+               floor((list_cosine_similarity(w.e, q.qe)) * 10000.0 + 0.505) / 10000.0 AS sim
         FROM wb w, q
         WHERE w.vec_id <> {QUERY_VEC_ID} AND ({probes})
         ORDER BY sim DESC, w.vec_id
@@ -326,7 +326,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_centroids",
     oracle="""
         SELECT label, i.i AS pos,
-               floor((avg(embedding[i.i])) * 10000.0 + 0.5) / 10000.0
+               floor((avg(embedding[i.i])) * 10000.0 + 0.505) / 10000.0
                    AS centroid_val
         FROM embeddings, range(1, 65) i(i)
         GROUP BY label, i.i
@@ -358,7 +358,7 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored AS (
             SELECT q.qid, e.vec_id,
                    floor((list_cosine_similarity(e.embedding::DOUBLE[], q.qe))
-                         * 10000.0 + 0.5) / 10000.0 AS sim
+                         * 10000.0 + 0.505) / 10000.0 AS sim
             FROM embeddings e, q
             WHERE e.vec_id <> q.qid
         )
@@ -412,11 +412,11 @@ def sim_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         q AS (
             SELECT vec_id, nrm,
-                   list_transform(e, x -> CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT)) AS qv
+                   list_transform(e, x -> CAST(floor(x / nrm * 127.0 + 0.505) AS BIGINT)) AS qv
             FROM n
         )
         SELECT vec_id,
-               floor(nrm * 10000.0 + 0.5) / 10000.0 AS norm,
+               floor(nrm * 10000.0 + 0.505) / 10000.0 AS norm,
                list_sum(qv) AS q_sum,
                list_min(qv) AS q_min,
                list_max(qv) AS q_max
@@ -428,7 +428,7 @@ def sim_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bandwidth/memory cut for the billion-vector scan. Map-only, "
         "JVM HOFs, zero shuffles; per-vector scalars out (norm + "
         "quantized checksums) keep the result hash-safe. Rounding is the "
-        "repo-wide floor(x·k+0.5) so both engines quantize identically."
+        "repo-wide floor(x·k+0.505) so both engines quantize identically."
     ),
 )
 def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,7 +438,7 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = l2norm(F.col("embedding"))
     qv = F.transform(
         F.col("embedding"),
-        lambda x: F.floor(x.cast("double") / F.col("nrm") * 127.0 + F.lit(0.5)).cast(
+        lambda x: F.floor(x.cast("double") / F.col("nrm") * 127.0 + F.lit(0.505)).cast(
             "long"
         ),
     )

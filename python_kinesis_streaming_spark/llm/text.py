@@ -47,7 +47,7 @@ def doc_tokens(docs: DataFrame) -> DataFrame:
         ),
         per_doc AS (
             SELECT lang, count(*) AS n_docs,
-                   floor((avg(n_chars)) * 100.0 + 0.5) / 100.0 AS avg_chars
+                   floor((avg(n_chars)) * 100.0 + 0.505) / 100.0 AS avg_chars
             FROM documents GROUP BY lang
         )
         SELECT lang, n_docs, avg_chars, n_tokens, vocab
@@ -86,7 +86,7 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n AS (SELECT count(*) AS n FROM documents),
         scored AS (
             SELECT doc_id, tok,
-                   floor((tf * ln(n / df)) * 1000000.0 + 0.5) / 1000000.0
+                   floor((tf * ln(n / df)) * 1000000.0 + 0.505) / 1000000.0
                        AS tfidf
             FROM tf JOIN df USING (tok) CROSS JOIN n
         )
@@ -197,9 +197,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tok GROUP BY doc_id
         )
         SELECT doc_id, n_tokens,
-               floor((CAST(n_distinct AS DOUBLE) / n_tokens) * 10000.0 + 0.5)
+               floor((CAST(n_distinct AS DOUBLE) / n_tokens) * 10000.0 + 0.505)
                    / 10000.0 AS ttr,
-               floor((CAST(chars_in_tokens AS DOUBLE) / n_tokens) * 10000.0 + 0.5)
+               floor((CAST(chars_in_tokens AS DOUBLE) / n_tokens) * 10000.0 + 0.505)
                    / 10000.0 AS avg_tok_len,
                CASE WHEN n_tokens BETWEEN 20 AND 80
                      AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.25

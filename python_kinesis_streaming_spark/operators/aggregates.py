@@ -26,8 +26,8 @@ Q1_CUTOFF = "1998-09-02"
 @op(
     "agg_hash_global",
     oracle="""
-        SELECT floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0       AS sum_qty,
-               floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0  AS avg_price,
+        SELECT floor((sum(l_quantity)) * 100.0 + 0.505) / 100.0       AS sum_qty,
+               floor((avg(l_extendedprice)) * 10000.0 + 0.505) / 10000.0  AS avg_price,
                min(l_shipdate)                 AS min_ship,
                max(l_shipdate)                 AS max_ship,
                count(*)                        AS n_rows
@@ -50,13 +50,13 @@ def agg_hash_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_groupby_q1",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
-               floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-               floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
-               floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-               floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
-               floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+               floor((sum(l_quantity)) * 100.0 + 0.505) / 100.0 AS sum_qty,
+               floor((sum(l_extendedprice)) * 100.0 + 0.505) / 100.0 AS sum_base_price,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.505) / 100.0 AS sum_disc_price,
+               floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.505) / 100.0 AS sum_charge,
+               floor((avg(l_quantity)) * 10000.0 + 0.505) / 10000.0 AS avg_qty,
+               floor((avg(l_extendedprice)) * 10000.0 + 0.505) / 10000.0 AS avg_price,
+               floor((avg(l_discount)) * 10000.0 + 0.505) / 10000.0 AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
@@ -141,7 +141,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
         SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
+               floor((sum(o_totalprice)) * 100.0 + 0.505) / 100.0 AS revenue
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
@@ -190,8 +190,8 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     oracle="""
         SELECT event_type,
-               floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0  AS p50,
-               floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95
+               floor((quantile_cont(value, 0.5)) * 10000.0 + 0.505) / 10000.0  AS p50,
+               floor((quantile_cont(value, 0.95)) * 10000.0 + 0.505) / 10000.0 AS p95
         FROM events GROUP BY event_type
     """,
     scale=(
@@ -296,8 +296,8 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                floor((sum(l_extendedprice * l_quantity) / sum(l_quantity))
-                     * 10000.0 + 0.5) / 10000.0 AS wavg_price,
-               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty
+                     * 10000.0 + 0.505) / 10000.0 AS wavg_price,
+               floor((sum(l_quantity)) * 100.0 + 0.505) / 100.0 AS total_qty
         FROM lineitem GROUP BY l_returnflag
     """,
     scale=(
@@ -330,7 +330,7 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.user_id,
                floor((-sum((n / CAST(tot AS DOUBLE))
                            * ln(n / CAST(tot AS DOUBLE))))
-                     * 10000.0 + 0.5) / 10000.0 AS entropy,
+                     * 10000.0 + 0.505) / 10000.0 AS entropy,
                CAST(count(*) AS INTEGER) AS n_types
         FROM c JOIN t ON c.user_id = t.user_id
         GROUP BY c.user_id

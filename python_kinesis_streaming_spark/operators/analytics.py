@@ -43,7 +43,7 @@ def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
         SELECT l_orderkey, l_linenumber, l_quantity
         FROM lineitem
         WHERE l_quantity > (
-            SELECT floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0
+            SELECT floor((avg(l_quantity)) * 1000000.0 + 0.505) / 1000000.0
             FROM lineitem
         )
     """,
@@ -61,7 +61,7 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber, l_quantity
         FROM {v}
         WHERE l_quantity > (
-            SELECT floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0
+            SELECT floor((avg(l_quantity)) * 1000000.0 + 0.505) / 1000000.0
             FROM {v}
         )
     """)
@@ -155,10 +155,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                floor((corr(value, CAST(json_extract_string(props, '$.k') AS INTEGER)))
-                     * 10000.0 + 0.5) / 10000.0 AS corr_vk,
+                     * 10000.0 + 0.505) / 10000.0 AS corr_vk,
                floor((covar_samp(value, CAST(json_extract_string(props, '$.k') AS INTEGER)))
-                     * 10000.0 + 0.5) / 10000.0 AS covar_vk,
-               floor((stddev_samp(value)) * 10000.0 + 0.5) / 10000.0 AS std_v
+                     * 10000.0 + 0.505) / 10000.0 AS covar_vk,
+               floor((stddev_samp(value)) * 10000.0 + 0.505) / 10000.0 AS std_v
         FROM events GROUP BY event_type
     """,
     scale=(
@@ -186,7 +186,7 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "q17_correlated_avg",
     oracle="""
-        SELECT floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0
+        SELECT floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.505) / 100.0
                    AS avg_yearly
         FROM lineitem l1
         WHERE l_quantity < (
@@ -208,7 +208,7 @@ def q17_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CAST to double: Spark parses `100.0` literals as DECIMAL, and
     # bigint(floor)/decimal would yield a Decimal result vs DuckDB's double.
     return spark.sql(f"""
-        SELECT CAST(floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0
+        SELECT CAST(floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.505) / 100.0
                     AS DOUBLE) AS avg_yearly
         FROM {v} l1
         WHERE l_quantity < (
@@ -257,9 +257,9 @@ def q13_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT s_suppkey,
                floor((percent_rank() OVER (ORDER BY s_acctbal, s_suppkey))
-                     * 1000000.0 + 0.5) / 1000000.0 AS pr,
+                     * 1000000.0 + 0.505) / 1000000.0 AS pr,
                floor((cume_dist() OVER (ORDER BY s_acctbal, s_suppkey))
-                     * 1000000.0 + 0.5) / 1000000.0 AS cd
+                     * 1000000.0 + 0.505) / 1000000.0 AS cd
         FROM supplier
     """,
     scale=(
@@ -310,10 +310,10 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_custkey,
                arg_max(o_orderkey,
-                       floor(o_totalprice * 100.0 + 0.5)::BIGINT * 100000000
+                       floor(o_totalprice * 100.0 + 0.505)::BIGINT * 100000000
                        + o_orderkey) AS best_order,
                arg_min(o_orderkey,
-                       floor(o_totalprice * 100.0 + 0.5)::BIGINT * 100000000
+                       floor(o_totalprice * 100.0 + 0.505)::BIGINT * 100000000
                        + o_orderkey) AS worst_order
         FROM orders GROUP BY o_custkey
     """,
@@ -328,7 +328,7 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per customer: the orderkey of their most/least expensive order."""
     orders = load_table(spark, sf_dir, "orders")
     ordv = (
-        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.505)).cast("long")
         * F.lit(100000000)
         + F.col("o_orderkey")
     )
@@ -410,8 +410,8 @@ def cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
                count(*) AS n,
-               floor((min(value)) * 10000.0 + 0.5) / 10000.0 AS lo,
-               floor((max(value)) * 10000.0 + 0.5) / 10000.0 AS hi
+               floor((min(value)) * 10000.0 + 0.505) / 10000.0 AS lo,
+               floor((max(value)) * 10000.0 + 0.505) / 10000.0 AS hi
         FROM events GROUP BY 1
     """,
     scale=(
@@ -529,7 +529,7 @@ def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                    < CASE event_type WHEN 'purchase' THEN 100
                                      WHEN 'signup'   THEN 50
                                      ELSE 10 END
-               )) * 10000.0 + 0.5) / 10000.0 AS kept_value_sum
+               )) * 10000.0 + 0.505) / 10000.0 AS kept_value_sum
         FROM events GROUP BY event_type
     """,
     scale=(

@@ -78,7 +78,7 @@ def udf_scalar_py(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_scalar",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               floor((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) / 100.0
+               floor((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.505) / 100.0
                    AS net_revenue
         FROM lineitem
     """,
@@ -109,7 +109,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                floor((sum(l_extendedprice * l_quantity) / sum(l_quantity))
-                     * 10000.0 + 0.5) / 10000.0 AS wavg_price
+                     * 10000.0 + 0.505) / 10000.0 AS wavg_price
         FROM lineitem GROUP BY l_returnflag
     """,
     scale=(
@@ -142,7 +142,7 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id, event_type,
                floor(((value - avg(value) OVER w) / stddev_pop(value) OVER w)
-                     * 10000.0 + 0.5) / 10000.0 AS z
+                     * 10000.0 + 0.505) / 10000.0 AS z
         FROM events
         WINDOW w AS (PARTITION BY event_type)
     """,
@@ -162,8 +162,8 @@ def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         std = pdf["value"].std(ddof=0)  # population std == stddev_pop in SQL
         z = (pdf["value"] - mean) / std if std else pdf["value"] * 0.0
         out = pdf[["event_id", "event_type"]].copy()
-        # floor(x*1e4+0.5)/1e4 — identical rounding expression to rounding.rnd.
-        out["z"] = np.floor(z * 10000.0 + 0.5) / 10000.0
+        # floor(x*1e4+0.505)/1e4 — identical rounding expression to rounding.rnd.
+        out["z"] = np.floor(z * 10000.0 + 0.505) / 10000.0
         return out
 
     ev = load_table(spark, sf_dir, "events")
@@ -210,7 +210,7 @@ def udtf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN value < 10.0 THEN 'low'
                     WHEN value < 100.0 THEN 'mid'
                     ELSE 'high' END AS tier,
-               floor((value * 2.0) * 10000.0 + 0.5) / 10000.0 AS doubled
+               floor((value * 2.0) * 10000.0 + 0.505) / 10000.0 AS doubled
         FROM events
     """,
     scale=(

@@ -191,7 +191,7 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, event_type,
                floor((cume_dist() OVER (PARTITION BY event_type
                                         ORDER BY value, event_id))
-                     * 10000.0 + 0.5) / 10000.0 AS cd,
+                     * 10000.0 + 0.505) / 10000.0 AS cd,
                ntile(10) OVER (PARTITION BY event_type
                                ORDER BY value, event_id) AS decile
         FROM events
@@ -220,7 +220,7 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id,
                floor((CASE WHEN stddev_samp(value) OVER w > 0
                            THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
-                      END) * 10000.0 + 0.5) / 10000.0 AS zscore
+                      END) * 10000.0 + 0.505) / 10000.0 AS zscore
         FROM events
         WINDOW w AS (PARTITION BY user_id
                      ORDER BY CAST(ts AS TIMESTAMP), event_id

@@ -65,7 +65,7 @@ def source_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT date_trunc('hour', {TS}) AS w_start, event_type,
                count(*) AS n,
-               floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+               floor((sum(value)) * 10000.0 + 0.505) / 10000.0 AS sum_value
         FROM events GROUP BY 1, 2
     """,
     scale=(
@@ -203,7 +203,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_counter",
     oracle="""
         SELECT user_id, count(*) AS n,
-               floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total
+               floor((sum(value)) * 10000.0 + 0.505) / 10000.0 AS total
         FROM events GROUP BY user_id
     """,
     scale=(

@@ -176,7 +176,7 @@ def test_quantize_embeddings_matches_registry(spark, sf_dir):
     q = api.quantize_embeddings(emb, "embedding")
     out = q.select(
         "vec_id",
-        F.floor(F.col("norm") * 10000 + F.lit(0.5)).cast("double").alias("norm_f"),
+        F.floor(F.col("norm") * 10000 + F.lit(0.505)).cast("double").alias("norm_f"),
         F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         F.array_min("qvec").alias("q_min"),
         F.array_max("qvec").alias("q_max"),
