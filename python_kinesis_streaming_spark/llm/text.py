@@ -373,3 +373,43 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("lang", "bigram", "n")
     )
+
+
+@op(
+    "text_sentence_split",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, trim(x.s) AS sentence
+            FROM documents,
+                 unnest(string_split_regex(text, '[.!?]+')) AS x(s)
+            WHERE len(trim(x.s)) > 0
+        )
+        SELECT doc_id,
+               count(*) AS n_sentences,
+               floor((avg(len(sentence))) * 100.0 + 0.505) / 100.0
+                   AS avg_sentence_chars,
+               max(len(sentence)) AS max_sentence_chars
+        FROM s GROUP BY doc_id
+    """,
+    scale=(
+        "Sentence segmentation (regex split on terminal punctuation) + "
+        "per-doc stats: split/explode is JVM-side, stats partial-agg on "
+        "the doc_id the explode preserved — no Python tokenizer, no "
+        "shuffle of raw sentences. The sentence-level pass of a "
+        "chunking/packing pipeline."
+    ),
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence counts and length stats (regex segmentation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sent = docs.select(
+        "doc_id",
+        F.explode(F.split("text", r"[.!?]+")).alias("raw"),
+    ).select("doc_id", F.trim("raw").alias("sentence")).where(
+        F.length("sentence") > 0
+    )
+    return sent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        rnd(F.avg(F.length("sentence")), 2).alias("avg_sentence_chars"),
+        F.max(F.length("sentence")).alias("max_sentence_chars"),
+    )

@@ -744,3 +744,46 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("len").alias("longest_streak"),
     )
+
+
+@op(
+    "q20_nested_semi",
+    oracle="""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > (
+                SELECT 0.5 * sum(l2.l_quantity)
+                FROM lineitem l2
+                WHERE l2.l_partkey = lineitem.l_partkey
+            ) * 0.2
+        )
+    """,
+    scale=(
+        "TPC-H Q20 shape: semi-join on a correlated-HAVING subquery. "
+        "Catalyst decorrelates the inner scalar into a per-part agg joined "
+        "on l_partkey, then the IN becomes a LeftSemi on s_suppkey — two "
+        "partial-agg passes + two equi joins, no per-row re-execution."
+    ),
+)
+def q20_nested_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with any (part, supplier) shipment exceeding 20% of half
+    the part's total quantity (nested correlated HAVING → semi join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") * 0.5).alias("half_total")
+    )
+    per_ps = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    qualifying = (
+        per_ps.join(per_part, "l_partkey")
+        .where(F.col("qty") > F.col("half_total") * 0.2)
+        .select("l_suppkey")
+    )
+    return supplier.join(
+        qualifying, supplier.s_suppkey == qualifying.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")

@@ -249,3 +249,49 @@ def win_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         rnd(F.when(sd > 0, (F.col("value") - mu) / sd), 4).alias("zscore"),
     )
+
+
+@op(
+    "win_head_tail_sample",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate, which FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY o_custkey) AS n,
+                   CASE WHEN row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) <= 2
+                        THEN 'head' ELSE 'tail' END AS which
+            FROM orders
+        ) WHERE rn <= 2 OR rn > n - 2
+    """,
+    scale=(
+        "Per-group head+tail sample (first/last k rows per key): ONE "
+        "window pass computes both the rank and the group size — no "
+        "second scan, no join back. The inspect-the-extremes debugging "
+        "primitive for skew and data-quality triage. Note: rows in "
+        "groups of ≤4 can be both head and tail; 'which' labels head "
+        "first, deterministically."
+    ),
+)
+def win_head_tail_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 2 and last 2 orders per customer in date order, labeled."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wc = Window.partitionBy("o_custkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .where((F.col("rn") <= 2) | (F.col("rn") > F.col("n") - 2))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.when(F.col("rn") <= 2, "head").otherwise("tail").alias("which"),
+        )
+    )

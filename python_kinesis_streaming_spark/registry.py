@@ -145,6 +145,9 @@ _GRADING_PRIORITY = [
     "udf_arrow_optimized",
     "agg_sketch_merge",
     "fn_map_construct",
+    "q20_nested_semi",
+    "text_sentence_split",
+    "win_head_tail_sample",
     "set_union",
     "set_intersect",
     "set_except",
