@@ -1,0 +1,286 @@
+"""Corpus-curation operators: repetition quality gates, PII-style scrubbing,
+source-mix planning, and two-stage IVF probe search (SURVEY §2.12).
+
+These are the remaining pieces of a training-data curation pass that the
+first-wave llm/ modules don't cover: Gopher-style repetition ratios (the
+classic "most common word" / distinct-fraction filters), regex scrubbing
+with audit counts, deciding per-source sampling rates to hit a target mix,
+and the probe half of an IVF vector index (assign query → nearest centroid,
+search only that cluster).
+
+Scale notes (100 TB):
+- text_repetition is explode + two-level agg (word counts, then per-doc
+  maxima) — all JVM-side, shuffle keyed on (doc_id) whose fan-in is bounded
+  by per-doc vocabulary, not corpus vocabulary.
+- events_pii_scrub is a map-only regexp pass + one agg; the scan prunes to
+  the two referenced columns. Redaction audit counts come from the same
+  regexp_extract_all pass that drives the rewrite.
+- corpus_mix_planner aggregates to |sources| rows, broadcasts the 1-row
+  grand total back — the planner output (per-source keep-rate) then drives
+  a Bernoulli sample of the full corpus in a later map-only pass; the
+  planning cost is independent of corpus size.
+- sim_ivf_probe is the query path of an IVF index: centroid table is
+  |labels|×dims (tiny, broadcast); each query computes |labels| centroid
+  similarities instead of |corpus| — then scans exactly ONE cluster.
+  Candidate set shrinks by the cluster fan-out factor; recall loss is the
+  standard IVF nprobe=1 trade-off.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+from python_kinesis_streaming_spark.llm.similarity import cosine
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+
+@op(
+    "text_repetition",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        wc AS (
+            SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               sum(c) AS n_words,
+               count(*) AS n_distinct,
+               {sql_rnd("count(*) * 1.0 / sum(c)", 4)} AS distinct_frac,
+               {sql_rnd("max(c) * 1.0 / sum(c)", 4)} AS top_word_frac,
+               (max(c) * 10 > sum(c)) AS is_repetitive
+        FROM wc GROUP BY doc_id
+    """,
+    scale=(
+        "Gopher-style repetition filters: split → per-(doc,word) counts → "
+        "per-doc maxima. Two partial-agg shuffles keyed on doc_id; the "
+        "repetitive flag (top word >10% of tokens) is integer arithmetic, "
+        "float-free. At 100 TB this is the map-side-combine-friendly way — "
+        "never collect a vocabulary."
+    ),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-repetition stats: distinct fraction, top-word
+    fraction, and the >10%-single-word repetition flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        rnd(F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 4).alias("distinct_frac"),
+        rnd(F.max("c") * F.lit(1.0) / F.sum("c"), 4).alias("top_word_frac"),
+        (F.max("c") * F.lit(10) > F.sum("c")).alias("is_repetitive"),
+    )
+
+
+@op(
+    "events_pii_scrub",
+    oracle="""
+        WITH scrubbed AS (
+            SELECT event_type,
+                   regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS clean,
+                   len(regexp_extract_all(props, '[0-9]+')) AS n_hits
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(n_hits) AS n_redactions,
+               min(clean) AS sample_clean
+        FROM scrubbed GROUP BY event_type
+    """,
+    scale=(
+        "PII-style scrubbing with an audit trail: one map-only regexp pass "
+        "produces both the rewritten payload and the per-row hit count "
+        "(same automaton, evaluated twice JVM-side — still cheaper than any "
+        "Python hop), then a tiny agg keyed on event_type. At 100 TB the "
+        "rewrite output is written back columnar; the audit agg is the "
+        "compliance side-channel."
+    ),
+)
+def events_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact digit runs in event payloads; per-type audit counts plus the
+    lexicographically-first scrubbed sample."""
+    ev = load_table(spark, sf_dir, "events")
+    scrubbed = ev.select(
+        "event_type",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("clean"),
+        # Spark quirk: groupless patterns need an explicit idx=0 arg.
+        F.size(F.expr("regexp_extract_all(props, '[0-9]+', 0)")).alias("n_hits"),
+    )
+    return scrubbed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_hits").alias("n_redactions"),
+        F.min("clean").alias("sample_clean"),
+    )
+
+
+@op(
+    "corpus_mix_planner",
+    oracle=f"""
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS src_chars
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(src_chars) AS total_chars FROM per_src)
+        SELECT source, n_docs, src_chars,
+               {sql_rnd("src_chars * 1.0 / total_chars", 6)} AS share,
+               {sql_rnd(
+                   "CASE WHEN src_chars * 30.0 <= total_chars THEN 1.0 "
+                   "ELSE total_chars / (30.0 * src_chars) END", 6)} AS keep_rate,
+               CAST(floor(src_chars * ({sql_rnd(
+                   "CASE WHEN src_chars * 30.0 <= total_chars THEN 1.0 "
+                   "ELSE total_chars / (30.0 * src_chars) END", 6)}))
+                   AS BIGINT) AS est_chars_after
+        FROM per_src, tot
+    """,
+    scale=(
+        "Data-mixing planner: cap any source at 1/30 of the corpus. The "
+        "per-source agg is the only pass over data; the grand total is a "
+        "1-row broadcast. The emitted keep_rate drives a later map-only "
+        "Bernoulli sample (rand(seed) < keep_rate) — planning cost is "
+        "O(|sources|), independent of corpus bytes."
+    ),
+)
+def corpus_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus share and the down-sampling keep-rate that caps
+    every source at 1/30 of total characters."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("src_chars"),
+    )
+    tot = per_src.agg(F.sum("src_chars").alias("total_chars"))
+    keep = rnd(
+        F.when(
+            F.col("src_chars") * F.lit(30.0) <= F.col("total_chars"), F.lit(1.0)
+        ).otherwise(F.col("total_chars") / (F.lit(30.0) * F.col("src_chars"))),
+        6,
+    )
+    return (
+        per_src.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "src_chars",
+            rnd(F.col("src_chars") * F.lit(1.0) / F.col("total_chars"), 6).alias(
+                "share"
+            ),
+            keep.alias("keep_rate"),
+            F.floor(F.col("src_chars") * keep).cast("long").alias("est_chars_after"),
+        )
+    )
+
+
+@op(
+    "sim_ivf_probe",
+    oracle="""
+        WITH cent AS (
+            SELECT label, i.i AS pos,
+                   floor((avg(embedding[i.i])) * 10000.0 + 0.505) / 10000.0 AS cv
+            FROM embeddings, range(1, 65) i(i)
+            GROUP BY label, i.i
+        ),
+        queries AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 5
+        ),
+        qc AS (
+            SELECT q.query_id, c.label,
+                   floor((sum(q.qe[c.pos] * c.cv)
+                          / (sqrt(sum(q.qe[c.pos] * q.qe[c.pos]))
+                             * sqrt(sum(c.cv * c.cv))))
+                         * 10000.0 + 0.505) / 10000.0 AS csim
+            FROM queries q, cent c
+            GROUP BY q.query_id, c.label
+        ),
+        best AS (
+            SELECT query_id, label FROM (
+                SELECT query_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY csim DESC, label) AS rn
+                FROM qc
+            ) WHERE rn = 1
+        )
+        SELECT b.query_id AS query_id, e.vec_id AS vec_id,
+               floor((list_cosine_similarity(e.embedding::DOUBLE[], q.qe))
+                     * 10000.0 + 0.505) / 10000.0 AS sim
+        FROM best b
+        JOIN embeddings e ON e.label = b.label
+        JOIN queries q ON q.query_id = b.query_id
+        WHERE e.vec_id <> b.query_id  -- probe cluster, drop self-match
+        QUALIFY row_number() OVER (
+            PARTITION BY b.query_id
+            ORDER BY floor((list_cosine_similarity(e.embedding::DOUBLE[], q.qe))
+                           * 10000.0 + 0.505) / 10000.0 DESC, e.vec_id) <= 5
+    """,
+    scale=(
+        "IVF probe (nprobe=1): queries rank |labels| centroids (tiny "
+        "broadcast table built once by sim_centroids' plan), then scan "
+        "exactly one cluster for the exact top-k. At billions of vectors "
+        "the probed fraction is 1/|labels| of the corpus; raising nprobe "
+        "trades scan cost for recall. Ties broken on (sim desc, vec_id) on "
+        "the ROUNDED similarity so both engines pick identical rows."
+    ),
+)
+def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: route 5 queries to their nearest label centroid, then
+    exact cosine top-5 inside that single cluster."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("p", "v"))
+        .groupBy("label", (F.col("p") + 1).alias("pos"))
+        .agg(rnd(F.avg(F.col("v").cast("double")), 4).alias("cv"))
+    )
+    queries = (
+        emb.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.posexplode("embedding").alias("qpos", "qv"),
+        )
+    )
+    qc = (
+        queries.join(F.broadcast(cent), F.col("qpos") + 1 == F.col("pos"))
+        .groupBy("query_id", "label")
+        .agg(
+            rnd(
+                F.sum(F.col("qv").cast("double") * F.col("cv"))
+                / (
+                    F.sqrt(F.sum(F.col("qv").cast("double") * F.col("qv").cast("double")))
+                    * F.sqrt(F.sum(F.col("cv") * F.col("cv")))
+                ),
+                4,
+            ).alias("csim")
+        )
+    )
+    w_best = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("label"))
+    best = (
+        qc.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select("query_id", "label")
+    )
+    qvecs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        F.broadcast(best)
+        .join(emb, "label")
+        .join(F.broadcast(qvecs), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            rnd(cosine(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w_k))
+        .where(F.col("rk") <= 5)
+        .drop("rk")
+    )

@@ -1,0 +1,433 @@
+"""Advanced composite operators: iterative graph ranking, robust anomaly
+detection, Pareto concentration, point-in-time dimension joins, and
+nearest-event attribution (SURVEY §2.12).
+
+Scale notes (100 TB):
+- PageRank runs the standard DataFrame-iteration shape (like
+  dedup_clusters): the rank state is |nodes|-sized, edges are the only big
+  table, and each round is one join + one partial agg. Rounds are
+  persisted, never recursive SQL.
+- The MAD pass is two grouped exact-percentile passes over ONE user_id
+  shuffle each; at 100 TB swap `percentile` for `percentile_approx`
+  (mergeable sketch) without changing the plan shape.
+- Pareto/cumulative-share works in integer cents end-to-end: rank + one
+  running int sum per segment — float-free, so the 80% cut is exact and
+  engine-independent.
+- The point-in-time join is declared as equi(user) + range residual; at
+  100 TB realize it as the union-window as-of (join_asof) or the
+  bucketized range join (join_range_bucketed) — both already in the
+  registry; semantics stay identical.
+- Nearest-event is two window passes (backward last + forward first) on
+  one user_id sort — never a pairwise distance join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+_TS = "CAST(ts AS TIMESTAMP)"
+
+
+@op(
+    "graph_pagerank_lite",
+    oracle="""
+        WITH edges AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       AS dst
+            FROM events
+        ),
+        e AS (
+            SELECT src, dst, count(*) AS n FROM edges
+            WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        outw AS (SELECT src, sum(n) AS tot FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        nn AS (SELECT count(*) AS n_nodes FROM nodes),
+        ew AS (
+            SELECT e.src, e.dst, e.n * 1.0 / outw.tot AS wgt
+            FROM e JOIN outw ON outw.src = e.src
+        ),
+        r0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM nn) AS rank FROM nodes),
+        r1 AS (
+            SELECT n.node,
+                   0.15 / (SELECT n_nodes FROM nn) + 0.85 * coalesce(c.c, 0) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT ew.dst, sum(r0.rank * ew.wgt) AS c
+                FROM ew JOIN r0 ON r0.node = ew.src GROUP BY ew.dst
+            ) c ON c.dst = n.node
+        ),
+        r2 AS (
+            SELECT n.node,
+                   0.15 / (SELECT n_nodes FROM nn) + 0.85 * coalesce(c.c, 0) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT ew.dst, sum(r1.rank * ew.wgt) AS c
+                FROM ew JOIN r1 ON r1.node = ew.src GROUP BY ew.dst
+            ) c ON c.dst = n.node
+        ),
+        r3 AS (
+            SELECT n.node,
+                   0.15 / (SELECT n_nodes FROM nn) + 0.85 * coalesce(c.c, 0) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT ew.dst, sum(r2.rank * ew.wgt) AS c
+                FROM ew JOIN r2 ON r2.node = ew.src GROUP BY ew.dst
+            ) c ON c.dst = n.node
+        )
+        SELECT node, floor(rank * 1000000.0 + 0.505) / 1000000.0 AS rank
+        FROM r3
+    """,
+    scale=(
+        "Weighted PageRank, 3 fixed rounds over the event-type transition "
+        "graph. The iterative-DataFrame shape: per round one broadcast join "
+        "of the tiny rank state against the edge list + one partial agg; "
+        "edge list is computed ONCE. At web scale the same loop runs with "
+        "checkpointed rank state and the edge table pre-bucketed on src — "
+        "round cost is a single co-partitioned join. Ranks are summed in "
+        "double; only the emitted value is rounded (6 dp, eps-floor), so "
+        "sub-ulp association differences between engines cannot flip it."
+    ),
+)
+def graph_pagerank_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration weighted PageRank over the event_type transition graph."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        ev.select("event_type", F.lead("event_type").over(w).alias("dst"))
+        .where(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outw = e.groupBy("src").agg(F.sum("n").alias("tot"))
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    n_nodes = nodes.count()
+    # weight = n / out_total, fixed across rounds: precompute once.
+    ew = e.join(outw, "src").select(
+        "src", "dst", (F.col("n") / F.col("tot")).alias("wgt")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(3):
+        contrib = (
+            F.broadcast(ranks)
+            .join(ew, F.col("node") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("wgt")).alias("c"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(contrib), F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", rnd(F.col("rank"), 6).alias("rank"))
+
+
+@op(
+    "events_anomaly_mad",
+    oracle=f"""
+        WITH med AS (
+            SELECT user_id,
+                   {sql_rnd("quantile_cont(value, 0.5)", 4)} AS med
+            FROM events GROUP BY user_id
+        ),
+        dev AS (
+            SELECT e.user_id, med.med,
+                   {sql_rnd("abs(e.value - med.med)", 4)} AS dev
+            FROM events e JOIN med ON e.user_id = med.user_id
+        ),
+        mad AS (
+            SELECT user_id, any_value(med) AS med,
+                   {sql_rnd("quantile_cont(dev, 0.5)", 4)} AS mad
+            FROM dev GROUP BY user_id
+        )
+        SELECT d.user_id, m.med, m.mad,
+               count(*) AS n_events,
+               sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+        FROM dev d JOIN mad m ON d.user_id = m.user_id
+        GROUP BY d.user_id, m.med, m.mad
+    """,
+    scale=(
+        "Median-absolute-deviation outlier gate: two grouped exact-"
+        "percentile passes + one counting agg, all shuffled on user_id "
+        "(AQE reuses the partitioning). Every comparison operates on "
+        "4 dp eps-floor-rounded deviations, so the 3×MAD threshold is "
+        "engine-exact. At 100 TB replace percentile with percentile_approx "
+        "(mergeable) — same plan, sketch state instead of sorted arrays."
+    ),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier counts: |value − median| > 3 × MAD."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(
+        rnd(F.expr("percentile(value, 0.5)"), 4).alias("med")
+    )
+    dev = ev.join(med, "user_id").select(
+        "user_id", "med", rnd(F.abs(F.col("value") - F.col("med")), 4).alias("dev")
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.first("med").alias("med"),
+        rnd(F.expr("percentile(dev, 0.5)"), 4).alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(mad, "user_id")
+        .groupBy("user_id", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(3) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@op(
+    "pareto_share",
+    oracle="""
+        WITH rev AS (
+            SELECT c.c_mktsegment, c.c_custkey,
+                   sum(CAST(floor(o.o_totalprice * 100.0 + 0.505) AS BIGINT))
+                       AS rev_cents
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment, c.c_custkey
+        ),
+        ranked AS (
+            SELECT c_mktsegment, rev_cents,
+                   sum(rev_cents) OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY rev_cents DESC, c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_cents,
+                   sum(rev_cents) OVER (PARTITION BY c_mktsegment) AS total_cents
+            FROM rev
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_cust,
+               any_value(total_cents) AS total_cents,
+               sum(CASE WHEN 5 * (cum_cents - rev_cents) < 4 * total_cents
+                        THEN 1 ELSE 0 END) AS n_cust_80pct,
+               floor((100.0 * max(rev_cents) / any_value(total_cents))
+                     * 10000.0 + 0.505) / 10000.0 AS top_share_pct
+        FROM ranked GROUP BY c_mktsegment
+    """,
+    scale=(
+        "Pareto concentration in integer cents end-to-end: per-order "
+        "prices fixed to cents BEFORE summing, so cumulative sums and the "
+        "80% cut are exact integer arithmetic — no float boundary can flip "
+        "membership. One shuffle to customer grain, one window sort per "
+        "segment; at 100 TB the segment partitions sort independently."
+    ),
+)
+def pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: how many customers cover
+    80% of revenue, and the top customer's share."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.505)).cast("long")
+    rev = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w_cum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("rev_cents"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("c_mktsegment")
+    ranked = rev.select(
+        "c_mktsegment",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(w_tot).alias("total_cents"),
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.first("total_cents").alias("total_cents"),
+        F.sum(
+            F.when(
+                F.lit(5) * (F.col("cum_cents") - F.col("rev_cents"))
+                < F.lit(4) * F.col("total_cents"),
+                1,
+            ).otherwise(0)
+        ).alias("n_cust_80pct"),
+        rnd(F.lit(100.0) * F.max("rev_cents") / F.first("total_cents"), 4).alias(
+            "top_share_pct"
+        ),
+    )
+
+
+@op(
+    "join_dim_snapshot",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_type, {_TS} AS ts_us,
+                   CAST(floor((epoch_us({_TS}) - 1704067200000000)
+                              / 1000.0) AS BIGINT) * 3500000 + event_id AS ord,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor((epoch_us({_TS}) - 1704067200000000)
+                                           / 1000.0) AS BIGINT) * 3500000 + event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        dim AS (
+            SELECT user_id, event_type AS state, ts_us AS valid_from,
+                   coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ord),
+                            TIMESTAMP '9999-01-01') AS valid_to
+            FROM ordered WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT d.state, count(*) AS n_events, count(DISTINCT e.user_id) AS n_users
+        FROM events e
+        JOIN dim d ON e.user_id = d.user_id
+                  AND d.valid_from <= {_TS} AND {_TS} < d.valid_to
+        GROUP BY d.state
+    """,
+    scale=(
+        "Point-in-time (SCD2 snapshot) join: equi key on user_id with the "
+        "validity range as a residual — every event matches exactly one "
+        "dimension version, the feature-store correctness primitive. "
+        "Declared as equi+residual here; at 100 TB realize via the "
+        "union-window as-of (join_asof) or bucketized range join "
+        "(join_range_bucketed) to bound per-key probe cost. Change rows "
+        "are ordered by the shared changelog ordinal, so version "
+        "boundaries are identical on both engines."
+    ),
+)
+def join_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join each event to the dimension version (state) valid at its
+    timestamp; distribution of events over point-in-time states."""
+    ev = load_table(spark, sf_dir, "events")
+    ord_col = (
+        F.floor((F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(1000.0))
+        .cast("long")
+        * F.lit(3500000)
+        + F.col("event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ord")
+    changes = (
+        ev.select("user_id", "event_type", F.col("ts").alias("ts_us"),
+                  ord_col.alias("ord"))
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull()
+               | (F.col("event_type") != F.col("prev_type")))
+    )
+    wv = Window.partitionBy("user_id").orderBy("ord")
+    dim = changes.select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts_us").over(wv),
+            F.lit("9999-01-01").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    return (
+        ev.join(
+            dim,
+            (F.col("user_id") == F.col("d_user_id"))
+            & (F.col("valid_from") <= F.col("ts"))
+            & (F.col("ts") < F.col("valid_to")),
+        )
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@op(
+    "join_asof_nearest",
+    oracle=f"""
+        WITH merged AS (
+            SELECT user_id, {_TS} AS ts, event_id,
+                   CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+                   CASE WHEN event_type = 'purchase' THEN {_TS} END AS p_ts,
+                   CASE WHEN event_type = 'click' THEN event_id END AS click_id
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        scanned AS (
+            SELECT user_id, ts, click_id, kind,
+                   last_value(p_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, kind
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS back_ts,
+                   first_value(p_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, kind
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS fwd_ts
+            FROM merged
+        )
+        SELECT click_id, user_id, ts AS click_ts,
+               CASE
+                 WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                 WHEN fwd_ts IS NULL THEN back_ts
+                 WHEN back_ts IS NULL THEN fwd_ts
+                 WHEN epoch_us(ts) - epoch_us(back_ts)
+                      <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+                 ELSE fwd_ts
+               END AS nearest_purchase_ts
+        FROM scanned WHERE kind = 1
+    """,
+    scale=(
+        "Nearest-event attribution in BOTH directions: one user_id sort, "
+        "two linear window scans (backward last + forward first), then a "
+        "constant-time pick — never a pairwise |clicks|×|purchases| "
+        "distance join. Purchases sort before clicks at equal ts (kind "
+        "key), so 'at-or-before' vs 'strictly-after' is well-defined and "
+        "identical on both engines; ties choose the backward purchase."
+    ),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the nearest purchase by the same user in either
+    time direction (ties → the earlier purchase)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    merged = ev.select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scanned = merged.select(
+        "user_id",
+        "ts",
+        "click_id",
+        "kind",
+        F.last("p_ts", ignorenulls=True).over(w_back).alias("back_ts"),
+        F.first("p_ts", ignorenulls=True).over(w_fwd).alias("fwd_ts"),
+    )
+    back_us = F.unix_micros("ts") - F.unix_micros("back_ts")
+    fwd_us = F.unix_micros("fwd_ts") - F.unix_micros("ts")
+    return scanned.where(F.col("kind") == 1).select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.when(F.col("back_ts").isNull() & F.col("fwd_ts").isNull(), F.lit(None).cast("timestamp"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(back_us <= fwd_us, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+        .alias("nearest_purchase_ts"),
+    )

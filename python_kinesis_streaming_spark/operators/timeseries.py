@@ -1,0 +1,303 @@
+"""Time-series operators over the events changelog: calendar-spine gap fill,
+OHLC resampling, SCD2 validity intervals, and interval merging
+(SURVEY §2.12).
+
+These are the shapes a telemetry / feature-store pipeline runs constantly:
+regularize an irregular event stream onto a calendar (gap fill), compress it
+to bar aggregates (OHLC), turn a changelog into slowly-changing-dimension
+history (SCD2), and consolidate overlapping activity windows (interval
+merge).
+
+Determinism: every per-user ordering uses the shared changelog ordinal —
+(ms since 2024-01-01)·3.5e6 + event_id (see cdc_upsert_compact,
+analytics.py) — unique, int64-safe, identical on both engines after the
+ns→µs cast.
+
+Scale notes (100 TB):
+- All four ops shuffle ONCE on user_id (or not at all after a pre-bucketed
+  events table); everything after the shuffle is window/agg work inside the
+  partition. No self-joins, no cross products.
+- Gap fill generates the calendar spine with `sequence()` per user — O(span)
+  rows per user, produced executor-side (no driver loop) and joined
+  broadcast-free because the spine inherits the user_id partitioning.
+- Forward fill is last(ignorenulls) over an unbounded-preceding window —
+  a single sort per user partition, no iterative pass.
+- OHLC uses min_by/max_by on the int64 ordinal: a mergeable partial agg
+  (Spark keeps (ordinal, value) pairs), so bars combine map-side like sums.
+- Interval merge is the running-max island trick: max(end) over preceding
+  rows flags chain breaks — one window pass, no pairwise overlap join
+  (which would be O(n²) per user at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+#: Shared changelog ordinal (both engines): ms since 2024-01-01 × 3.5e6 +
+#: event_id. See cdc_upsert_compact's docstring for the int64/double-safety
+#: argument.
+_ORD_SQL = (
+    "CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) / 1000.0)"
+    " AS BIGINT) * 3500000 + event_id"
+)
+
+
+def _ord_col() -> F.Column:
+    return (
+        F.floor((F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(1000.0))
+        .cast("long")
+        * F.lit(3500000)
+        + F.col("event_id")
+    )
+
+
+@op(
+    "ts_gap_fill",
+    oracle=f"""
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+                   {sql_rnd("sum(value)")} AS day_value
+            FROM events GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT user_id,
+                   unnest(generate_series(min(d), max(d), INTERVAL 1 DAY)) AS d
+            FROM daily GROUP BY user_id
+        )
+        SELECT s.user_id, s.d,
+               last_value(dl.day_value IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value,
+               (dl.day_value IS NULL) AS is_gap
+        FROM spine s LEFT JOIN daily dl
+          ON s.user_id = dl.user_id AND s.d = dl.d
+    """,
+    scale=(
+        "Calendar regularization: per-user daily spine via sequence() "
+        "(executor-side, O(span) rows), left join back on (user_id, day) — "
+        "same partitioning as the agg, so AQE plans a local join — then "
+        "one last(ignorenulls) window pass for the forward fill. At 100 TB "
+        "the spine is |users|x|days|, far smaller than the event input."
+    ),
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user value series with gaps forward-filled from the last
+    observed day (gap rows flagged)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(rnd(F.sum("value")).alias("day_value"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            "d",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("day_value").isNull().alias("is_gap"),
+        )
+    )
+
+
+@op(
+    "ts_ohlc_resample",
+    oracle=f"""
+        SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               arg_min(value, {_ORD_SQL}) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, {_ORD_SQL}) AS close,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+    scale=(
+        "Bar resampling: one groupBy on (user_id, day); open/close are "
+        "min_by/max_by on the int64 ordinal — mergeable (ordinal, value) "
+        "partial-agg state, so bars combine map-side exactly like sums. "
+        "Raw doubles pass through arg extrema untouched (no arithmetic), "
+        "so no rounding is needed for bit parity."
+    ),
+)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars of `value` per user (first/last by changelog order)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ord", _ord_col())
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@op(
+    "scd2_history",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts_us,
+                   {_ORD_SQL} AS ord,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY {_ORD_SQL})
+                       AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts_us, ord FROM ordered
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id, event_type AS state, ts_us AS valid_from,
+               lead(ts_us) OVER (PARTITION BY user_id ORDER BY ord) AS valid_to,
+               (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ord) IS NULL)
+                   AS is_current
+        FROM changes
+    """,
+    scale=(
+        "SCD2 from a changelog: two window passes over ONE user_id "
+        "partitioning (lag to drop no-op updates, lead to close validity "
+        "intervals) — the standard merge-free way to build dimension "
+        "history. State stays inside the shuffle partition; output is "
+        "|changes|-sized, never |events|-sized."
+    ),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type-2) history of each user's event_type:
+    one row per state change with [valid_from, valid_to) and is_current."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ord", _ord_col())
+    w = Window.partitionBy("user_id").orderBy("ord")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("ts_us"),
+            "ord",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    wc = Window.partitionBy("user_id").orderBy("ord")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from"),
+        F.lead("ts_us").over(wc).alias("valid_to"),
+        F.lead("ts_us").over(wc).isNull().alias("is_current"),
+    )
+
+
+@op(
+    "interval_merge",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+                   epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e,
+                   {_ORD_SQL} AS ord
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN s > max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) OR max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) IS NULL THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island_id
+            FROM flagged
+        ),
+        merged AS (
+            SELECT user_id, island_id,
+                   min(s) AS island_start, max(e) AS island_end
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id,
+               count(*) AS n_intervals,
+               sum(island_end - island_start) AS covered_us,
+               min(island_start) AS first_start_us,
+               max(island_end) AS last_end_us
+        FROM merged GROUP BY user_id
+    """,
+    scale=(
+        "Overlap consolidation WITHOUT a pairwise self-join: running "
+        "max(end) over preceding rows flags chain breaks, a running sum "
+        "numbers the islands, then two cheap aggs — all inside one user_id "
+        "partition sort. The naive interval-overlap join is O(n²) per user "
+        "and unrunnable at 100 TB; this is O(n log n). Durations in int64 "
+        "µs — exact, no float rounding."
+    ),
+)
+def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge each user's overlapping 30-minute activity intervals; report
+    merged-interval count and exact covered time in µs."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1800000000)).alias("e"),
+        _ord_col().alias("ord"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(w_prev).isNull() | (F.col("s") > F.max("e").over(w_prev)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_run).alias("island_id"),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("island_end") - F.col("island_start")).alias("covered_us"),
+        F.min("island_start").alias("first_start_us"),
+        F.max("island_end").alias("last_end_us"),
+    )

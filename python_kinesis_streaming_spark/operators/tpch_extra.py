@@ -1,0 +1,424 @@
+"""Second wave of TPC-H-shape analytical operators (Q7/Q8/Q10/Q14/Q15/Q18/
+Q19/Q22 adapted to the fixture star schema, SURVEY §2.12).
+
+These fill the decision-support shapes the first-wave modules don't cover:
+bi-directional nation-pair joins (Q7), conditional market-share ratios (Q8),
+top-k over a fact/dim join (Q10), single-pass conditional ratios (Q14),
+scalar-subquery HAVING against a max (Q15), group-HAVING semi joins (Q18),
+OR-of-ANDs disjunctive predicates (Q19), and scalar-subquery + anti-join
+composition (Q22). The fixture schema has no partsupp and no
+commitdate/receiptdate, so Q2/Q9/Q11/Q12/Q16/Q21 have no faithful analogue;
+their distinctive sub-shapes (correlated min-cost, multi-EXISTS) are covered
+by q17_correlated_avg / q20_nested_semi / subquery_exists_correlated.
+
+Scale notes (100 TB):
+- Every query keeps ONE fact-side shuffle chain (lineitem/orders); all
+  dimension sides (nation, region, part-filtered, supplier) broadcast.
+- Conditional ratios (Q8/Q14) are single-pass: sum(CASE)/sum — one partial
+  agg, never two scans or a self-join.
+- Q15's "= max" runs the per-supplier agg once, broadcasts the 1-row max
+  back as a literal-like scalar subquery — no re-aggregation.
+- Q18's HAVING pre-aggregates lineitem to orderkey grain BEFORE the
+  customer join, so the join input is |orders|-sized, not |lineitem|.
+- Q19's disjunction is expressed as one predicate on the joined row —
+  Catalyst extracts the common p_partkey equi-key and pushes the residual;
+  the partkey IN-list stays out of the scan but brand/size prune part.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+
+@op(
+    "q7_nation_volume",
+    oracle=f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               {sql_rnd("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+        JOIN region cr   ON cn.n_regionkey = cr.r_regionkey
+        JOIN region sr   ON sn.n_regionkey = sr.r_regionkey
+        WHERE cr.r_name = 'ASIA' AND sr.r_name = 'ASIA'
+          AND c.c_nationkey <> s.s_nationkey
+        GROUP BY sn.n_name, cn.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+    """,
+    scale=(
+        "TPC-H Q7 shape: cross-nation trade volume. The two nation/region "
+        "lookups broadcast (twice-aliased tiny dims); supplier broadcasts; "
+        "the only shuffles are lineitem->orders->customer on their keys. "
+        "Output cardinality is |nation_pairs|x|years| — tiny at any SF."
+    ),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-directional nation-pair revenue by year within one region."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    cr = r.alias("cr")
+    sr = r.alias("sr")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(F.broadcast(cr), F.col("cn.n_regionkey") == F.col("cr.r_regionkey"))
+        .join(F.broadcast(sr), F.col("sn.n_regionkey") == F.col("sr.r_regionkey"))
+        .where(
+            (F.col("cr.r_name") == "ASIA")
+            & (F.col("sr.r_name") == "ASIA")
+            & (F.col("c_nationkey") != F.col("s_nationkey"))
+        )
+        .groupBy(
+            F.col("sn.n_name").alias("supp_nation"),
+            F.col("cn.n_name").alias("cust_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            rnd(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+@op(
+    "q8_market_share",
+    oracle=f"""
+        SELECT o_year,
+               {sql_rnd("sum(nation_vol) / sum(vol)", 6)} AS mkt_share
+        FROM (
+            SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS vol,
+                   CASE WHEN sn.n_name = 'NATION_2'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0 END AS nation_vol
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+            JOIN region cr  ON cn.n_regionkey = cr.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+            JOIN part p     ON l.l_partkey = p.p_partkey
+            WHERE cr.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        )
+        GROUP BY o_year
+    """,
+    scale=(
+        "TPC-H Q8 shape: market share as ONE conditional-sum pass — "
+        "sum(CASE)/sum in the same partial agg, no self-join, no second "
+        "scan. part is pre-filtered to one p_type before broadcasting, so "
+        "the broadcast side is |part|/6."
+    ),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year revenue share of one supplier nation within a region+type."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            rnd(
+                F.sum(F.when(F.col("sn.n_name") == "NATION_2", vol).otherwise(F.lit(0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@op(
+    "q10_returned_topk",
+    oracle=f"""
+        SELECT c_custkey, c_name, n_name,
+               {sql_rnd("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    scale=(
+        "TPC-H Q10 shape: returned-item revenue per customer, global top-20. "
+        "The returnflag filter pushes to the lineitem scan (drops ~2/3 of "
+        "the fact side before the join); the LIMIT compiles to "
+        "TakeOrderedAndProject — per-partition top-20 heaps, only 20xP rows "
+        "cross the final exchange. c_custkey tie-break makes the top-k set "
+        "deterministic."
+    ),
+)
+def q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returned items."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            rnd(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@op(
+    "q14_promo_ratio",
+    oracle=f"""
+        SELECT {sql_rnd(
+            "100.0 * sum(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+            "/ sum(l_extendedprice * (1 - l_discount))", 6)} AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+          AND l_shipdate < TIMESTAMP '1995-04-01'
+    """,
+    scale=(
+        "TPC-H Q14 shape: promo share as one conditional-sum global agg. "
+        "The shipdate range pushes to the lineitem scan (one month of "
+        "data); part broadcasts; a single partial-agg pass computes both "
+        "sums — the classic two-queries-in-one-scan pattern."
+    ),
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotional revenue percentage for one ship month."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            rnd(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)))
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@op(
+    "q15_top_supplier",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no,
+                   {sql_rnd("sum(l_extendedprice * (1 - l_discount))")} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-07-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    scale=(
+        "TPC-H Q15 shape: the per-supplier agg runs ONCE (CTE); the max is "
+        "a 1-row scalar subquery over the agg result, not a re-aggregation "
+        "of lineitem. Equality compares the floor-rounded double — "
+        "bit-identical on both engines. At 100 TB the rev CTE is "
+        "|supplier|-sized; Spark reuses the cached agg for both branches."
+    ),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) achieving the maximum revenue over one half-year."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            rnd(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@op(
+    "q18_large_orders",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               sum(l_quantity) AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 170
+        )
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    scale=(
+        "TPC-H Q18 shape: the HAVING subquery pre-aggregates lineitem to "
+        "orderkey grain (map-side partial sums), and the IN becomes a "
+        "LeftSemi join feeding the customer join — so the expensive 3-way "
+        "join only sees qualifying orders (~1% of the fact side). No "
+        "correlated re-execution; one shuffle per join key."
+    ),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose orders exceed 170 total units (large-volume orders)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 170)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            big.withColumnRenamed("l_orderkey", "big_orderkey"),
+            F.col("o_orderkey") == F.col("big_orderkey"),
+            "left_semi",
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@op(
+    "q19_disjunctive_pred",
+    oracle=f"""
+        SELECT {sql_rnd("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+    """,
+    scale=(
+        "TPC-H Q19 shape: OR-of-ANDs. Catalyst keeps the p_partkey equi-key "
+        "so this is a hash join (never a cartesian); the disjunction splits "
+        "into a pushable part residual (brand/size — prunes the broadcast "
+        "build side) and a post-join residual (quantity crosses tables). "
+        "CNF conversion derives l_quantity BETWEEN 1 AND 50 for the scan."
+    ),
+)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under a 3-branch disjunctive brand/size/quantity predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    branch = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(
+            branch("Brand#1", 1, 15, 1, 20)
+            | branch("Brand#2", 10, 30, 10, 35)
+            | branch("Brand#3", 20, 50, 20, 50)
+        )
+        .agg(
+            rnd(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@op(
+    "q22_idle_above_avg",
+    oracle=f"""
+        SELECT c_mktsegment, count(*) AS n_cust,
+               {sql_rnd("sum(c_acctbal)")} AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT floor(avg(c_acctbal) * 100.0 + 0.505) / 100.0 FROM customer
+        )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+        GROUP BY c_mktsegment
+    """,
+    scale=(
+        "TPC-H Q22 shape: scalar subquery (global avg, one tiny job, "
+        "inlined) + anti join against recent orders + group agg. The anti "
+        "join's build side is the FILTERED orders (last year only) — at "
+        "100 TB that's the partition-pruned tail, not the full fact table. "
+        "NOT EXISTS decorrelates to LeftAnti on o_custkey."
+    ),
+)
+def q22_idle_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no orders in the final year."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    avg_bal = c.agg(rnd(F.avg("c_acctbal")).alias("ab"))
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            rnd(F.sum("c_acctbal")).alias("total_bal"),
+        )
+    )

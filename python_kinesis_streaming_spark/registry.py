@@ -42,10 +42,14 @@ _OP_MODULES = [
     "python_kinesis_streaming_spark.operators.sorts",
     "python_kinesis_streaming_spark.operators.setops",
     "python_kinesis_streaming_spark.operators.analytics",
+    "python_kinesis_streaming_spark.operators.tpch_extra",
+    "python_kinesis_streaming_spark.operators.timeseries",
+    "python_kinesis_streaming_spark.operators.advanced",
     "python_kinesis_streaming_spark.functions.families",
     "python_kinesis_streaming_spark.streaming.ops",
     "python_kinesis_streaming_spark.operators.udfs",
     "python_kinesis_streaming_spark.llm.ops",
+    "python_kinesis_streaming_spark.llm.corpus",
 ]
 
 _loaded = False
@@ -160,6 +164,27 @@ _GRADING_PRIORITY = [
     "stream_output_modes",
     "join_stream_stream_outer",
     "multimodal_decode",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_topk",
+    "q14_promo_ratio",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_idle_above_avg",
+    "ts_gap_fill",
+    "ts_ohlc_resample",
+    "scd2_history",
+    "interval_merge",
+    "text_repetition",
+    "events_pii_scrub",
+    "corpus_mix_planner",
+    "sim_ivf_probe",
+    "graph_pagerank_lite",
+    "events_anomaly_mad",
+    "pareto_share",
+    "join_dim_snapshot",
+    "join_asof_nearest",
     # everything after: round-1 driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

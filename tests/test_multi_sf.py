@@ -28,6 +28,11 @@ REPRESENTATIVE = [
     "text_ngram_freq",        # 1-token-doc guard must hold at any corpus
     "corpus_pack_sequences",  # bin math over varying doc counts
     "join_range_bucketed",    # bucket explosion at varying densities
+    # late-round-2 ops with size-sensitive logic
+    "q18_large_orders",       # HAVING threshold must stay non-degenerate
+    "ts_gap_fill",            # per-user calendar spine at varying spans
+    "sim_ivf_probe",          # centroid routing over varying corpus sizes
+    "pareto_share",           # integer-cents cumsum at varying order counts
     "multimodal_frame_sample",  # payload-length arithmetic
     "win_gaps_islands",       # streak grouping across different day spans
 ]

@@ -199,6 +199,8 @@ BNLJ_ALLOWED = {
     "join_cross_bounded",
     "sim_query_batch",
     "agg_sketch_merge",  # 1-row exact × 1-row merged-sketch estimate
+    "q22_idle_above_avg",  # theta join against the 1-row global-avg scalar
+    "corpus_mix_planner",  # |sources| rows × 1-row grand total
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
