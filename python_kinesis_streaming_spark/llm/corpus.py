@@ -284,3 +284,52 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .drop("rk")
     )
+
+
+@op(
+    "corpus_decontaminate",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        ),
+        evs AS (
+            SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS sh
+            FROM docs, unnest(range(1, greatest(len(w) - 3, 1) + 1)) r(i)
+            WHERE source = 'src0'
+        ),
+        trs AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS sh
+            FROM docs, unnest(range(1, greatest(len(w) - 3, 1) + 1)) r(i)
+            WHERE source <> 'src0'
+        )
+        SELECT doc_id, count(*) AS n_shared_shingles
+        FROM trs WHERE sh IN (SELECT sh FROM evs)
+        GROUP BY doc_id
+    """,
+    scale=(
+        "Benchmark decontamination: training docs sharing any word 4-gram "
+        "with the eval set (source='src0' stands in; production uses 8-13 "
+        "grams — 4 here because the synthetic corpus is short word soup). "
+        "Shape is shingle-explode + LeftSemi on the shingle key: the eval "
+        "shingle set is tiny (benchmarks are small) so it BROADCASTS at any "
+        "corpus size — contamination checking 100 TB is one map-side "
+        "semi-join pass, no shuffle of the training corpus."
+    ),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training documents contaminated by eval-set 4-grams, with the count
+    of distinct shared shingles per document."""
+    from python_kinesis_streaming_spark.llm.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev_sh = (
+        word_shingles(docs.where(F.col("source") == "src0"), n=4)
+        .select("shingle")
+        .distinct()
+    )
+    tr_sh = word_shingles(docs.where(F.col("source") != "src0"), n=4)
+    return (
+        tr_sh.join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

@@ -34,6 +34,15 @@ from python_kinesis_streaming_spark.registry import op
 from python_kinesis_streaming_spark.sources.tables import load_table
 
 
+def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Register the fixture table as a temp view (sf-tagged, idempotent)."""
+    from python_kinesis_streaming_spark.sources.tables import sf_tag
+
+    vname = f"v_{name}_{sf_tag(sf_dir)}"
+    load_table(spark, sf_dir, name).createOrReplaceTempView(vname)
+    return vname
+
+
 @op(
     "q7_nation_volume",
     oracle=f"""
@@ -422,3 +431,83 @@ def q22_idle_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("c_acctbal")).alias("total_bal"),
         )
     )
+
+
+@op(
+    "q12_late_shipments",
+    oracle=f"""
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS n_late,
+               {sql_rnd(
+                   "100.0 * sum(CASE WHEN l_shipdate > o_orderdate + "
+                   "INTERVAL 60 DAY THEN 1 ELSE 0 END) / count(*)", 4)}
+                   AS late_pct
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    scale=(
+        "TPC-H Q12 shape: shipping-lateness classification as conditional "
+        "counts in ONE pass over the join — the lateness predicate is a "
+        "per-row expression (no pre-filter possible since both outcomes are "
+        "counted), so the plan is join + single partial agg keyed on the "
+        "5-value priority. Map-side combine collapses to 5 rows per task."
+    ),
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment rate (>60 days after order) per order priority."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(late).alias("n_late"),
+            rnd(F.lit(100.0) * F.sum(late) / F.count(F.lit(1)), 4).alias("late_pct"),
+        )
+    )
+
+
+@op(
+    "join_hinted_sql",
+    oracle=f"""
+        SELECT n_name,
+               count(*) AS n_orders,
+               {sql_rnd("sum(o_totalprice)")} AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    scale=(
+        "SQL hint surface (entry point E2): /*+ BROADCAST(n) */ pins the "
+        "dimension broadcast and /*+ MERGE(c) */ forces a sort-merge for "
+        "the fact-fact join even when stats would pick something else — "
+        "the escape hatch when the optimizer mis-sizes a 100 TB input "
+        "(stale stats, opaque UDF-derived sides). Semantics are hint-"
+        "independent; the oracle is the plain join."
+    ),
+)
+def join_hinted_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order totals through spark.sql with explicit join-strategy
+    hints (MERGE on the big join, BROADCAST on the dim)."""
+    v_o = _view(spark, sf_dir, "orders")
+    v_c = _view(spark, sf_dir, "customer")
+    v_n = _view(spark, sf_dir, "nation")
+    # CAST AS DOUBLE: Spark SQL decimal literals (100.0) otherwise infect
+    # the floor()/division chain into a DecimalType result (round-1 quirk).
+    return spark.sql(f"""
+        SELECT /*+ MERGE(c), BROADCAST(n) */
+               n_name,
+               count(*) AS n_orders,
+               CAST({sql_rnd("sum(o_totalprice)")} AS DOUBLE) AS total_price
+        FROM {v_o} o
+        JOIN {v_c} c ON o_custkey = c_custkey
+        JOIN {v_n} n ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """)

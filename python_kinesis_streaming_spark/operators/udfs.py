@@ -34,6 +34,10 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import PandasUDFType, pandas_udf, udf
 
@@ -242,4 +246,44 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         tier(F.col("value")).alias("tier"),
         _rnd(dbl(F.col("value")), 4).alias("doubled"),
+    )
+
+
+@op(
+    "udf_pandas_iter",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               floor(((l_extendedprice - 1000.0) / 500.0) * 10000.0 + 0.505)
+                   / 10000.0 AS z
+        FROM lineitem
+    """,
+    scale=(
+        "Iterator-of-Series pandas UDF (SCALAR_ITER): the function receives "
+        "the WHOLE batch iterator, so expensive one-time state (a model, a "
+        "tokenizer, a codec table) is initialized once per task instead of "
+        "once per batch — the standard pattern for ML-inference UDFs at "
+        "100 TB. Same Arrow batch transport as the scalar form."
+    ),
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator pandas UDF: per-task init amortization (here a 'model' of
+    normalization constants built once, applied per batch).
+
+    ``Iterator``/``pd`` are module-level imports: under
+    ``from __future__ import annotations`` the signature is a string that
+    Spark resolves against module globals to detect the SCALAR_ITER form.
+    The function body itself stays nested (pickled by value)."""
+
+    def z_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # One-time per-task init (stands in for loading a model/tokenizer).
+        mu, sigma = 1000.0, 500.0
+        for s in batches:
+            yield (s - mu) / sigma
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = pandas_udf(z_iter, "double")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(z(F.col("l_extendedprice")), 4).alias("z"),
     )

@@ -185,6 +185,10 @@ _GRADING_PRIORITY = [
     "pareto_share",
     "join_dim_snapshot",
     "join_asof_nearest",
+    "q12_late_shipments",
+    "join_hinted_sql",
+    "corpus_decontaminate",
+    "udf_pandas_iter",
     # everything after: round-1 driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

@@ -229,3 +229,12 @@ def test_no_unbounded_nested_loop_anywhere(spark, sf_dir, no_table_cache):
             )
         audited += 1
     assert audited >= 100, audited
+
+
+def test_join_hints_honored(spark, sf_dir, no_table_cache):
+    """join_hinted_sql's /*+ MERGE */ and /*+ BROADCAST */ hints must both
+    survive into the physical plan (the optimizer-override escape hatch:
+    customer would otherwise auto-broadcast at fixture size)."""
+    p = plan_of(Q["join_hinted_sql"](spark, sf_dir))
+    assert "SortMergeJoin" in p, "MERGE hint ignored"
+    assert "BroadcastHashJoin" in p, "BROADCAST hint ignored"
