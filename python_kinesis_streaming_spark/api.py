@@ -45,6 +45,11 @@ __all__ = [
     "stratified_sample",
     "pack_sequences",
     "quantize_embeddings",
+    "gap_fill",
+    "merge_intervals",
+    "scd2",
+    "nearest_event_join",
+    "decontaminate",
 ]
 
 
@@ -280,4 +285,201 @@ def quantize_embeddings(df: DataFrame, vec_col: str) -> DataFrame:
             F.col(vec_col),
             lambda x: F.floor(x.cast("double") / F.col("norm") * 127.0 + F.lit(0.505)).cast("long"),
         ),
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Regularize an irregular per-key series onto a calendar spine with
+    forward fill (generalizes registry op ``ts_gap_fill``).
+
+    Output: (key, ts bucket, filled_value, is_gap). The spine spans each
+    key's observed [min, max] at ``unit`` granularity (a ``date_trunc``
+    unit: 'day', 'hour', ...), generated executor-side via ``sequence`` —
+    no driver loop, no calendar cross join; the fill is one
+    ``last(ignorenulls)`` window pass."""
+    bucketed = df.groupBy(
+        F.col(key).alias("_k"), F.date_trunc(unit, F.col(ts)).alias("_b")
+    ).agg(F.sum(F.col(value)).alias("_v"))
+    spine = (
+        bucketed.groupBy("_k")
+        .agg(F.min("_b").alias("_b0"), F.max("_b").alias("_b1"))
+        .select(
+            "_k",
+            F.explode(F.expr(f"sequence(_b0, _b1, interval 1 {unit})")).alias("_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(bucketed, ["_k", "_b"], "left")
+        .select(
+            F.col("_k").alias(key),
+            F.col("_b").alias(ts),
+            F.last("_v", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("_v").isNull().alias("is_gap"),
+        )
+    )
+
+
+def merge_intervals(
+    df: DataFrame, key: str, start: str, end: str
+) -> DataFrame:
+    """Merge each key's overlapping [start, end) intervals (generalizes
+    registry op ``interval_merge``): running max(end) over preceding rows
+    flags chain breaks, a running sum numbers islands — O(n log n) per key,
+    no pairwise overlap join. Output one row per merged interval:
+    (key, island_start, island_end, n_source_rows)."""
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy(start, end)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy(start, end)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.select(
+        key,
+        start,
+        end,
+        F.when(
+            F.max(end).over(w_prev).isNull() | (F.col(start) > F.max(end).over(w_prev)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    return (
+        flagged.withColumn("_island", F.sum("_new").over(w_run))
+        .groupBy(key, "_island")
+        .agg(
+            F.min(start).alias("island_start"),
+            F.max(end).alias("island_end"),
+            F.count(F.lit(1)).alias("n_source_rows"),
+        )
+        .drop("_island")
+    )
+
+
+def scd2(
+    df: DataFrame, key: str, state: str, ts: str, order_col: str | None = None
+) -> DataFrame:
+    """Collapse a changelog into type-2 dimension history (generalizes
+    registry op ``scd2_history``): one row per state CHANGE with
+    [valid_from, valid_to) and is_current. Two window passes on one key
+    shuffle; pass ``order_col`` for a total tie-break when timestamps can
+    collide."""
+    ordering = [F.col(ts)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(key).orderBy(*ordering)
+    changes = (
+        df.select(key, state, ts, *( [order_col] if order_col else [] ))
+        .withColumn("_prev", F.lag(state).over(w))
+        .where(F.col("_prev").isNull() | (F.col(state) != F.col("_prev")))
+    )
+    wc = Window.partitionBy(key).orderBy(*ordering)
+    return changes.select(
+        key,
+        F.col(state).alias("state"),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(wc).alias("valid_to"),
+        F.lead(ts).over(wc).isNull().alias("is_current"),
+    )
+
+
+def nearest_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+) -> DataFrame:
+    """For each LEFT row, the nearest RIGHT timestamp of the same key in
+    EITHER direction, ties backward (generalizes registry op
+    ``join_asof_nearest``). Two window scans on one key sort — backward
+    last(ignorenulls) + forward first(ignorenulls) — never a pairwise
+    distance join. Output: left columns + ``nearest_<right_time>``."""
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_kind"),
+        F.col(right_time).alias("_rt"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_lc_{c}") for c in left.columns],
+    )
+    l_ = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
+        *[F.col(c).alias(f"_lc_{c}") for c in left.columns],
+    )
+    w_back = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = r.unionByName(l_).select(
+        "*",
+        F.last("_rt", ignorenulls=True).over(w_back).alias("_back"),
+        F.first("_rt", ignorenulls=True).over(w_fwd).alias("_fwd"),
+    )
+    back_d = F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_back"))
+    fwd_d = F.unix_micros(F.col("_fwd")) - F.unix_micros(F.col("_t"))
+    nearest = (
+        F.when(F.col("_back").isNull() & F.col("_fwd").isNull(), F.lit(None).cast(right.schema[right_time].dataType))
+        .when(F.col("_fwd").isNull(), F.col("_back"))
+        .when(F.col("_back").isNull(), F.col("_fwd"))
+        .when(back_d <= fwd_d, F.col("_back"))
+        .otherwise(F.col("_fwd"))
+    )
+    return merged.where(F.col("_kind") == 1).select(
+        *[F.col(f"_lc_{c}").alias(c) for c in left.columns],
+        nearest.alias(f"nearest_{right_time}"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Flag training docs sharing any word ``n``-gram with the eval corpus
+    (generalizes registry op ``corpus_decontaminate``): broadcast semi-join
+    on the shingle key — the eval shingle set is benchmark-sized, so
+    checking a 100 TB corpus is one map-side pass. Returns
+    (id, n_shared_shingles) for contaminated docs only."""
+    tr = word_shingles(
+        train.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        n=n,
+    )
+    ev = (
+        word_shingles(
+            eval_df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            n=n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle", "left_semi")
+        .groupBy(F.col("doc_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )

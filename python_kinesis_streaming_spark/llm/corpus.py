@@ -333,3 +333,146 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+@op(
+    "dedup_containment",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS s
+            FROM docs, unnest(range(1, greatest(len(w) - 3, 1) + 1)) r(i)
+        ),
+        counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b, p.n_shared,
+               floor((p.n_shared * 1.0 / c.n_sh) * 10000.0 + 0.505) / 10000.0
+                   AS containment_a
+        FROM pairs p JOIN counts c ON c.doc_id = p.doc_a
+    """,
+    scale=(
+        "Asymmetric containment (|A∩B| / |A|) — catches a short doc embedded "
+        "in a long one, which symmetric Jaccard dilutes away. Candidate-"
+        "driven: only pairs sharing ≥1 word 4-gram are scored (the shingle "
+        "equi-join IS the blocking step), never all pairs. At 100 TB cap "
+        "per-shingle fan-out (drop shingles appearing in >k docs — "
+        "stop-gram removal) to bound join skew."
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment scores for candidate document pairs (share ≥1
+    word 4-gram); containment measured against the lower-id doc."""
+    from python_kinesis_streaming_spark.llm.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=4)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("s2"))
+    pairs = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            counts.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            rnd(F.col("n_shared") * F.lit(1.0) / F.col("n_sh"), 4).alias(
+                "containment_a"
+            ),
+        )
+    )
+
+
+@op(
+    "sim_truncated_dims",
+    oracle="""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        sims AS (
+            SELECT vec_id,
+                   floor((list_cosine_similarity(embedding::DOUBLE[], qe))
+                         * 10000.0 + 0.505) / 10000.0 AS sim_full,
+                   floor((list_cosine_similarity((embedding[1:16])::DOUBLE[],
+                                                 qe[1:16]))
+                         * 10000.0 + 0.505) / 10000.0 AS sim_trunc
+            FROM embeddings, q WHERE vec_id <> 0
+        ),
+        top_full AS (
+            SELECT vec_id FROM sims ORDER BY sim_full DESC, vec_id LIMIT 10
+        ),
+        top_trunc AS (
+            SELECT vec_id FROM sims ORDER BY sim_trunc DESC, vec_id LIMIT 10
+        )
+        SELECT s.vec_id, s.sim_full, s.sim_trunc,
+               (s.vec_id IN (SELECT vec_id FROM top_full)) AS in_full,
+               (s.vec_id IN (SELECT vec_id FROM top_trunc)) AS in_trunc
+        FROM sims s
+        WHERE s.vec_id IN (SELECT vec_id FROM top_full)
+           OR s.vec_id IN (SELECT vec_id FROM top_trunc)
+    """,
+    scale=(
+        "Matryoshka-style truncated-dimension retrieval check: rank by "
+        "cosine on the first 16 of 64 dims vs the full vector, report both "
+        "top-10 sets. The cheap 4× scan-bandwidth cut for a first-stage "
+        "retrieval cascade; the overlap columns quantify the recall cost. "
+        "Both rankings are TakeOrdered (no global window), sets compared "
+        "via two 10-row broadcast semi/anti membership joins."
+    ),
+)
+def sim_truncated_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-dim vs 16-dim cosine top-10 for the fixed query vector: union
+    of both sets with membership flags."""
+    from python_kinesis_streaming_spark.llm.similarity import QUERY_VEC_ID
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    sims = (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            rnd(cosine(F.col("embedding"), F.col("qe")), 4).alias("sim_full"),
+            rnd(
+                cosine(
+                    F.slice(F.col("embedding"), 1, 16), F.slice(F.col("qe"), 1, 16)
+                ),
+                4,
+            ).alias("sim_trunc"),
+        )
+    )
+    top_full = sims.orderBy(F.desc("sim_full"), F.asc("vec_id")).limit(10).select("vec_id")
+    top_trunc = sims.orderBy(F.desc("sim_trunc"), F.asc("vec_id")).limit(10).select("vec_id")
+    cand = top_full.union(top_trunc).distinct()
+    return (
+        sims.join(F.broadcast(cand), "vec_id", "left_semi")
+        .join(
+            F.broadcast(top_full.withColumn("in_full", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .join(
+            F.broadcast(top_trunc.withColumn("in_trunc", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "sim_full",
+            "sim_trunc",
+            F.coalesce(F.col("in_full"), F.lit(False)).alias("in_full"),
+            F.coalesce(F.col("in_trunc"), F.lit(False)).alias("in_trunc"),
+        )
+    )

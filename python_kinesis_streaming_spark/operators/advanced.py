@@ -431,3 +431,49 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("fwd_ts"))
         .alias("nearest_purchase_ts"),
     )
+
+
+@op(
+    "market_basket_pairs",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        )
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_orders
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+        ORDER BY n_orders DESC, brand_a, brand_b
+        LIMIT 20
+    """,
+    scale=(
+        "Market-basket co-occurrence: the self-join is keyed on l_orderkey, "
+        "so pair expansion is bounded by basket_size² PER ORDER (~4 items → "
+        "6 pairs), never corpus-wide; the distinct collapses to brand grain "
+        "first (|order|×|brands| rows max). Count agg partial-combines; "
+        "top-20 is TakeOrdered with full (n, a, b) tie-break."
+    ),
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 brand pairs most often bought in the same order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")
+    )
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(20)
+    )

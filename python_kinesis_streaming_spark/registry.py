@@ -189,6 +189,9 @@ _GRADING_PRIORITY = [
     "join_hinted_sql",
     "corpus_decontaminate",
     "udf_pandas_iter",
+    "market_basket_pairs",
+    "dedup_containment",
+    "sim_truncated_dims",
     # everything after: round-1 driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

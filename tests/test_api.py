@@ -186,3 +186,88 @@ def test_quantize_embeddings_matches_registry(spark, sf_dir):
     )
     assert out.exceptAll(expected).count() == 0
     assert expected.exceptAll(out).count() == 0
+
+
+def test_gap_fill_matches_registry_op(spark, sf_dir):
+    """api.gap_fill (day unit) row-set == registry ts_gap_fill, modulo the
+    registry op's eps-floor rounding of the daily sum."""
+    ev = load_table(spark, sf_dir, "events")
+    out = api.gap_fill(ev, key="user_id", ts="ts", value="value", unit="day")
+    expected = Q["ts_gap_fill"](spark, sf_dir)
+    # Same spine (key, bucket, is_gap); filled values differ only by the
+    # registry op's eps-floor rounding, so the spine is what's compared.
+    lhs = out.select(
+        "user_id", F.col("ts").alias("d"), "is_gap"
+    )
+    rhs = expected.select("user_id", "d", "is_gap")
+    assert lhs.exceptAll(rhs).count() == 0
+    assert rhs.exceptAll(lhs).count() == 0
+
+
+def test_merge_intervals_matches_registry_op(spark, sf_dir):
+    """api.merge_intervals re-aggregated == registry interval_merge."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1800000000)).alias("e"),
+    )
+    merged = api.merge_intervals(iv, key="user_id", start="s", end="e")
+    out = merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("island_end") - F.col("island_start")).alias("covered_us"),
+        F.min("island_start").alias("first_start_us"),
+        F.max("island_end").alias("last_end_us"),
+    )
+    expected = Q["interval_merge"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_scd2_matches_registry_op(spark, sf_dir):
+    """api.scd2 with the event_id tie-break == registry scd2_history."""
+    ev = load_table(spark, sf_dir, "events")
+    out = api.scd2(
+        ev, key="user_id", state="event_type", ts="ts", order_col="event_id"
+    ).select(
+        "user_id", "state", F.col("valid_from"), "valid_to", "is_current"
+    )
+    expected = Q["scd2_history"](spark, sf_dir).select(
+        "user_id", "state", F.col("valid_from"), "valid_to", "is_current"
+    )
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_nearest_event_join_matches_registry_op(spark, sf_dir):
+    """api.nearest_event_join(clicks, purchases) == registry
+    join_asof_nearest."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = api.nearest_event_join(
+        clicks, purchases, on="user_id", left_time="click_ts", right_time="ts"
+    ).select(
+        "click_id", "user_id", "click_ts",
+        F.col("nearest_ts").alias("nearest_purchase_ts"),
+    )
+    expected = Q["join_asof_nearest"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_decontaminate_matches_registry_op(spark, sf_dir):
+    """api.decontaminate(train, eval) == registry corpus_decontaminate."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = api.decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        id_col="doc_id",
+        text_col="text",
+        n=4,
+    )
+    expected = Q["corpus_decontaminate"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0

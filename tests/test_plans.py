@@ -201,6 +201,7 @@ BNLJ_ALLOWED = {
     "agg_sketch_merge",  # 1-row exact × 1-row merged-sketch estimate
     "q22_idle_above_avg",  # theta join against the 1-row global-avg scalar
     "corpus_mix_planner",  # |sources| rows × 1-row grand total
+    "sim_truncated_dims",  # corpus × 1-row broadcast query vector
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
