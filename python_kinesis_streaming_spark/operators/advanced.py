@@ -477,3 +477,59 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("brand_a"), F.asc("brand_b"))
         .limit(20)
     )
+
+
+@op(
+    "events_dau_wau",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+                   user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM du)
+        SELECT days.d,
+               (SELECT count(*) FROM du WHERE du.d = days.d) AS dau,
+               count(DISTINCT du.user_id) AS wau
+        FROM days JOIN du
+          ON du.d <= days.d AND du.d > days.d - INTERVAL 7 DAY
+        GROUP BY days.d
+    """,
+    scale=(
+        "DAU/WAU: dedupe to (day, user) grain FIRST, then EXPLODE each "
+        "(day, user) row into the ≤7 spine days it contributes to — the "
+        "rolling window becomes a plain equi-join/groupBy on the spine day "
+        "(no range join, no nested loop), with fan-out bounded by the "
+        "window width. At 100 TB replace the exact rolling distinct with "
+        "per-day HLL sketches merged over the window (agg_sketch_merge "
+        "shows the mergeable-sketch path) — same output shape."
+    ),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users and trailing-7-day weekly active users."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    # (d, user) contributes to spine days d..d+6; equi-semi-join against the
+    # observed-day spine drops offsets past the data's end.
+    contrib = du.select(
+        "user_id",
+        F.explode(F.expr("sequence(0, 6)")).alias("off"),
+        "d",
+    ).select(
+        "user_id", F.date_add(F.col("d"), F.col("off")).cast("timestamp").alias("spine_d")
+    )
+    wau = (
+        contrib.join(
+            days.withColumnRenamed("d", "spine_d"), "spine_d", "left_semi"
+        )
+        .groupBy("spine_d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, F.col("d") == F.col("spine_d"))
+        .select("d", "dau", "wau")
+    )

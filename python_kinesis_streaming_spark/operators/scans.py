@@ -243,3 +243,64 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("k").isNull()).alias("n_corrupt"),
         F.sum("k").cast("long").alias("k_sum"),
     )
+
+
+@op(
+    "source_python_datasource",
+    oracle="""
+        SELECT CAST(i % 7 AS INTEGER) AS bucket,
+               count(*) AS n,
+               sum((i * i) % 97) AS total_val
+        FROM range(0, 10000) r(i)
+        GROUP BY CAST(i % 7 AS INTEGER)
+    """,
+    scale=(
+        "Spark 4 Python DataSource API: a custom connector implemented in "
+        "pure Python (DataSource + DataSourceReader with explicit input "
+        "partitions) — the extension seam for sources with no JVM "
+        "connector (internal services, bespoke formats). Each partition "
+        "reads independently executor-side (4 here; thousands at scale); "
+        "rows stream through Arrow. For hot paths prefer a JVM DSv2 "
+        "connector — this is the Python escape hatch, same planner surface "
+        "(pushdown capabilities opt-in via the reader API)."
+    ),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register and read a pure-Python custom data source (deterministic
+    synthetic rows, 4 input partitions), then aggregate per bucket."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    # Nested classes: cloudpickled by value (bare-session rule) — the
+    # driver's Python workers cannot import this module.
+    class _Reader(DataSourceReader):
+        def __init__(self, n_parts: int = 4, n: int = 10000):
+            self.n_parts, self.n = n_parts, n
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            i = partition.value
+            per = self.n // self.n_parts
+            for k in range(i * per, (i + 1) * per):
+                yield (k, k % 7, (k * k) % 97)
+
+    class SyntheticSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pkss_synthetic"
+
+        def schema(self):
+            return "id long, bucket int, val int"
+
+        def reader(self, schema):
+            return _Reader()
+
+    # Registration is idempotent: re-registering the same name replaces the
+    # previous source (second invocation must not fail).
+    spark.dataSource.register(SyntheticSource)
+    df = spark.read.format("pkss_synthetic").load()
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("total_val"),
+    )

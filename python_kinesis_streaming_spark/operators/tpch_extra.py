@@ -27,7 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
 from python_kinesis_streaming_spark.registry import op
@@ -511,3 +511,97 @@ def join_hinted_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN {v_n} n ON c_nationkey = n_nationkey
         GROUP BY n_name
     """)
+
+
+@op(
+    "q6_forecast_revenue",
+    oracle=f"""
+        SELECT {sql_rnd("sum(l_extendedprice * l_discount)")} AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    scale=(
+        "TPC-H Q6: the pure-pushdown query — ALL three predicates reach the "
+        "parquet scan (row-group stats skip most of the table), then a "
+        "single partial-agg sum. The canonical scan-bandwidth benchmark: "
+        "no join, no shuffle beyond the 1-row final agg; at 100 TB its "
+        "cost is (selectivity x bytes)/scan-rate, nothing else."
+    ),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-change forecast: discounted revenue in one ship-year under
+    quantity/discount bands (scan + filter + global agg only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@op(
+    "orders_yoy_growth",
+    oracle=f"""
+        WITH yearly AS (
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   {sql_rnd("sum(o_totalprice)")} AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+        )
+        SELECT n_name, o_year, revenue,
+               lag(revenue) OVER (PARTITION BY n_name ORDER BY o_year)
+                   AS prev_revenue,
+               CASE WHEN lag(revenue) OVER (PARTITION BY n_name ORDER BY o_year)
+                         IS NULL THEN NULL
+                    ELSE {sql_rnd(
+                        "100.0 * (revenue - lag(revenue) OVER "
+                        "(PARTITION BY n_name ORDER BY o_year)) "
+                        "/ lag(revenue) OVER (PARTITION BY n_name ORDER BY o_year)",
+                        4)}
+               END AS yoy_pct
+        FROM yearly
+    """,
+    scale=(
+        "Year-over-year growth: aggregate to (nation, year) grain FIRST "
+        "(partial aggs collapse the fact side to |nations|x|years| rows), "
+        "THEN window-lag over the tiny aggregate — the window never sees "
+        "raw orders. Growth ratios computed on the already-rounded yearly "
+        "revenue, so the derived percentage is engine-exact."
+    ),
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation yearly revenue with lag-based year-over-year growth %."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yearly = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(rnd(F.sum("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "n_name",
+        "o_year",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(rnd(F.lit(100.0) * (F.col("revenue") - prev) / prev, 4))
+        .alias("yoy_pct"),
+    )

@@ -192,6 +192,11 @@ _GRADING_PRIORITY = [
     "market_basket_pairs",
     "dedup_containment",
     "sim_truncated_dims",
+    "stream_stateful_sessionizer",
+    "source_python_datasource",
+    "q6_forecast_revenue",
+    "orders_yoy_growth",
+    "events_dau_wau",
     # everything after: round-1 driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

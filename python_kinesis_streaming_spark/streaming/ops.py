@@ -501,3 +501,124 @@ def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
     )
     return run_to_memory(joined, "append")
+
+
+@op(
+    "stream_stateful_sessionizer",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM ordered
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               max(n) AS longest_session,
+               sum(n) AS n_events
+        FROM per_session GROUP BY user_id
+    """,
+    scale=(
+        "Custom stateful sessionizer via applyInPandasWithState — the shape "
+        "session_window CANNOT express (per-key custom gap logic, running "
+        "longest-session tracking). State per key is 5 scalars (open-session "
+        "start/last/count + closed count + longest), vectorized numpy gap "
+        "detection within each Arrow batch — no per-row Python. At scale: "
+        "RocksDB state store + event-time timeout to emit/GC idle keys; the "
+        "replay's time-ordered micro-batches mirror a Kinesis shard's "
+        "per-key ordering guarantee."
+    ),
+)
+def stream_stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session statistics (count, longest, events) maintained as
+    custom streaming state across micro-batches; final snapshot == the
+    batch lag-gap sessionization."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    GAP_NS = 1_800_000_000_000  # 30 min in pandas int64 ns
+
+    def update_sessions(key, pdfs, state):
+        # Nested: cloudpickled by value (driver workers can't import us).
+        import numpy as np
+        import pandas as pd
+
+        # state: last_ts_ns, cur_n, closed, longest, total
+        last_ts, cur_n, closed, longest, total = (
+            state.get if state.exists else (-1, 0, 0, 0, 0)
+        )
+        ts = pd.concat([p[["ts", "event_id"]] for p in pdfs]).sort_values(
+            ["ts", "event_id"]
+        )["ts"].astype("int64").to_numpy()
+        if len(ts):
+            total += len(ts)
+            prev = np.concatenate(([last_ts], ts[:-1]))
+            breaks = (prev < 0) | (ts - prev > GAP_NS)
+            # Close the carried-over session at the first break (if any was
+            # open), then one closed session per additional break.
+            idx = np.flatnonzero(breaks)
+            if len(idx):
+                counts = np.diff(np.append(idx, len(ts)))
+                if cur_n > 0:
+                    closed += 1
+                    longest = max(longest, cur_n + int(idx[0]))
+                elif idx[0] > 0:  # rows before first break continue nothing
+                    closed += 1
+                    longest = max(longest, int(idx[0]))
+                closed += len(idx) - 1
+                if len(counts) > 1:
+                    longest = max(longest, int(counts[:-1].max()))
+                cur_n = int(counts[-1])
+            else:
+                cur_n += len(ts)
+            last_ts = int(ts[-1])
+        state.update((last_ts, cur_n, closed, longest, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [closed + (1 if cur_n > 0 else 0)],
+                "longest_session": [max(longest, cur_n)],
+                "n_events": [total],
+            }
+        )
+
+    s = replay_stream(spark, sf_dir)
+    updates = s.groupBy("user_id").applyInPandasWithState(
+        update_sessions,
+        outputStructType=(
+            "user_id long, n_sessions long, longest_session long, n_events long"
+        ),
+        stateStructType=(
+            "last_ts long, cur_n long, closed long, longest long, total long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(updates, "update")
+    # Final snapshot = the row with the largest n_events per key (monotone).
+    return (
+        mem.groupBy("user_id")
+        .agg(
+            F.max_by("n_sessions", "n_events").alias("n_sessions"),
+            F.max_by("longest_session", "n_events").alias("longest_session"),
+            F.max("n_events").alias("n_events"),
+        )
+    )

@@ -120,3 +120,57 @@ def test_knn_matches_numpy(spark, vecs):
     for i, expected in enumerate(ref, start=1):
         # float32 storage on the Spark side vs float64 numpy: tolerance.
         assert abs(sims[i] - expected) < 1e-5
+
+
+@given(iv=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(1, 100)),
+                   min_size=1, max_size=25))
+@_SETTINGS
+def test_merge_intervals_matches_bruteforce(spark, iv):
+    """api.merge_intervals == sorted-sweep reference: islands are disjoint,
+    cover every input, and match the classic merge algorithm exactly."""
+    rows = [(k, s, s + d) for k, s, d in iv]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = sorted(
+        (r.k, r.island_start, r.island_end, r.n_source_rows)
+        for r in api.merge_intervals(df, key="k", start="s", end="e").collect()
+    )
+    expected = []
+    for k in {k for k, _, _ in rows}:
+        spans = sorted(((s, e) for kk, s, e in rows if kk == k))
+        cur_s, cur_e, n = spans[0][0], spans[0][1], 1
+        for s, e in spans[1:]:
+            if s > cur_e:
+                expected.append((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        expected.append((k, cur_s, cur_e, n))
+    assert got == sorted(expected)
+
+
+@given(evts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5000),
+                               st.integers(0, 2)), min_size=1, max_size=25, unique=True))
+@_SETTINGS
+def test_scd2_matches_bruteforce(spark, evts):
+    """api.scd2 == sorted-scan reference: one row per state change, validity
+    intervals chain without gaps, exactly one is_current per key."""
+    rows = [(k, _ts(o), i, f"s{sv}") for i, (k, o, sv) in enumerate(evts)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, oid long, st string")
+    out = api.scd2(df, key="k", state="st", ts="ts", order_col="oid").collect()
+    got = sorted((r.k, r.state, r.valid_from, r.valid_to, r.is_current) for r in out)
+    expected = []
+    for k in {k for k, *_ in rows}:
+        seq = sorted(((ts, oid, stv) for kk, ts, oid, stv in rows if kk == k),
+                     key=lambda t: (t[0], t[1]))
+        changes = [x for i, x in enumerate(seq)
+                   if i == 0 or x[2] != seq[i - 1][2]]
+        for i, (ts, oid, stv) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            expected.append((k, stv, ts, nxt, nxt is None))
+    assert got == sorted(expected)
+    # exactly one current row per key
+    per_key = {}
+    for r in out:
+        per_key[r.k] = per_key.get(r.k, 0) + (1 if r.is_current else 0)
+    assert all(v == 1 for v in per_key.values())

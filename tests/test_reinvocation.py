@@ -23,6 +23,7 @@ STATEFUL_ON_DISK = [
     "scan_partition_pruned",
     "scan_schema_evolution",
     "stream_dedup",
+    "stream_stateful_sessionizer",
 ]
 
 
