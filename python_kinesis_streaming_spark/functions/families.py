@@ -538,3 +538,128 @@ def fn_map_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy("user_id").agg(
         F.to_json(m).alias("type_counts")
     )
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Register the fixture table as a temp view (sf-tagged, idempotent)."""
+    from python_kinesis_streaming_spark.sources.tables import sf_tag
+
+    vname = f"v_{name}_{sf_tag(sf_dir)}"
+    load_table(spark, sf_dir, name).createOrReplaceTempView(vname)
+    return vname
+
+
+@op(
+    "agg_filter_clause",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               count(*) FILTER (WHERE value > 50) AS n_big,
+               floor((sum(value) FILTER (WHERE value > 50)) * 10000.0 + 0.505)
+                   / 10000.0 AS big_total,
+               count(*) FILTER (WHERE user_id % 2 = 0) AS n_even_users
+        FROM events GROUP BY event_type
+    """,
+    scale=(
+        "ANSI FILTER clause (entry point E2): per-aggregate predicates in "
+        "ONE pass — the declarative form of sum(CASE); Catalyst compiles "
+        "both to the same conditional partial agg, so N filtered metrics "
+        "still cost one scan + one shuffle."
+    ),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type conditional metrics via the SQL FILTER (WHERE ...) clause."""
+    v = _view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT event_type,
+               count(*) AS n,
+               count(*) FILTER (WHERE value > 50) AS n_big,
+               CAST(floor((sum(value) FILTER (WHERE value > 50)) * 10000.0
+                          + 0.505) / 10000.0 AS DOUBLE) AS big_total,
+               count(*) FILTER (WHERE user_id % 2 = 0) AS n_even_users
+        FROM {v} GROUP BY event_type
+    """)
+
+
+@op(
+    "win_named_window_sql",
+    oracle="""
+        SELECT event_id, user_id,
+               row_number() OVER wo AS rn,
+               floor((sum(value) OVER w) * 10000.0 + 0.505) / 10000.0
+                   AS running_total,
+               lag(event_type) OVER wo AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wo AS (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    scale=(
+        "Named WINDOW clause (entry point E2): window functions share "
+        "declared window definitions (a framed one for the running sum, a "
+        "frameless one for rank/offset functions — Spark rejects explicit "
+        "frames on lag) — the analyzer plans ONE sort+partition pass for "
+        "both since they share partitioning and ordering."
+    ),
+)
+def win_named_window_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared named windows: row_number + running sum + lag in one pass."""
+    v = _view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT event_id, user_id,
+               row_number() OVER wo AS rn,
+               CAST(floor((sum(value) OVER w) * 10000.0 + 0.505) / 10000.0
+                    AS DOUBLE) AS running_total,
+               lag(event_type) OVER wo AS prev_type
+        FROM {v}
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wo AS (PARTITION BY user_id
+                      ORDER BY ts, event_id)
+    """)
+
+
+@op(
+    "fn_hof_lambda",
+    oracle="""
+        WITH t AS (
+            SELECT l_orderkey,
+                   list_sort(list(CAST(l_quantity AS BIGINT))) AS qts
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               len(qts) AS n_items,
+               list_aggregate(list_transform(qts, x -> x * x), 'sum') AS sum_sq,
+               len(list_filter(qts, x -> x >= 25)) AS n_large,
+               CASE WHEN len(list_filter(qts, x -> x % 2 = 0)) = len(qts)
+                    THEN true ELSE false END AS all_even
+        FROM t
+    """,
+    scale=(
+        "SQL lambda higher-order functions (transform/filter/aggregate over "
+        "a collected array): the per-group array stays INSIDE the JVM "
+        "expression tree (codegen), emitted columns are scalars only — the "
+        "way to run per-group elementwise logic without a Python UDF. The "
+        "collect is per-orderkey (bounded basket), never corpus-wide."
+    ),
+)
+def fn_hof_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order quantity arrays reduced via lambda HOFs to scalar stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qts = F.array_sort(F.collect_list(F.col("l_quantity").cast("long")))
+    base = li.groupBy("l_orderkey").agg(qts.alias("qts"))
+    return base.select(
+        "l_orderkey",
+        F.size("qts").alias("n_items"),
+        F.aggregate(
+            F.transform("qts", lambda x: x * x), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.size(F.filter("qts", lambda x: x >= 25)).alias("n_large"),
+        (F.size(F.filter("qts", lambda x: x % 2 == 0)) == F.size("qts")).alias(
+            "all_even"
+        ),
+    )

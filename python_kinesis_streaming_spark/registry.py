@@ -197,6 +197,9 @@ _GRADING_PRIORITY = [
     "q6_forecast_revenue",
     "orders_yoy_growth",
     "events_dau_wau",
+    "agg_filter_clause",
+    "win_named_window_sql",
+    "fn_hof_lambda",
     # everything after: round-1 driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
