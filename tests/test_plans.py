@@ -239,3 +239,27 @@ def test_join_hints_honored(spark, sf_dir, no_table_cache):
     p = plan_of(Q["join_hinted_sql"](spark, sf_dir))
     assert "SortMergeJoin" in p, "MERGE hint ignored"
     assert "BroadcastHashJoin" in p, "BROADCAST hint ignored"
+
+
+def test_q6_full_pushdown(spark, sf_dir, no_table_cache):
+    """Q6 is the pure-pushdown benchmark: shipdate/discount/quantity
+    predicates must all reach the parquet scan as PushedFilters."""
+    p = plan_of(Q["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: ")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+    assert "l_quantity" in pushed, pushed
+
+
+def test_q18_semi_join_before_fact_join(spark, sf_dir, no_table_cache):
+    """Q18's HAVING subquery must plan as a LeftSemi (never inner+distinct),
+    keeping the qualifying-order filter ahead of the 3-way join."""
+    p = plan_of(Q["q18_large_orders"](spark, sf_dir), "simple")
+    assert "LeftSemi" in p, p
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir, no_table_cache):
+    """Q10's ORDER BY + LIMIT 20 over the join must compile to
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    p = plan_of(Q["q10_returned_topk"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in p, p
