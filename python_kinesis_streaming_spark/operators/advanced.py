@@ -26,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+from python_kinesis_streaming_spark.operators.timeseries import (
+    _ORD_SQL as _TS_ORD,
+    _ord_col,
+)
 from python_kinesis_streaming_spark.registry import op
 from python_kinesis_streaming_spark.sources.tables import load_table
 
@@ -532,4 +536,176 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dau.join(wau, F.col("d") == F.col("spine_d"))
         .select("d", "dau", "wau")
+    )
+
+
+@op(
+    "events_rfm_segmentation",
+    oracle="""
+        WITH rfm AS (
+            SELECT user_id,
+                   date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-01')
+                       AS r_days,
+                   count(*) AS freq,
+                   floor((sum(value)) * 100.0 + 0.505) / 100.0 AS monetary
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, CAST(r_days AS INTEGER) AS r_days, freq, monetary,
+               ntile(4) OVER (ORDER BY r_days, user_id)           AS r_q,
+               ntile(4) OVER (ORDER BY freq DESC, user_id)        AS f_q,
+               ntile(4) OVER (ORDER BY monetary DESC, user_id)    AS m_q
+        FROM rfm
+    """,
+    scale=(
+        "RFM scoring: one partial agg collapses events to |users| rows; the "
+        "three ntile windows run over that aggregate (global sort of |users| "
+        "rows, NOT events — at 100 TB use approx percentile cut points "
+        "instead of exact ntile to avoid the single-partition global "
+        "window). Quartile orderings carry user_id tie-breaks so both "
+        "engines assign identical buckets."
+    ),
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary quartile scores per user."""
+    ev = load_table(spark, sf_dir, "events")
+    rfm = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-02-01").cast("date"), F.max("ts").cast("date")
+        ).alias("r_days"),
+        F.count(F.lit(1)).alias("freq"),
+        rnd(F.sum("value")).alias("monetary"),
+    )
+    return rfm.select(
+        "user_id",
+        "r_days",
+        "freq",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("r_days", "user_id")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_q"),
+    )
+
+
+@op(
+    "events_session_path",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   {_TS_ORD} AS ord,
+                   lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id ORDER BY {_TS_ORD}
+                   ) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+            FROM ordered
+        ),
+        sess AS (
+            SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS sid
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+               arg_min(event_type, ord) || '>' || arg_max(event_type, ord)
+                   AS path
+        FROM sess GROUP BY user_id, sid
+    """,
+    scale=(
+        "Session entry/exit paths: lag-gap sessionization (one user_id "
+        "window pass) + per-session arg extrema on the int64 changelog "
+        "ordinal — mergeable (ordinal, value) partial-agg state, so the "
+        "final agg combines map-side. The path string is built from two "
+        "scalars, never a per-session collect_list."
+    ),
+)
+def events_session_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 30-min session: start, size, and 'entry>exit' event-type path."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ord", _ord_col())
+    w = Window.partitionBy("user_id").orderBy("ord")
+    flagged = ev.select(
+        "user_id", "event_type", "ts", "ord",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800000000),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("sid", F.sum("new_s").over(w_run))
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.concat(
+                F.min_by("event_type", "ord"), F.lit(">"), F.max_by("event_type", "ord")
+            ).alias("path"),
+        )
+        .drop("sid")
+    )
+
+
+@op(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+            FROM lineitem
+        ),
+        costed AS (
+            SELECT ps.partkey, ps.suppkey, s.s_acctbal, s.s_name
+            FROM ps JOIN supplier s ON ps.suppkey = s.s_suppkey
+        ),
+        mins AS (
+            SELECT partkey, min(s_acctbal) AS min_bal FROM costed
+            GROUP BY partkey
+        )
+        SELECT p.p_partkey, p.p_brand, c.s_name, c.s_acctbal
+        FROM part p
+        JOIN mins m  ON p.p_partkey = m.partkey
+        JOIN costed c ON c.partkey = m.partkey AND c.s_acctbal = m.min_bal
+        WHERE p.p_size = 10
+    """,
+    scale=(
+        "TPC-H Q2 shape (min-cost supplier per part; acctbal proxies the "
+        "missing ps_supplycost): the part-supplier relation is DISTINCT'd "
+        "from lineitem FIRST (collapses the fact table to relation grain), "
+        "the per-part min is a partial agg over that, and the winner "
+        "join-back is an equi join on (partkey, exact min value) — raw "
+        "doubles compared only against themselves, so no rounding needed. "
+        "p_size prunes the part scan."
+    ),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier(s) of each size-10 part (Q2 shape, acctbal cost)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") == 10)
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    costed = ps.join(
+        F.broadcast(s), F.col("suppkey") == F.col("s_suppkey")
+    ).select("partkey", "suppkey", "s_acctbal", "s_name")
+    mins = costed.groupBy("partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        F.broadcast(p)
+        .join(mins, F.col("p_partkey") == F.col("partkey"))
+        .join(
+            costed.withColumnRenamed("partkey", "c_partkey"),
+            (F.col("c_partkey") == F.col("p_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal")
     )

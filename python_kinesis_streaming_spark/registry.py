@@ -200,6 +200,9 @@ _GRADING_PRIORITY = [
     "agg_filter_clause",
     "win_named_window_sql",
     "fn_hof_lambda",
+    "events_rfm_segmentation",
+    "events_session_path",
+    "q2_min_cost_supplier",
     # everything after: round-1 driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
