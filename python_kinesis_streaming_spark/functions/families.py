@@ -632,7 +632,7 @@ def win_named_window_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l_orderkey,
                len(qts) AS n_items,
-               list_aggregate(list_transform(qts, x -> x * x), 'sum') AS sum_sq,
+               CAST(list_aggregate(list_transform(qts, x -> x * x), 'sum') AS BIGINT) AS sum_sq,
                len(list_filter(qts, x -> x >= 25)) AS n_large,
                CASE WHEN len(list_filter(qts, x -> x % 2 = 0)) = len(qts)
                     THEN true ELSE false END AS all_even

@@ -47,7 +47,7 @@ from python_kinesis_streaming_spark.sources.tables import load_table
             SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
         )
         SELECT doc_id,
-               sum(c) AS n_words,
+               CAST(sum(c) AS BIGINT) AS n_words,
                count(*) AS n_distinct,
                {sql_rnd("count(*) * 1.0 / sum(c)", 4)} AS distinct_frac,
                {sql_rnd("max(c) * 1.0 / sum(c)", 4)} AS top_word_frac,
@@ -91,7 +91,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                count(*) AS n_events,
-               sum(n_hits) AS n_redactions,
+               CAST(sum(n_hits) AS BIGINT) AS n_redactions,
                min(clean) AS sample_clean
         FROM scrubbed GROUP BY event_type
     """,
@@ -129,7 +129,7 @@ def events_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents GROUP BY source
         ),
         tot AS (SELECT sum(src_chars) AS total_chars FROM per_src)
-        SELECT source, n_docs, src_chars,
+        SELECT source, n_docs, CAST(src_chars AS BIGINT) AS src_chars,
                {sql_rnd("src_chars * 1.0 / total_chars", 6)} AS share,
                {sql_rnd(
                    "CASE WHEN src_chars * 30.0 <= total_chars THEN 1.0 "

@@ -158,7 +158,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, n_frames,
                count(*) AS n_sampled,
-               sum(frame_idx) * 64 AS sampled_offset_sum
+               CAST(sum(frame_idx) * 64 AS BIGINT) AS sampled_offset_sum
         FROM f GROUP BY doc_id, n_frames
     """,
     scale=(

@@ -58,7 +58,7 @@ from python_kinesis_streaming_spark.sources.tables import load_table  # noqa: E4
         )
         SELECT d.lang,
                count(*) AS n_docs,
-               sum(q.n_tokens) AS total_tokens,
+               CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
                floor((avg(q.n_tokens)) * 100.0 + 0.505) / 100.0 AS avg_tokens
         FROM deduped
         JOIN documents d USING (doc_id)
@@ -112,7 +112,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN CAST(('0x' || substring(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
                     THEN 'train' ELSE 'test' END AS split,
                count(*) AS n_docs,
-               sum(n_chars) AS n_chars_sum
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
         FROM documents
         GROUP BY 1, 2
     """,
@@ -161,7 +161,7 @@ def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / 2048.0) AS BIGINT) AS bin
             FROM t
         )
-        SELECT lang, bin, count(*) AS n_docs, sum(n_tok) AS n_tokens
+        SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         FROM packed GROUP BY lang, bin
     """,
     scale=(

@@ -417,7 +417,7 @@ def sim_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT vec_id,
                floor(nrm * 10000.0 + 0.505) / 10000.0 AS norm,
-               list_sum(qv) AS q_sum,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
                list_min(qv) AS q_min,
                list_max(qv) AS q_max
         FROM q

@@ -140,7 +140,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tf JOIN profile p USING (tok)
             GROUP BY tf.doc_id, p.lang
         )
-        SELECT doc_id, lang AS pred_lang, score FROM (
+        SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS score FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
             FROM scores
@@ -262,8 +262,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
         SELECT source,
                count(*) AS n_docs,
-               sum(len(string_split(text, ' '))) AS ws_tokens,
-               sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS re_tokens
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS re_tokens
         FROM documents GROUP BY source
     """,
     scale=(

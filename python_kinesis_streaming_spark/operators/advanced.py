@@ -154,7 +154,7 @@ def graph_pagerank_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT d.user_id, m.med, m.mad,
                count(*) AS n_events,
-               sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+               CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM dev d JOIN mad m ON d.user_id = m.user_id
         GROUP BY d.user_id, m.med, m.mad
     """,
@@ -215,9 +215,9 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c_mktsegment,
                count(*) AS n_cust,
-               any_value(total_cents) AS total_cents,
-               sum(CASE WHEN 5 * (cum_cents - rev_cents) < 4 * total_cents
-                        THEN 1 ELSE 0 END) AS n_cust_80pct,
+               CAST(any_value(total_cents) AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN 5 * (cum_cents - rev_cents) < 4 * total_cents
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_cust_80pct,
                floor((100.0 * max(rev_cents) / any_value(total_cents))
                      * 10000.0 + 0.505) / 10000.0 AS top_share_pct
         FROM ranked GROUP BY c_mktsegment

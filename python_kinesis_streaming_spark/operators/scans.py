@@ -218,8 +218,8 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                count(*) FILTER (json_valid(p)) AS n_valid,
                count(*) FILTER (NOT json_valid(p)) AS n_corrupt,
-               sum(CASE WHEN json_valid(p)
-                        THEN CAST(json_extract(p, '$.k') AS BIGINT) END) AS k_sum
+               CAST(sum(CASE WHEN json_valid(p)
+                        THEN CAST(json_extract(p, '$.k') AS BIGINT) END) AS BIGINT) AS k_sum
         FROM raw GROUP BY event_type
     """,
     scale=(
@@ -250,7 +250,7 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(i % 7 AS INTEGER) AS bucket,
                count(*) AS n,
-               sum((i * i) % 97) AS total_val
+               CAST(sum((i * i) % 97) AS BIGINT) AS total_val
         FROM range(0, 10000) r(i)
         GROUP BY CAST(i % 7 AS INTEGER)
     """,

@@ -241,7 +241,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id,
                count(*) AS n_intervals,
-               sum(island_end - island_start) AS covered_us,
+               CAST(sum(island_end - island_start) AS BIGINT) AS covered_us,
                min(island_start) AS first_start_us,
                max(island_end) AS last_end_us
         FROM merged GROUP BY user_id

@@ -438,8 +438,8 @@ def q22_idle_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT o_orderpriority,
                count(*) AS n_items,
-               sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
-                        THEN 1 ELSE 0 END) AS n_late,
+               CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
                {sql_rnd(
                    "100.0 * sum(CASE WHEN l_shipdate > o_orderdate + "
                    "INTERVAL 60 DAY THEN 1 ELSE 0 END) / count(*)", 4)}

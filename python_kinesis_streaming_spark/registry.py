@@ -59,68 +59,18 @@ _loaded = False
 # round. Iteration order is therefore decoupled from module import order:
 # ops that do NOT yet have a driver-green CORRECTNESS row are listed first so
 # every round converts local green into driver green; already-proven ops
-# rotate to the back. Round-2 window = fixed agg_collect + the 4 newly
-# oracled ops + 45 never-graded oracled ops; next-up block = the remaining
-# never-graded ops (rotate into the round-3 window).
+# rotate to the back. Regenerated each round from the union of
+# CORRECTNESS_r*.json: fixed-this-round ops first (regrade), then the
+# never-graded block, then the next-up block for the following round.
 _GRADING_PRIORITY = [
-    # regraded fix + newly-oracled (driver-FAIL / no_oracle in round 1)
-    "agg_collect",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "agg_approx_distinct",
-    # never-graded, SQL-oracled — analytics
-    "subquery_scalar",
-    "subquery_exists_correlated",
-    "pivot_wide",
-    "agg_cube",
-    "agg_stats_moments",
-    "q17_correlated_avg",
-    "q13_count_distribution",
-    "win_percent_rank",
-    "fn_conditional",
-    "agg_max_by",
-    "join_cross_bounded",
+    # round-4 window: regrade the 5 ops fixed this round (NTZ timestamps,
+    # HUGEINT-vs-BIGINT oracle dtypes) ...
     "cdc_upsert_compact",
-    "agg_histogram",
-    "unpivot_melt",
-    # never-graded, SQL-oracled — scalar function families
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_array",
-    "fn_map",
-    "fn_json",
-    "fn_try_safe",
-    # never-graded, SQL-oracled — streaming (bare-session risk: want signal)
-    "source_stream_replay",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_dedup",
-    "stream_stateful_counter",
-    "stream_checkpoint_resume",
-    "join_stream_static",
     "join_stream_stream",
-    "stream_foreach_batch",
-    # never-graded, SQL-oracled — UDF contract ops
-    "udf_scalar_py",
-    "udf_pandas_scalar",
-    "udaf_pandas_agg",
-    "udtf_grouped_map",
-    "udtf_map_partitions",
-    # never-graded, SQL-oracled — LLM/text pipeline
-    "multimodal_cols",
-    "text_tokenize_stats",
-    "text_tfidf",
     "text_langid",
-    "text_quality",
-    "text_fingerprint",
     "text_token_count",
-    "text_levenshtein",
     "pipeline_clean_corpus",
-    # --- end of intended round-2 window (50) ---
-    # next-up: never-graded safest pure-SQL ops + rows-only ops (round 3)
+    # ... then 45 never-graded SQL-oracled ops
     "agg_rollup",
     "agg_mode",
     "batch_sessionize",
@@ -160,16 +110,14 @@ _GRADING_PRIORITY = [
     "fn_hash",
     "agg_bool",
     "agg_approx_quantile",
-    "stream_watermark_late",
-    "stream_output_modes",
-    "join_stream_stream_outer",
-    "multimodal_decode",
     "q7_nation_volume",
     "q8_market_share",
     "q10_returned_topk",
     "q14_promo_ratio",
     "q15_top_supplier",
     "q18_large_orders",
+    # next-up block (round-5 window): remaining never-graded ops,
+    # rows-only ops last
     "q19_disjunctive_pred",
     "q22_idle_above_avg",
     "ts_gap_fill",
@@ -203,7 +151,11 @@ _GRADING_PRIORITY = [
     "events_rfm_segmentation",
     "events_session_path",
     "q2_min_cost_supplier",
-    # everything after: round-1 driver-green ops, registration order
+    "stream_watermark_late",
+    "stream_output_modes",
+    "join_stream_stream_outer",
+    "multimodal_decode",
+    # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
 

@@ -29,6 +29,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic timestamp semantics vs the (naive-timestamp) DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
+    # Sinks written by ANY session (incl. the driver's bare one) must read
+    # back as µs TIMESTAMP, not INT96/NTZ — sink ops re-read their output.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

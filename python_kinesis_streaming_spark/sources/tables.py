@@ -86,6 +86,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (~1.7e18) exceed double's 2^53 integer range, so float division is
         # off by ±1µs on ~12% of rows (observed at sf0.01).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Fixture timestamps are parquet µs with isAdjustedToUTC=false, which
+    # Spark 4 reads as TIMESTAMP_NTZ. The engine's data model is TIMESTAMP
+    # (LTZ): unix_micros, withWatermark, window() etc. require it. Under the
+    # UTC session tz (ensure_runtime_confs) the NTZ→LTZ cast is identity on
+    # the underlying micros, so values match DuckDB's naive TIMESTAMP read.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     if use_cache:
         df = df.cache()
         _CACHE[key] = df

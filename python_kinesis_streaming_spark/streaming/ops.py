@@ -534,7 +534,7 @@ def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                count(*) AS n_sessions,
                max(n) AS longest_session,
-               sum(n) AS n_events
+               CAST(sum(n) AS BIGINT) AS n_events
         FROM per_session GROUP BY user_id
     """,
     scale=(

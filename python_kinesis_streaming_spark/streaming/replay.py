@@ -129,11 +129,18 @@ def replay_stream(
     """Streaming DataFrame over the chunked events replay, 1 file/batch."""
     d = data_dir or ensure_chunks(spark, sf_dir, variant, chunks)
     schema = spark.read.parquet(d).schema
-    return (
+    sdf = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
+    # Chunks written before the NTZ-normalization fix (or by a session whose
+    # writer emitted isAdjustedToUTC=false) read back as TIMESTAMP_NTZ, which
+    # withWatermark rejects. Same identity cast as sources/tables.load_table.
+    ntz = [f.name for f in sdf.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if ntz:
+        sdf = sdf.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return sdf
 
 
 def run_to_memory(

@@ -22,12 +22,16 @@ def canonical_value(v: Any) -> Any:
     if v is None:
         return None
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
-        return int(v)
+        return ("i", int(v))
     if isinstance(v, (np.floating, float)):
         f = float(v)
         if math.isnan(f):
             return "NaN"
-        return f
+        # Tagged: the driver's hasher distinguishes int 5 from float 5.0
+        # (CORRECTNESS_r03: DuckDB HUGEINT sums fetch as float64 and
+        # hash-mismatch Spark's int64 despite == equality). Keep the same
+        # distinction locally so parity tests reproduce the driver.
+        return ("f", f)
     if isinstance(v, np.bool_):
         return bool(v)
     if isinstance(v, (list, tuple, np.ndarray)):
