@@ -62,8 +62,24 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "multimodal_decode",
-    # No SQL oracle: the decode kernel is Python-side (rows-only check;
-    # exact values asserted in pytest against hand-computed expectations).
+    # SQL oracle: the stand-in kernel is deterministic byte arithmetic over
+    # the utf-8 payload, and the fixture text is pure ASCII (verified) — so
+    # byte values equal code points and the whole decode is expressible as
+    # per-character list ops in DuckDB. A real media decoder would drop back
+    # to the rows-only check.
+    oracle="""
+        SELECT doc_id,
+               'text/plain' AS modality,
+               octet_length(encode(text)) AS n_bytes,
+               CAST(list_aggregate(
+                        list_transform(string_split(text, ''), c -> unicode(c)),
+                        'sum') % 2147483647 AS BIGINT) AS checksum,
+               array_to_string(
+                   list_transform(string_split(substr(text, 1, 4), ''),
+                                  c -> CAST(unicode(c) AS VARCHAR)),
+                   ',') AS header
+        FROM documents
+    """,
     scale=(
         "The multimodal decode path: binary column + metadata struct in, "
         "fixed-schema features out via Arrow-batched mapInPandas. Swap the "

@@ -453,3 +453,57 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("qv").alias("q_max"),
         )
     )
+
+
+@op(
+    "emb_gram_matrix",
+    oracle="""
+        WITH dims AS (SELECT CAST(u.i AS INTEGER) AS d
+                      FROM unnest(range(0, 64)) AS u(i)),
+        e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.d AS j, b.d AS k,
+               floor(sum(v[a.d + 1] * v[b.d + 1]) * 10000.0 + 0.505)
+                   / 10000.0 AS g
+        FROM e, dims a, dims b
+        WHERE a.d <= b.d
+        GROUP BY 1, 2
+    """,
+    scale=(
+        "The d×d gram/covariance matrix — the distributed primitive behind "
+        "PCA, whitening, and OPQ rotation for ANN indexes. Per Arrow batch "
+        "a numpy E^T·E partial (d² floats, computed at BLAS speed) is "
+        "emitted, then ONE tiny shuffle of d²-row partials merges them: "
+        "row count never crosses the wire, so 100 TB of embeddings costs "
+        "scan bandwidth + a 2080-row exchange. Eigendecomposition of the "
+        "result is a driver-side O(d³) numpy call."
+    ),
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle gram matrix G[j,k] = Σ_vec e_j·e_k over all
+    embeddings (float64 accumulation, rounded 4 dp)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            gram = mat.T @ mat
+            ju, ku = np.triu_indices(gram.shape[0])
+            yield pd.DataFrame(
+                {
+                    "j": ju.astype(np.int32),
+                    "k": ku.astype(np.int32),
+                    "partial": gram[ju, ku],
+                }
+            )
+
+    partials = emb.mapInPandas(
+        partial_gram, schema="j int, k int, partial double"
+    )
+    return partials.groupBy("j", "k").agg(
+        rnd(F.sum("partial"), 4).alias("g")
+    )

@@ -413,3 +413,163 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg(F.length("sentence")), 2).alias("avg_sentence_chars"),
         F.max(F.length("sentence")).alias("max_sentence_chars"),
     )
+
+
+@op(
+    "text_chunk_overlap",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (
+            SELECT doc_id, toks, u.i AS chunk_id,
+                   list_slice(toks, CAST(u.i * 24 + 1 AS BIGINT),
+                              CAST(u.i * 24 + 32 AS BIGINT)) AS piece
+            FROM t, unnest(range(CAST(ceil(len(toks) / 24.0) AS BIGINT))) AS u(i)
+        )
+        SELECT doc_id, chunk_id,
+               len(piece) AS n_in_chunk,
+               piece[1] AS first_tok,
+               md5(array_to_string(piece, ' ')) AS chunk_md5
+        FROM g
+    """,
+    scale=(
+        "Sliding-window chunking (32-token window, stride 24): the RAG/"
+        "pretraining segmentation primitive. Map-only — sequence+slice are "
+        "codegen expressions, no shuffle, no Python; output rows carry an "
+        "md5 so downstream chunk-level dedup groups on 16 bytes, not text. "
+        "Trailing short chunks keep the fixed stride grid (deterministic "
+        "chunk ids across engines and re-runs)."
+    ),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-stride token chunks per document (window 32,
+    stride 24); per chunk: token count, first token, md5 fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(24.0)).cast("int")
+    chunked = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).withColumn("piece", F.expr("slice(toks, chunk_id * 24 + 1, 32)"))
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size("piece").alias("n_in_chunk"),
+        F.element_at("piece", 1).alias("first_tok"),
+        F.md5(F.concat_ws(" ", "piece")).alias("chunk_md5"),
+    )
+
+
+@op(
+    "text_bpe_pair_counts",
+    oracle="""
+        WITH tok AS (
+            SELECT t.tok AS tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE len(t.tok) >= 2
+        ),
+        pairs AS (
+            SELECT u.p AS pair
+            FROM tok, unnest(list_transform(
+                     range(1, len(tok)),
+                     i -> substr(tok, CAST(i AS INTEGER), 2))) AS u(p)
+        )
+        SELECT pair, count(*) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 20
+    """,
+    scale=(
+        "The BPE-training inner loop: adjacent-symbol pair frequencies "
+        "across the corpus (first merge round, char-level symbols). "
+        "Per-word bigram expansion is a codegen transform+explode (no "
+        "Python); the count is a partial agg over a tiny key space "
+        "(|alphabet|^2), so the shuffle carries KBs regardless of corpus "
+        "size — exactly how a tokenizer trainer scales to 100 TB. "
+        "Subsequent merge rounds re-run the same shape over re-segmented "
+        "symbols."
+    ),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character-pair frequencies over whitespace tokens —
+    the first BPE merge-candidate table."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = doc_tokens(docs).where(F.length("tok") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@op(
+    "text_char_entropy",
+    oracle="""
+        WITH ch AS (
+            SELECT doc_id, u.ch AS ch
+            FROM documents, unnest(string_split(text, '')) AS u(ch)
+            WHERE len(u.ch) > 0
+        ),
+        cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_chars_total,
+               count(*) AS n_distinct_chars,
+               floor((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 1000000.0 + 0.505)
+                   / 1000000.0 AS entropy
+        FROM cnt GROUP BY doc_id
+    """,
+    scale=(
+        "Character-entropy quality gate (the cheap perplexity proxy: "
+        "gibberish and boilerplate both show anomalous char entropy). "
+        "ZERO-shuffle: a document's characters live inside its own row, so "
+        "the whole computation — sort chars, run-length the sorted array, "
+        "closed form H = ln(N) - sum(c*ln c)/N — is per-row lambda-HOF "
+        "arithmetic in whole-stage codegen. The explode+groupBy phrasing "
+        "(the oracle) would shuffle token-level rows; this shuffles "
+        "NOTHING, the ideal shape for a 100 TB quality sweep."
+    ),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-unigram entropy (nats) + char counts.
+
+    Map-only: sorted-char run lengths via HOFs (CASE guards the i=1
+    lambda branch — ANSI mode rejects element_at(cs, 0))."""
+    docs = load_table(spark, sf_dir, "documents")
+    prepped = docs.select(
+        "doc_id",
+        F.expr("array_sort(filter(split(text, ''), x -> x <> ''))").alias("cs"),
+    ).where(F.size("cs") > 0)
+    runs = prepped.select(
+        "doc_id",
+        F.size("cs").alias("n"),
+        F.expr(
+            "filter(sequence(1, size(cs)), i -> "
+            "CASE WHEN i = 1 THEN true ELSE cs[i-1] <> cs[i-2] END)"
+        ).alias("starts"),
+    )
+    lens = runs.select(
+        "doc_id",
+        "n",
+        F.size("starts").alias("n_distinct_chars"),
+        F.expr(
+            "zip_with(starts, "
+            "concat(slice(starts, 2, size(starts) - 1), array(n + 1)), "
+            "(s, e) -> CAST(e - s AS DOUBLE))"
+        ).alias("lens"),
+    )
+    return lens.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars_total"),
+        F.col("n_distinct_chars").cast("long"),
+        rnd(
+            F.log("n")
+            - F.expr("aggregate(lens, 0D, (acc, c) -> acc + c * ln(c))")
+            / F.col("n"),
+            6,
+        ).alias("entropy"),
+    )

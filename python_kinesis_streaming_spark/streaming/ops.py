@@ -156,8 +156,30 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "stream_watermark_late",
-    # rows-only: result intentionally excludes late-arriving rows, so it
-    # cannot equal any batch query; semantics asserted in pytest.
+    # SQL oracle models Spark's append-mode emission exactly (calibrated
+    # round 4 at sf0.01): the late rows (every 10th of the oldest 30%,
+    # replay.py variant="late") never contribute — if their window already
+    # expired they are dropped, and if not, the window never finalizes —
+    # and the availableNow final flush advances the watermark to
+    # max(event time) - delay, so the sink holds exactly the on-time rows
+    # in windows whose end < that final watermark.
+    oracle="""
+        WITH ranked AS (
+            SELECT ts, event_type,
+                   row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+                   count(*) OVER () AS n_total
+            FROM events
+        ),
+        nonlate AS (
+            SELECT ts, event_type FROM ranked
+            WHERE NOT (rn % 10 = 0 AND rn < CAST(trunc(0.3 * n_total) AS BIGINT))
+        ),
+        wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM nonlate)
+        SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n
+        FROM nonlate, wm
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm.w
+        GROUP BY 1, 2
+    """,
     scale=(
         "withWatermark bounds state AND drops late rows — the knob that "
         "makes unbounded aggregation finite. 10-min delay here; real "
@@ -248,8 +270,45 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "stream_output_modes",
-    # rows-only: the append/update row counts depend on batch boundaries
-    # (deterministic for the fixed 4-chunk replay, but not SQL-expressible).
+    # SQL oracle models the per-mode sink contents for the deterministic
+    # 4-chunk replay (calibrated round 4): complete = all groups; update =
+    # one emission per (micro-batch, group) pair that received rows, with
+    # chunk = rn // ceil(n/4) over the (ts, event_id) row ordering replay.py
+    # uses; append = groups whose window end < the final watermark
+    # (max event time - 10 min, advanced by the availableNow flush).
+    oracle="""
+        WITH ranked AS (
+            SELECT ts, event_type,
+                   row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+                   count(*) OVER () AS n_total
+            FROM events
+        ),
+        chunked AS (
+            SELECT ts, event_type, rn // ((n_total + 3) // 4) AS chunk
+            FROM ranked
+        ),
+        wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        grp AS (
+            SELECT DISTINCT date_trunc('hour', ts) AS ws, event_type AS et
+            FROM events
+        ),
+        upd AS (
+            SELECT DISTINCT chunk, date_trunc('hour', ts) AS ws, event_type AS et
+            FROM chunked
+        ),
+        app AS (SELECT ws, et FROM grp, wm WHERE ws + INTERVAL 1 HOUR < wm.w)
+        SELECT 'append' AS output_mode,
+               (SELECT count(*) FROM app) AS rows_emitted,
+               (SELECT count(DISTINCT ws) FROM app) AS n_windows
+        UNION ALL
+        SELECT 'update',
+               (SELECT count(*) FROM upd),
+               (SELECT count(DISTINCT ws) FROM upd)
+        UNION ALL
+        SELECT 'complete',
+               (SELECT count(*) FROM grp),
+               (SELECT count(DISTINCT ws) FROM grp)
+    """,
     scale=(
         "Same agg, three contracts: append = finalized windows only "
         "(needs watermark), update = changelog rows, complete = full "
@@ -456,9 +515,35 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "join_stream_stream_outer",
-    # rows-only: outer-side null emission depends on watermark passage, and
-    # rows still buffered at end-of-stream never emit their null match -
-    # semantics asserted in tests/test_streaming.py instead.
+    # SQL oracle (calibrated round 4): matched pairs emit eagerly like the
+    # inner join; an unmatched click emits its null row iff the final
+    # watermark — min over both sides' max event time minus the 30-min
+    # delay, advanced by the availableNow flush — has passed the click's
+    # join-range deadline (c_ts + 10 min). Clicks still inside that horizon
+    # at end-of-stream never emit (1 row at sf0.01).
+    oracle="""
+        WITH wm AS (
+            SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+            ) - INTERVAL 30 MINUTE AS w
+        ),
+        matched AS (
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                   c.user_id
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        )
+        SELECT click_id, purchase_id, user_id FROM matched
+        UNION ALL
+        SELECT c.event_id, NULL, c.user_id
+        FROM events c, wm
+        WHERE c.event_type = 'click'
+          AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+          AND c.ts + INTERVAL 10 MINUTE < wm.w
+    """,
     scale=(
         "Left-outer stream-stream join: matched rows emit eagerly (like "
         "inner); unmatched left rows emit with nulls only once the "

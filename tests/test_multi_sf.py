@@ -35,6 +35,9 @@ REPRESENTATIVE = [
     "pareto_share",           # integer-cents cumsum at varying order counts
     "multimodal_frame_sample",  # payload-length arithmetic
     "win_gaps_islands",       # streak grouping across different day spans
+    # round-4 ops with size-sensitive logic
+    "text_chunk_overlap",     # chunk-grid math over varying doc lengths
+    "emb_gram_matrix",        # partial-gram merge over varying batch counts
 ]
 
 
@@ -44,3 +47,43 @@ def test_runs_at_sf(name, sf, spark):
     df = Q[name](spark, sf)
     assert df.columns
     assert df.count() >= 0
+
+
+# The round-4 streaming oracles (stream_watermark_late, stream_output_modes,
+# join_stream_stream_outer, multimodal_decode) model batch boundaries and
+# watermark cutoffs as size-parametric SQL (n, ceil(n/4), 0.3n computed in
+# the query). Calibrated at sf0.01 — verify the model generalizes by running
+# the FULL oracle comparison at sf0.001 too.
+ROUND4_ORACLED = [
+    "stream_watermark_late",
+    "stream_output_modes",
+    "join_stream_stream_outer",
+    "multimodal_decode",
+]
+
+
+@pytest.fixture(scope="module")
+def duck_small():
+    import duckdb
+
+    from python_kinesis_streaming_spark.sources.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ROUND4_ORACLED)
+def test_oracle_parity_small_sf(name, spark, duck_small):
+    from python_kinesis_streaming_spark.registry import all_oracles
+
+    from tests.twin import assert_twin_match
+
+    spark_df = Q[name](spark, "/root/testdata/sf0.001").toPandas()
+    duck_df = duck_small.execute(all_oracles()[name]).df()
+    assert_twin_match(spark_df, duck_df, f"{name}@sf0.001")
