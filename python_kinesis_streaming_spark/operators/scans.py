@@ -38,12 +38,15 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "scan_events_ns_ts",
     oracle="SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events",
-    scale="ns→µs normalization is a codegen'd projection; no shuffle.",
+    scale="timestamp normalization is a codegen'd projection; no shuffle.",
 )
 def scan_events_ns_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the TIMESTAMP(NANOS) parquet column correctly (SURVEY §7.4 h1):
-    legacy nanosAsLong read + integer-truncation to µs, matching the
-    oracle's ns→µs TIMESTAMP cast bit-for-bit."""
+    """Read the events timestamp column correctly whatever the fixture's
+    physical type (SURVEY §7.4 h1): round-1..3 shipped TIMESTAMP(NANOS)
+    (legacy nanosAsLong read + integer µs truncation), round 4+ ships µs
+    isAdjustedToUTC=false which Spark reads as TIMESTAMP_NTZ (identity
+    cast to TIMESTAMP under the UTC session tz). Both normalizations live
+    in load_table and match DuckDB's naive TIMESTAMP read bit-for-bit."""
     return load_table(spark, sf_dir, "events").select("event_id", "ts")
 
 
