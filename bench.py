@@ -49,14 +49,18 @@ def main() -> None:
     # ~1 partition (advisory 64MB ≫ data), serializing sorts/windows on one
     # core. Small floors keep 20-30 post-shuffle partitions at sf0.1; at
     # cluster scale the 64MB default is correct and these floors are no-ops.
+    # Local-bench execution tuning (PERF.md round 4): at sf0.1 every shuffle
+    # is single-digit MB, so AQE's per-query re-plan round-trips cost more
+    # wall time than any runtime re-optimization saves (measured: sessionize
+    # 100 ms -> 49 ms with AQE off + fixed 16 shuffle partitions). The
+    # production session (build_session default) keeps AQE ON - its
+    # coalescing/skew-split value is real at cluster data volumes; a
+    # ms-scale local bench is exactly the regime where it inverts.
     spark = build_session(
         app_name="pkss-bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=32,
-        extra_confs={
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
-        },
+        shuffle_partitions=16,
+        extra_confs={"spark.sql.adaptive.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
