@@ -507,3 +507,82 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("j", "k").agg(
         rnd(F.sum("partial"), 4).alias("g")
     )
+
+
+@op(
+    "emb_kmeans_one_iter",
+    oracle="""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id < 8
+        ),
+        assigned AS (
+            SELECT e.vec_id,
+                   min_by(c.cid,
+                          CAST(floor(list_sum(list_transform(range(1, 65),
+                               i -> (e.embedding[CAST(i AS INTEGER)]::DOUBLE
+                                     - c.cv[CAST(i AS INTEGER)]) ^ 2))
+                               * 1000000.0 + 0.505) AS BIGINT) * 8 + c.cid) AS cid
+            FROM embeddings e, cent c
+            GROUP BY e.vec_id
+        )
+        SELECT a.cid,
+               count(*) AS n_members,
+               floor((avg(e.embedding[1]::DOUBLE)) * 10000.0 + 0.505)
+                   / 10000.0 AS new_c0,
+               floor((avg(e.embedding[2]::DOUBLE)) * 10000.0 + 0.505)
+                   / 10000.0 AS new_c1
+        FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY a.cid
+    """,
+    scale=(
+        "One Lloyd iteration, the iterative-ML template: k centroids "
+        "BROADCAST against the corpus (k·d doubles — never a shuffle of "
+        "vectors), per-row nearest-centroid via a codegen HOF distance, "
+        "then ONE partial agg producing the k·d update. 100 TB per "
+        "iteration = scan + broadcast + k-row exchange; convergence loops "
+        "this plan exactly like graph_pagerank_lite. Distances are "
+        "eps-floor-rounded before the argmin with a centroid-id tie-break, "
+        "so assignment is bit-identical across engines and partitionings."
+    ),
+)
+def emb_kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means (k=8) assignment+update pass over the embeddings:
+    deterministic init (vec_id < 8), L2² nearest-centroid assignment,
+    per-centroid member count + first-2-dim updated means."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(embedding, cv, (a, b) -> "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0D, (acc, x) -> acc + x)"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            # (dist, cid) argmin encoded as ONE integer ordinal —
+            # floor(d*1e6 + .505) IS the 6-dp rounding scaled to int, so the
+            # ordering matches DuckDB's min_by exactly (structs don't order
+            # portably across the two engines).
+            (
+                F.floor(dist * F.lit(1000000.0) + F.lit(0.505)).cast("long")
+                * F.lit(8)
+                + F.col("cid")
+            ).alias("ord"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", "ord").alias("cid"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        rnd(F.avg(F.col("embedding")[0].cast("double")), 4).alias("new_c0"),
+        rnd(F.avg(F.col("embedding")[1].cast("double")), 4).alias("new_c1"),
+    )

@@ -396,3 +396,34 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15 * F.col("n_exact")
         ).alias("within_rsd"),
     )
+
+
+@op(
+    "agg_string_agg",
+    oracle="""
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',')
+                   AS segments
+        FROM customer GROUP BY c_nationkey
+    """,
+    scale=(
+        "LISTAGG/string_agg with deterministic ordering: collect_set is a "
+        "partial-agg (set union merges map-side), array_sort fixes the "
+        "engine- and partitioning-dependent arrival order, and the result "
+        "ships as ONE string per group (hash-safe, no array column). "
+        "Bounded state: the set is distinct values, not rows — at 100 TB "
+        "cap/overflow with slice() or move to a proper topic model when "
+        "|distinct| per group is unbounded."
+    ),
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer count + sorted distinct market segments as one
+    comma-joined string (the LISTAGG surface)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias(
+            "segments"
+        ),
+    )

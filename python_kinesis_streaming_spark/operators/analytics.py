@@ -787,3 +787,72 @@ def q20_nested_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supplier.join(
         qualifying, supplier.s_suppkey == qualifying.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@op(
+    "events_time_to_convert",
+    oracle="""
+        WITH first_click AS (
+            SELECT user_id, min(ts) AS c_ts
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ),
+        first_purch AS (
+            SELECT f.user_id, f.c_ts, min(p.ts) AS p_ts
+            FROM first_click f JOIN events p
+              ON p.user_id = f.user_id
+             AND p.event_type = 'purchase' AND p.ts >= f.c_ts
+            GROUP BY f.user_id, f.c_ts
+        ),
+        lat AS (
+            SELECT user_id,
+                   (epoch_us(CAST(p_ts AS TIMESTAMP))
+                    - epoch_us(CAST(c_ts AS TIMESTAMP))) // 1000000 AS lat_s
+            FROM first_purch
+        )
+        SELECT lat_s // 600 AS bucket_10min,
+               count(*) AS n_users,
+               CAST(min(lat_s) AS BIGINT) AS min_lat_s,
+               CAST(max(lat_s) AS BIGINT) AS max_lat_s
+        FROM lat GROUP BY 1
+    """,
+    scale=(
+        "Conversion-latency distribution: two partial aggs on the user_id "
+        "partitioning (first click, then earliest qualifying purchase via "
+        "a same-key equi join — the range predicate is residual, never a "
+        "cross join) and an integer histogram whose shuffle carries "
+        "|buckets| rows. All-integer latencies: no float boundary can "
+        "move a user across buckets between engines."
+    ),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute-bucket histogram of first-click -> first-purchase latency
+    per user (integer seconds end-to-end)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    first_purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .join(first_click, "user_id")
+        .where(F.col("p_ts") >= F.col("c_ts"))
+        .groupBy("user_id", "c_ts")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    lat = first_purch.select(
+        "user_id",
+        ((F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1000000))
+        .cast("long")
+        .alias("lat_s"),
+    )
+    return (
+        lat.select((F.col("lat_s") / 600).cast("long").alias("bucket_10min"), "lat_s")
+        .groupBy("bucket_10min")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("lat_s").alias("min_lat_s"),
+            F.max("lat_s").alias("max_lat_s"),
+        )
+    )

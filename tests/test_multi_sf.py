@@ -38,6 +38,8 @@ REPRESENTATIVE = [
     # round-4 ops with size-sensitive logic
     "text_chunk_overlap",     # chunk-grid math over varying doc lengths
     "emb_gram_matrix",        # partial-gram merge over varying batch counts
+    "emb_kmeans_one_iter",    # centroid broadcast over varying corpus sizes
+    "events_time_to_convert", # latency buckets over varying event densities
 ]
 
 

@@ -202,6 +202,7 @@ BNLJ_ALLOWED = {
     "q22_idle_above_avg",  # theta join against the 1-row global-avg scalar
     "corpus_mix_planner",  # |sources| rows × 1-row grand total
     "sim_truncated_dims",  # corpus × 1-row broadcast query vector
+    "emb_kmeans_one_iter",  # corpus × k=8-row broadcast centroid table
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
