@@ -483,3 +483,114 @@ def decontaminate(
         .groupBy(F.col("doc_id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping fixed-stride token chunks (registry op
+    ``text_chunk_overlap`` generalized): one row per (doc, chunk) with
+    ``chunk_id``, ``n_in_chunk``, ``first_tok``, ``chunk_md5``. Map-only —
+    sequence+slice codegen expressions, zero shuffles at any corpus size."""
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    n_chunks = F.ceil(F.size("_toks") / F.lit(float(stride))).cast("int")
+    return (
+        base.select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .withColumn("_piece", F.expr(f"slice(_toks, chunk_id * {stride} + 1, {window})"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_piece").alias("n_in_chunk"),
+            F.element_at("_piece", 1).alias("first_tok"),
+            F.md5(F.concat_ws(" ", "_piece")).alias("chunk_md5"),
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-partition exponentially weighted moving average of ``value_col``
+    folded in ``order_cols`` order (registry op ``ts_ewma`` generalized):
+    returns (part_col, n_events, ewma). The recursion runs as a bounded
+    in-row HOF fold after one partial-agg shuffle — no window sort, no
+    Python, bit-reproducible across engines for a fixed order."""
+    a = float(alpha)
+    arr = F.array_sort(
+        F.collect_list(F.struct(*order_cols, F.col(value_col).alias("_v")))
+    )
+    grouped = df.groupBy(part_col).agg(arr.alias("_a"))
+    return grouped.select(
+        part_col,
+        F.size("_a").cast("long").alias("n_events"),
+        F.expr(
+            f"aggregate(slice(_a, 2, size(_a) - 1), "
+            f"CAST(element_at(_a, 1)._v AS DOUBLE), "
+            f"(acc, s) -> {a} * s._v + {1.0 - a} * acc)"
+        ).alias("ewma"),
+    )
+
+
+def gram_matrix(df: DataFrame, vec_col: str) -> DataFrame:
+    """Upper-triangle gram matrix of a vector column (registry op
+    ``emb_gram_matrix``): per-Arrow-batch numpy E^T·E partials merged
+    through one d²-row shuffle. Returns (j, k, g) with raw double sums
+    (caller rounds/normalizes); eigendecompose driver-side for PCA."""
+    src = df.select(F.col(vec_col).alias("embedding"))
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            gram = mat.T @ mat
+            ju, ku = np.triu_indices(gram.shape[0])
+            yield pd.DataFrame(
+                {"j": ju.astype(np.int32), "k": ku.astype(np.int32),
+                 "partial": gram[ju, ku]}
+            )
+
+    partials = src.mapInPandas(partial_gram, schema="j int, k int, partial double")
+    return partials.groupBy("j", "k").agg(F.sum("partial").alias("g"))
+
+
+def kmeans_step(df: DataFrame, vec_col: str, centroids: DataFrame) -> DataFrame:
+    """One Lloyd assignment pass (registry op ``emb_kmeans_one_iter``
+    generalized): ``centroids`` is a (cid, cv) frame, broadcast against
+    ``df``; returns df plus a ``cid`` column (nearest centroid by L2²,
+    6-dp-rounded distance, cid tie-break). Loop this + a groupBy mean for
+    full k-means; per iteration cost is scan + broadcast + k·d exchange."""
+    dist = F.expr(
+        f"aggregate(zip_with({vec_col}, cv, (a, b) -> "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0D, (acc, x) -> acc + x)"
+    )
+    k = centroids.count()
+    ordinal = (
+        F.floor(dist * F.lit(1000000.0) + F.lit(0.505)).cast("long") * F.lit(int(k))
+        + F.col("cid")
+    )
+    cols = df.columns
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("_ord", ordinal)
+        .groupBy(*cols)
+        .agg(F.min_by("cid", "_ord").alias("cid"))
+    )

@@ -500,3 +500,53 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.where(F.col("kind") == 1).select(
         "click_id", "user_id", F.col("ts").alias("click_ts"), "next_purchase_ts"
     )
+
+
+@op(
+    "join_null_safe",
+    oracle="""
+        WITH keyed AS (
+            SELECT CASE WHEN user_id % 7 = 0 THEN NULL
+                        ELSE user_id % 50 END AS k,
+                   event_type
+            FROM events
+        ),
+        a AS (SELECT k, count(*) AS n_clicks FROM keyed
+              WHERE event_type = 'click' GROUP BY k),
+        b AS (SELECT k, count(*) AS n_purchases FROM keyed
+              WHERE event_type = 'purchase' GROUP BY k)
+        SELECT a.k AS k, n_clicks, n_purchases
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    scale=(
+        "Null-safe equi join (<=> / IS NOT DISTINCT FROM): Spark still "
+        "plans a HASH join — the null-safe comparison compiles to a "
+        "coalesce-wrapped equi key, so NULLs co-locate in one partition "
+        "instead of degrading to a nested loop. Caveat at 100 TB: that "
+        "makes NULL itself a skew key; if nulls dominate, pre-split them "
+        "(union of null-only broadcast join + non-null hash join)."
+    ),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate clicks and purchases per nullable bucket key, then
+    null-safe-join the two sides (NULL matches NULL)."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(F.col("user_id") % 7 == 0, None)
+        .otherwise(F.col("user_id") % 50)
+        .alias("k"),
+        "event_type",
+    )
+    a = (
+        keyed.where(F.col("event_type") == "click")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    b = (
+        keyed.where(F.col("event_type") == "purchase")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_clicks", "n_purchases"
+    )

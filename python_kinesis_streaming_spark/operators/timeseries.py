@@ -301,3 +301,46 @@ def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("island_start").alias("first_start_us"),
         F.max("island_end").alias("last_end_us"),
     )
+
+
+@op(
+    "ts_ewma",
+    oracle=f"""
+        SELECT user_id,
+               count(*) AS n_events,
+               {sql_rnd("list_reduce(list(value::DOUBLE ORDER BY ts, event_id), "
+                        "(acc, x) -> 0.5 * x + 0.5 * acc)", 6)} AS ewma
+        FROM events GROUP BY user_id
+    """,
+    scale=(
+        "Sequential state as a bounded in-row fold: EWMA is inherently "
+        "recursive, but per KEY the sequence fits one aggregation buffer — "
+        "collect_list + array_sort + a codegen HOF fold runs it without a "
+        "window sort or any Python. One user_id shuffle; both engines fold "
+        "in the identical (ts, event_id) order with identical double "
+        "arithmetic, so the recursion is bit-reproducible. For unbounded "
+        "keys switch to the streaming sessionizer shape "
+        "(applyInPandasWithState) where the EWMA IS the per-key state."
+    ),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha=0.5) of event
+    values in event-time order, seeded with the first value."""
+    ev = load_table(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("a")
+    )
+    return grouped.select(
+        "user_id",
+        F.size("a").cast("long").alias("n_events"),
+        rnd(
+            F.expr(
+                "aggregate(slice(a, 2, size(a) - 1), "
+                "CAST(element_at(a, 1).value AS DOUBLE), "
+                "(acc, s) -> 0.5 * s.value + 0.5 * acc)"
+            ),
+            6,
+        ).alias("ewma"),
+    )

@@ -15,6 +15,8 @@ from python_kinesis_streaming_spark.sources.kinesis import (
 )
 from python_kinesis_streaming_spark.sources.tables import load_table
 
+from tests.twin import assert_twin_match
+
 Q = all_queries()
 
 
@@ -271,3 +273,72 @@ def test_decontaminate_matches_registry_op(spark, sf_dir):
     expected = Q["corpus_decontaminate"](spark, sf_dir)
     assert out.exceptAll(expected).count() == 0
     assert expected.exceptAll(out).count() == 0
+
+
+def test_chunk_documents_matches_registry(spark, sf_dir):
+    from python_kinesis_streaming_spark.api import chunk_documents
+    from python_kinesis_streaming_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    api = chunk_documents(docs, "doc_id", "text").toPandas()
+    reg = Q["text_chunk_overlap"](spark, sf_dir).toPandas()
+    assert_twin_match(api, reg, "chunk_documents")
+
+
+def test_ewma_matches_registry(spark, sf_dir):
+    from python_kinesis_streaming_spark.api import ewma
+    from python_kinesis_streaming_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    api = (
+        ewma(ev, "user_id", ["ts", "event_id"], "value")
+        .withColumn("ewma", F.floor(F.col("ewma") * 1e6 + F.lit(0.505)) / 1e6)
+        .toPandas()
+    )
+    reg = Q["ts_ewma"](spark, sf_dir).toPandas()
+    assert_twin_match(api, reg, "ewma")
+
+
+def test_gram_matrix_matches_registry(spark, sf_dir):
+    from python_kinesis_streaming_spark.api import gram_matrix
+    from python_kinesis_streaming_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    api = (
+        gram_matrix(emb, "embedding")
+        .withColumn("g", F.floor(F.col("g") * 1e4 + F.lit(0.505)) / 1e4)
+        .toPandas()
+    )
+    reg = Q["emb_gram_matrix"](spark, sf_dir).toPandas()
+    assert_twin_match(api, reg, "gram_matrix")
+
+
+def test_kmeans_step_matches_registry(spark, sf_dir):
+    from python_kinesis_streaming_spark.api import kmeans_step
+    from python_kinesis_streaming_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = kmeans_step(
+        emb.select("vec_id", "embedding"), "embedding", cent
+    ).select("vec_id", "cid")
+    api = (
+        assigned.join(emb.select("vec_id", "embedding"), ["vec_id"])
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.floor(F.avg(F.col("embedding")[0].cast("double")) * 1e4 + F.lit(0.505))
+            .cast("double")
+            .alias("raw0"),
+        )
+        .select("cid", "n_members", (F.col("raw0") / 1e4).alias("new_c0"))
+        .toPandas()
+    )
+    reg = (
+        Q["emb_kmeans_one_iter"](spark, sf_dir)
+        .select("cid", "n_members", "new_c0")
+        .toPandas()
+    )
+    assert_twin_match(api, reg, "kmeans_step")

@@ -264,3 +264,39 @@ def test_q10_topk_is_take_ordered(spark, sf_dir, no_table_cache):
     TakeOrderedAndProject (per-partition heaps), not a global sort."""
     p = plan_of(Q["q10_returned_topk"](spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir, no_table_cache):
+    """Spark 4's runtime semi-join reduction: a selective build side injects
+    a bloom filter (`might_contain(xxhash64(key))`) into the probe-side scan
+    of a shuffle join. The 100 TB shape: the probe side skips shuffling rows
+    whose keys can't match, bought for one tiny bloom_filter_agg — verified
+    here with the local thresholds lowered (defaults gate on a 10 GB probe
+    scan, exactly the cluster regime where it pays)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li.createOrReplaceTempView("bloom_li")
+        orders.createOrReplaceTempView("bloom_ord")
+        df = spark.sql(
+            """
+            SELECT o_orderpriority, count(*) AS n
+            FROM bloom_li JOIN (SELECT o_orderkey, o_orderpriority
+                                FROM bloom_ord WHERE o_totalprice > 450000) f
+              ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            """
+        )
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in opt
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
