@@ -427,3 +427,74 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segments"
         ),
     )
+
+
+@op(
+    "agg_count_min_sketch",
+    oracle="""
+        WITH seeds AS (SELECT u.s AS s FROM unnest([101, 102, 103, 104]) AS u(s)),
+        hashed AS (
+            SELECT user_id, s,
+                   CAST(('0x' || substring(md5(CAST(s AS VARCHAR) || ':'
+                        || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 256 AS cell
+            FROM events, seeds
+        ),
+        sketch AS (
+            SELECT s, cell, count(*) AS n FROM hashed GROUP BY s, cell
+        ),
+        probe AS (SELECT DISTINCT user_id, s, cell FROM hashed),
+        est AS (
+            SELECT p.user_id, min(sk.n) AS cms_estimate
+            FROM probe p JOIN sketch sk USING (s, cell)
+            GROUP BY p.user_id
+        ),
+        exact AS (
+            SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+        )
+        SELECT e.user_id, exact_n, cms_estimate
+        FROM exact e JOIN est USING (user_id)
+        ORDER BY exact_n DESC, user_id LIMIT 10
+    """,
+    scale=(
+        "Count-Min Sketch, fully declarative: depth 4 × width 256 cells of "
+        "partial-agg counts (the sketch is ~1 k longs of MERGEABLE state "
+        "however many rows stream through), probe = min over the item's 4 "
+        "cells — estimate >= exact always, within eps·N w.h.p. The "
+        "md5-derived hash is bit-identical in both engines, so even the "
+        "sketch CONTENTS are oracle-checkable, not just the contract. At "
+        "100 TB this is the heavy-hitters pre-filter that finds skew keys "
+        "before a join chooses its salting strategy."
+    ),
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (4×256, md5 hashes) over event user_ids: top-10
+    users by exact count with their CMS estimates (estimate >= exact)."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    seeds = [101, 102, 103, 104]
+    hashed = ev.select(
+        "user_id",
+        F.posexplode(
+            F.array(
+                *[
+                    (md5_hash64(F.col("user_id").cast("string"), seed=s) % 256)
+                    for s in seeds
+                ]
+            )
+        ).alias("s_idx", "cell"),
+    )
+    sketch = hashed.groupBy("s_idx", "cell").agg(F.count(F.lit(1)).alias("n"))
+    probe = hashed.distinct()
+    est = (
+        probe.join(sketch, ["s_idx", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("n").alias("cms_estimate"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        exact.join(est, "user_id")
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+    )

@@ -856,3 +856,90 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lat_s").alias("max_lat_s"),
         )
     )
+
+
+@op(
+    "events_sequence_mining",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(CAST(ts AS TIMESTAMP))
+                                - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM ordered
+        ),
+        seqs AS (
+            SELECT list(event_type ORDER BY ts, event_id) AS t
+            FROM sess GROUP BY user_id, sid
+        ),
+        trigrams AS (
+            SELECT u.g AS trigram
+            FROM seqs, unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || '>' || t[i + 1] || '>' || t[i + 2])) AS u(g)
+            WHERE len(t) >= 3
+        )
+        SELECT trigram, count(*) AS n
+        FROM trigrams GROUP BY trigram
+        ORDER BY n DESC, trigram LIMIT 20
+    """,
+    scale=(
+        "Sequential-pattern mining lite: sessionize (one user_id window "
+        "pass), collect each session's ordered type sequence into its OWN "
+        "row, then trigram extraction is an in-row HOF — the pattern "
+        "explosion happens map-side and collapses into a <=|types|^3 key "
+        "space before the final KB-scale shuffle. The same shape scales to "
+        "k-grams and skip-grams; for unbounded sessions cap the collected "
+        "sequence with slice() and mine per chunk."
+    ),
+)
+def events_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 within-session event-type trigrams (30-min session gap)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    ).withColumn("sid", F.sum("new_s").over(wcum))
+    seqs = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+                " s -> s.event_type)"
+            ).alias("t")
+        )
+        .where(F.size("t") >= 3)
+    )
+    trigrams = seqs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), "
+                "i -> concat(t[i-1], '>', t[i], '>', t[i+1]))"
+            )
+        ).alias("trigram")
+    )
+    return (
+        trigrams.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(20)
+    )
