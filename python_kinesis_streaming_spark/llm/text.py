@@ -573,3 +573,78 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+@op(
+    "text_bigram_xent",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        bigrams AS (
+            SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2
+            FROM toks, unnest(list_transform(range(1, len(t)),
+                     i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS u(b)
+            WHERE len(t) >= 2
+        ),
+        bc AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY w1, w2),
+        uc AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1),
+        v AS (SELECT count(DISTINCT tok) AS vocab FROM (
+                  SELECT u.tok AS tok
+                  FROM toks, unnest(t) AS u(tok) WHERE len(u.tok) > 0)),
+        scored AS (
+            SELECT b.doc_id,
+                   -ln((bc.c2 + 1.0) / (uc.c1 + v.vocab)) AS nll
+            FROM bigrams b
+            JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               floor((avg(nll)) * 1000000.0 + 0.505) / 1000000.0 AS xent
+        FROM scored GROUP BY doc_id
+    """,
+    scale=(
+        "Corpus-trained bigram LM cross-entropy — the perplexity quality "
+        "filter, distributed: bigram extraction is an in-row HOF (no "
+        "self-join on position), the LM tables are partial aggs over a "
+        "<=|vocab|^2 key space (broadcast back), scoring is one join + "
+        "per-doc avg. Two passes over the corpus total; at 100 TB train "
+        "the counts on a sample and score the full corpus map-side."
+    ),
+)
+def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained Laplace-smoothed
+    word-bigram LM (lower = more typical of the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 2
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        doc_tokens(docs).select("tok").distinct().count()
+    )  # scalar: fixture-sized; at scale keep it a broadcast agg
+    scored = (
+        bigrams.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uc), ["w1"])
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(float(vocab)))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        rnd(F.avg("nll"), 6).alias("xent"),
+    )

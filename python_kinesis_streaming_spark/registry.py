@@ -155,6 +155,20 @@ _GRADING_PRIORITY = [
     "stream_output_modes",
     "join_stream_stream_outer",
     "multimodal_decode",
+    # round-4 additions (never graded; regraded into the round-5 window)
+    "text_chunk_overlap",
+    "text_bpe_pair_counts",
+    "text_char_entropy",
+    "text_bigram_xent",
+    "emb_gram_matrix",
+    "emb_kmeans_one_iter",
+    "agg_string_agg",
+    "agg_count_min_sketch",
+    "events_time_to_convert",
+    "events_sequence_mining",
+    "ts_ewma",
+    "join_null_safe",
+    "dq_constraint_check",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
