@@ -287,3 +287,48 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         rnd(z(F.col("l_extendedprice")), 4).alias("z"),
     )
+
+
+@op(
+    "udtf_python_lateral",
+    oracle="""
+        SELECT doc_id, u.i AS chunk_idx,
+               u.i * 100 + 1 AS chunk_start,
+               least(100, n_chars - u.i * 100) AS chunk_len
+        FROM documents,
+             unnest(range(CAST(ceil(n_chars / 100.0) AS BIGINT))) AS u(i)
+    """,
+    scale=(
+        "Spark 4's Python UDTF surface (@udtf class + LATERAL): a "
+        "row-to-rows generator invoked per input row through the SQL "
+        "planner — unlike mapInPandas it composes with lateral joins and "
+        "other relational operators. Arrow-batched; the generator itself "
+        "holds no cross-row state, so it parallelizes like any projection. "
+        "This shape (byte-range chunk manifests) is how a 100 TB media/"
+        "text corpus gets split into fetchable work units without reading "
+        "payloads."
+    ),
+)
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100-char chunk manifest per document via a real Python UDTF in a
+    LATERAL join (chunk index, 1-based start offset, chunk length)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_start bigint, chunk_len bigint")
+    class ChunkManifest:
+        def eval(self, n_chars: int):
+            if n_chars is None or n_chars <= 0:
+                return
+            n_chunks = (n_chars + 99) // 100
+            for i in range(n_chunks):
+                yield i, i * 100 + 1, min(100, n_chars - i * 100)
+
+    spark.udtf.register("chunk_manifest", ChunkManifest)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "n_chars").createOrReplaceTempView("udtf_docs_src")
+    return spark.sql(
+        """
+        SELECT doc_id, m.chunk_idx, m.chunk_start, m.chunk_len
+        FROM udtf_docs_src, LATERAL chunk_manifest(n_chars) m
+        """
+    )

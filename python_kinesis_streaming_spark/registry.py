@@ -169,6 +169,9 @@ _GRADING_PRIORITY = [
     "ts_ewma",
     "join_null_safe",
     "dq_constraint_check",
+    "udtf_python_lateral",
+    "stream_topk_per_window",
+    "stream_metrics_progress",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

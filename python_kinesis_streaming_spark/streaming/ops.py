@@ -23,10 +23,11 @@ Scale notes (100 TB / unbounded):
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from python_kinesis_streaming_spark.functions.rounding import rnd
 from python_kinesis_streaming_spark.registry import op
@@ -707,3 +708,91 @@ def stream_stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_events").alias("n_events"),
         )
     )
+
+
+@op(
+    "stream_topk_per_window",
+    oracle="""
+        WITH counts AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+                   user_id, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT w_start, user_id AS top_user, n FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY w_start ORDER BY n DESC, user_id) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    """,
+    scale=(
+        "Streaming top-k: rank is not incrementally maintainable in append "
+        "mode, so the streaming job maintains the RANKABLE state (per-"
+        "(window, user) counts — mergeable, bounded) and the rank itself "
+        "runs as a cheap batch query over the sink. At 100 TB the sink is "
+        "a compacted table keyed by window; the per-window rank touches "
+        "only windows the latest batch changed."
+    ),
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-active user per hourly window: streaming (window,user) counts
+    in complete mode, then a batch rank over the final sink table."""
+    s = replay_stream(spark, sf_dir)
+    counts = s.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    mem = run_to_memory(
+        counts.select(F.col("w.start").alias("w_start"), "user_id", "n"),
+        "complete",
+    )
+    rank_w = Window.partitionBy("w_start").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        mem.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") == 1)
+        .select("w_start", F.col("user_id").alias("top_user"), "n")
+    )
+
+
+@op(
+    "stream_metrics_progress",
+    oracle="""
+        WITH n AS (SELECT count(*) AS c FROM events)
+        SELECT u.i AS batch_id,
+               CASE WHEN u.i < 3 THEN (c + 3) // 4
+                    ELSE c - 3 * ((c + 3) // 4) END AS input_rows
+        FROM n, unnest(range(4)) AS u(i)
+    """,
+    scale=(
+        "Observability surface: StreamingQueryProgress per micro-batch "
+        "(numInputRows here; the full object carries per-operator state "
+        "rows, watermark, and durations) — the backpressure/lag feed every "
+        "production stream monitors. Deterministic for the 4-chunk replay: "
+        "batch k ingests exactly chunk k's rows; trailing zero-row flush "
+        "batches are filtered as non-ingesting."
+    ),
+)
+def stream_metrics_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch input-row counts from the streaming progress API
+    (one row per data batch of the 4-chunk replay)."""
+    import uuid as _uuid
+
+    s = replay_stream(spark, sf_dir)
+    name = f"prog_{_uuid.uuid4().hex[:10]}"
+    ckpt = os.path.join(SCRATCH, "ckpt", name)
+    q = (
+        s.select("event_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [
+        json.loads(pr.json) if hasattr(pr, "json") else pr
+        for pr in q.recentProgress
+    ]
+    rows = [(int(p["batchId"]), int(p["numInputRows"])) for p in progresses]
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    data = [(b, n) for b, n in rows if n > 0]
+    return spark.createDataFrame(data, "batch_id long, input_rows long")
