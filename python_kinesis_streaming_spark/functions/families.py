@@ -18,7 +18,7 @@ projection — no shuffle, no Python; throughput is scan-bound.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
 from python_kinesis_streaming_spark.registry import op
@@ -663,3 +663,46 @@ def fn_hof_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all_even"
         ),
     )
+
+
+@op(
+    "fn_url",
+    oracle="""
+        SELECT doc_id,
+               source || '.example.com' AS host,
+               '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+               lang AS lang_param,
+               count(*) OVER (PARTITION BY source || '.example.com')
+                   AS host_docs
+        FROM documents
+    """,
+    scale=(
+        "URL decomposition with the parse_url builtin (codegen, no regex "
+        "UDF): the log-analytics normalizer. The oracle reconstructs the "
+        "same fields from the generator columns — deliberately a different "
+        "derivation, so parity proves parse_url's HOST/PATH/QUERY "
+        "semantics rather than mirroring string concat on both sides. "
+        "Map-only except the per-host window count (one exchange)."
+    ),
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a synthetic URL per document, then take it apart again with
+    parse_url (host, path, query param) + per-host doc counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    with_url = docs.select("doc_id", url.alias("u"))
+    parsed = with_url.select(
+        "doc_id",
+        F.parse_url("u", F.lit("HOST")).alias("host"),
+        F.parse_url("u", F.lit("PATH")).alias("path"),
+        F.parse_url("u", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+    w = Window.partitionBy("host")
+    return parsed.withColumn("host_docs", F.count(F.lit(1)).over(w))

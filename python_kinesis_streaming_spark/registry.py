@@ -172,6 +172,7 @@ _GRADING_PRIORITY = [
     "udtf_python_lateral",
     "stream_topk_per_window",
     "stream_metrics_progress",
+    "fn_url",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
