@@ -586,3 +586,91 @@ def emb_kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg(F.col("embedding")[0].cast("double")), 4).alias("new_c0"),
         rnd(F.avg(F.col("embedding")[1].cast("double")), 4).alias("new_c1"),
     )
+
+
+@op(
+    "sim_rerank_two_stage",
+    oracle=f"""
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS qe,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x))) AS qnrm
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        qq AS (
+            SELECT qe, list_transform(qe, x -> CAST(floor(x / qnrm * 127.0
+                                                          + 0.505) AS BIGINT)) AS qqv
+            FROM q
+        ),
+        cand AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x / sqrt(list_sum(list_transform(
+                                embedding::DOUBLE[], y -> y * y))) * 127.0
+                                + 0.505) AS BIGINT)) AS qv
+            FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+        ),
+        stage1 AS (
+            SELECT vec_id, e,
+                   CAST(list_dot_product(qv, qqv) AS BIGINT) AS coarse_score
+            FROM cand, qq
+            ORDER BY coarse_score DESC, vec_id LIMIT 50
+        )
+        SELECT vec_id, coarse_score,
+               floor(list_cosine_similarity(e, qe) * 1000000.0 + 0.505)
+                   / 1000000.0 AS sim
+        FROM stage1, qq
+        ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    scale=(
+        "The retrieval cascade: stage 1 scores EVERY vector with the int8 "
+        "quantized dot (4× less bandwidth, SIMD-friendly integer math, "
+        "exact-deterministic ordering) and keeps 50 via TakeOrdered — "
+        "zero shuffles; stage 2 reranks only those 50 with the exact "
+        "float cosine. At billions of vectors stage 1 is the only "
+        "full-scan cost, and its candidate count (not corpus size) "
+        "bounds the expensive math — the cost/recall knob every vector "
+        "store exposes."
+    ),
+)
+def sim_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: int8-quantized dot-product top-50, exact-cosine
+    rerank to top-10 (query = vec_id 0)."""
+    emb = emb_with_norm(spark, sf_dir)
+    qrow = emb.where(F.col("vec_id") == QUERY_VEC_ID).first()
+    qe = [float(x) for x in qrow["embedding"]]
+    qnrm = sum(x * x for x in qe) ** 0.5
+    import math
+
+    qqv = [int(math.floor(x / qnrm * 127.0 + 0.505)) for x in qe]
+
+    cand = emb.where(F.col("vec_id") != QUERY_VEC_ID)
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") / F.col("norm") * 127.0 + F.lit(0.505)
+        ).cast("long"),
+    )
+    coarse = F.aggregate(
+        F.zip_with(
+            qv,
+            F.array(*[F.lit(v) for v in qqv]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stage1 = (
+        cand.select("vec_id", "embedding", "norm", coarse.alias("coarse_score"))
+        .orderBy(F.desc("coarse_score"), F.asc("vec_id"))
+        .limit(50)
+    )
+    dot_expr = F.lit(0.0)
+    for i, w in enumerate(qe):
+        dot_expr = dot_expr + F.col("embedding")[i].cast("double") * F.lit(w)
+    sim = dot_expr / (F.col("norm") * F.lit(qnrm))
+    return (
+        stage1.select("vec_id", "coarse_score", rnd(sim, 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )

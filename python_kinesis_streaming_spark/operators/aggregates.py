@@ -498,3 +498,43 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_n"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@op(
+    "agg_regression",
+    oracle=f"""
+        WITH t AS (
+            SELECT event_type, value,
+                   (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                       / 86400000000.0 AS day_x
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n,
+               {sql_rnd("regr_slope(value, day_x)", 6)} AS slope,
+               {sql_rnd("regr_intercept(value, day_x)", 6)} AS intercept,
+               {sql_rnd("regr_r2(value, day_x)", 6)} AS r2
+        FROM t GROUP BY event_type
+    """,
+    scale=(
+        "OLS trend per group with the SQL regr_* family: each statistic "
+        "reduces to the same five partial sums (n, Σx, Σy, Σxy, Σx²) — "
+        "mergeable map-side state like any sum, so a 100 TB trend fit "
+        "costs one scan + a |groups|-row exchange. The drift detector for "
+        "metrics pipelines (slope per segment, r² as signal quality)."
+    ),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS fit of value vs time-in-days: slope, intercept,
+    and r² (regr_slope/regr_intercept/regr_r2 builtins)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_x = (F.unix_micros("ts") - F.lit(1_704_067_200_000_000)) / F.lit(
+        86400000000.0
+    )
+    t = ev.select("event_type", "value", day_x.alias("day_x"))
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.regr_slope("value", "day_x"), 6).alias("slope"),
+        rnd(F.regr_intercept("value", "day_x"), 6).alias("intercept"),
+        rnd(F.regr_r2("value", "day_x"), 6).alias("r2"),
+    )

@@ -173,6 +173,8 @@ _GRADING_PRIORITY = [
     "stream_topk_per_window",
     "stream_metrics_progress",
     "fn_url",
+    "agg_regression",
+    "sim_rerank_two_stage",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
