@@ -943,3 +943,68 @@ def events_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("trigram"))
         .limit(20)
     )
+
+
+@op(
+    "events_bounce_rate",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(CAST(ts AS TIMESTAMP))
+                                - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM ordered
+        ),
+        per_sess AS (
+            SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               CAST(count_if(n = 1) AS BIGINT) AS n_bounces,
+               floor((CAST(count_if(n = 1) AS DOUBLE) / count(*))
+                     * 10000.0 + 0.505) / 10000.0 AS bounce_rate
+        FROM per_sess GROUP BY user_id
+    """,
+    scale=(
+        "Bounce rate (single-event sessions / sessions): the lag-gap "
+        "sessionizer's windows and both aggs all ride ONE user_id "
+        "partitioning — a single shuffle end to end. The engagement KPI "
+        "every clickstream warehouse reports; swap the 30-min constant "
+        "for a per-surface config column and the plan is unchanged."
+    ),
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session count, single-event-session count, and bounce
+    rate (30-min session gap)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    ).withColumn("sid", F.sum("new_s").over(wcum))
+    per_sess = sess.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("n"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_if(F.col("n") == 1).alias("n_bounces"),
+        rnd(F.count_if(F.col("n") == 1).cast("double") / F.count(F.lit(1)), 4).alias(
+            "bounce_rate"
+        ),
+    )

@@ -175,6 +175,7 @@ _GRADING_PRIORITY = [
     "fn_url",
     "agg_regression",
     "sim_rerank_two_stage",
+    "events_bounce_rate",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
