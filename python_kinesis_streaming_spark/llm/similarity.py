@@ -674,3 +674,56 @@ def sim_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@op(
+    "emb_centroid_diagnostics",
+    oracle="""
+        WITH expl AS (
+            SELECT label, u.i AS pos,
+                   embedding[CAST(u.i AS INTEGER)]::DOUBLE AS v
+            FROM embeddings, unnest(range(1, 65)) AS u(i)
+        ),
+        cent AS (SELECT label, pos, avg(v) AS c FROM expl GROUP BY label, pos),
+        carr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label)
+        SELECT e.label,
+               count(*) AS n_vectors,
+               floor((any_value(sqrt(list_sum(list_transform(cv, x -> x * x)))))
+                     * 10000.0 + 0.505) / 10000.0 AS centroid_norm,
+               floor((avg(list_cosine_similarity(e.embedding::DOUBLE[], cv)))
+                     * 10000.0 + 0.505) / 10000.0 AS avg_cos_to_centroid
+        FROM embeddings e JOIN carr USING (label)
+        GROUP BY e.label
+    """,
+    scale=(
+        "Per-class embedding diagnostics (centroid norm + mean cosine "
+        "cohesion — the drift/collapse monitor for embedding pipelines): "
+        "centroids are one partial agg over (label, dim) — k·d rows of "
+        "mergeable state — broadcast back for the cohesion pass. Two "
+        "scans, no row-level shuffle; the same plan feeds kmeans_step "
+        "when the diagnostics say re-cluster."
+    ),
+)
+def emb_centroid_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector count, centroid L2 norm, and average cosine of
+    members to their centroid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = expl.groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias(
+            "cv"
+        )
+    )
+    joined = emb.join(F.broadcast(carr), "label").select(
+        "label",
+        l2norm(F.col("cv")).alias("cnorm"),
+        cosine(F.col("embedding"), F.col("cv")).alias("cos"),
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        rnd(F.first("cnorm"), 4).alias("centroid_norm"),
+        rnd(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
+    )

@@ -176,6 +176,9 @@ _GRADING_PRIORITY = [
     "agg_regression",
     "sim_rerank_two_stage",
     "events_bounce_rate",
+    "stream_dedup_within_watermark",
+    "stream_union_sources",
+    "emb_centroid_diagnostics",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

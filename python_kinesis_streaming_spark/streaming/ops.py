@@ -796,3 +796,64 @@ def stream_metrics_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     data = [(b, n) for b, n in rows if n > 0]
     return spark.createDataFrame(data, "batch_id long, input_rows long")
+
+
+@op(
+    "stream_dedup_within_watermark",
+    oracle=f"SELECT event_id, {TS} AS ts, user_id, event_type FROM events",
+    scale=(
+        "dropDuplicatesWithinWatermark — the BOUNDED-state dedup: unlike "
+        "plain dropDuplicates (keys accumulate forever), seen-key state is "
+        "evicted once the watermark passes, so state size tracks the "
+        "out-of-orderness horizon, not stream history. The fixture's "
+        "cross-batch duplicates (replay variant='dups') arrive one chunk "
+        "after their originals — hours of event time, well inside the "
+        "2-day watermark — so exactly-once still holds and the result "
+        "hash-equals the clean batch table."
+    ),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once over a duplicated replay via the watermark-bounded
+    dedup operator (state evicted as event time advances)."""
+    s = replay_stream(spark, sf_dir, variant="dups", chunks=4)
+    deduped = (
+        s.select("event_id", "ts", "user_id", "event_type")
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    return run_to_memory(deduped, "append")
+
+
+@op(
+    "stream_union_sources",
+    oracle=f"""
+        SELECT event_type, count(*) AS n,
+               floor((sum(value)) * 10000.0 + 0.505) / 10000.0 AS sum_value
+        FROM (
+            SELECT event_type, value FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_type, value FROM events WHERE event_type <> 'click'
+        ) GROUP BY event_type
+    """,
+    scale=(
+        "Two independent streaming sources unioned into ONE query: each "
+        "source keeps its own offsets/commit log inside the shared "
+        "checkpoint, micro-batches align per trigger, and downstream "
+        "state (the agg) sees a single logical stream. The multi-topic/"
+        "multi-shard-group ingestion shape — fan-in happens in the plan, "
+        "not in a bespoke merge job."
+    ),
+)
+def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union a clicks-only stream with an everything-else stream; per-type
+    counts+sums must equal the single-source batch aggregate."""
+    clicks = replay_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    others = replay_stream(spark, sf_dir).where(F.col("event_type") != "click")
+    unioned = clicks.select("event_type", "value").unionByName(
+        others.select("event_type", "value")
+    )
+    agg = unioned.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sv")
+    )
+    mem = run_to_memory(agg, "complete")
+    return mem.select("event_type", "n", rnd(F.col("sv"), 4).alias("sum_value"))
