@@ -706,3 +706,49 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("host")
     return parsed.withColumn("host_docs", F.count(F.lit(1)).over(w))
+
+
+@op(
+    "fn_collation",
+    oracle="""
+        WITH mangled AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS seg
+            FROM customer
+        )
+        SELECT upper(seg) AS segment,
+               count(*) AS n,
+               count(DISTINCT seg) AS n_spellings
+        FROM mangled GROUP BY upper(seg)
+    """,
+    scale=(
+        "Spark 4 collations: grouping on collate(x, 'UTF8_LCASE') makes "
+        "case-insensitive semantics a TYPE property the optimizer "
+        "understands (joins/aggs stay hash-based, no normalize-projection "
+        "to maintain) instead of an upper() call sites must remember. The "
+        "oracle pins equivalence to the classic upper()-normalization: "
+        "same groups, same counts, with the spelling cardinality proving "
+        "the raw values really differed."
+    ),
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via the UTF8_LCASE collation over a
+    deliberately case-mangled segment column."""
+    cust = load_table(spark, sf_dir, "customer")
+    mangled = cust.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg")
+    )
+    return (
+        mangled.groupBy(F.collate("seg", "UTF8_LCASE").alias("seg_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.collate("seg", "UTF8_BINARY")).alias("n_spellings"),
+        )
+        .select(
+            F.upper(F.col("seg_ci").cast("string")).alias("segment"),
+            "n",
+            "n_spellings",
+        )
+    )

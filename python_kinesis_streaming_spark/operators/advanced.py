@@ -789,3 +789,87 @@ def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust,
     )
     return fk.unionByName(rng).unionByName(js).unionByName(nn)
+
+
+@op(
+    "market_basket_lift",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+        brand_n AS (SELECT p_brand, count(*) AS bn FROM items GROUP BY p_brand),
+        pair_n AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   count(*) AS ab_n
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+        )
+        SELECT brand_a, brand_b, ab_n,
+               floor((CAST(ab_n AS DOUBLE) / ba.bn) * 1000000.0 + 0.505)
+                   / 1000000.0 AS confidence,
+               floor((CAST(ab_n AS DOUBLE) * n.n / (ba.bn * bb.bn))
+                     * 1000000.0 + 0.505) / 1000000.0 AS lift
+        FROM pair_n
+        JOIN brand_n ba ON ba.p_brand = brand_a
+        JOIN brand_n bb ON bb.p_brand = brand_b
+        CROSS JOIN n_orders n
+        ORDER BY lift DESC, brand_a, brand_b LIMIT 20
+    """,
+    scale=(
+        "Association rules on top of the bounded basket join: support "
+        "counts are the only pass over orders; confidence and lift are "
+        "arithmetic over three BROADCAST-sized aggregates (|brands|, "
+        "|brand-pairs|, one grand total). The lift ratio is computed on "
+        "exact integer counts and rounded once — no float-boundary "
+        "ordering hazard in the top-20 cut."
+    ),
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 brand pairs by lift (with confidence), from per-order
+    distinct-brand baskets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    brand_n = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("bn"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ab_n"))
+    )
+    ba = brand_n.select(F.col("p_brand").alias("brand_a"), F.col("bn").alias("a_n"))
+    bb = brand_n.select(F.col("p_brand").alias("brand_b"), F.col("bn").alias("b_n"))
+    return (
+        pair_n.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "ab_n",
+            rnd(F.col("ab_n").cast("double") / F.col("a_n"), 6).alias("confidence"),
+            rnd(
+                F.col("ab_n").cast("double")
+                * F.lit(float(n_orders))
+                / (F.col("a_n") * F.col("b_n")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(20)
+    )

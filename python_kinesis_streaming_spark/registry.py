@@ -179,6 +179,8 @@ _GRADING_PRIORITY = [
     "stream_dedup_within_watermark",
     "stream_union_sources",
     "emb_centroid_diagnostics",
+    "market_basket_lift",
+    "fn_collation",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
