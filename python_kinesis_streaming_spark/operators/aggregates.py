@@ -538,3 +538,39 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.regr_intercept("value", "day_x"), 6).alias("intercept"),
         rnd(F.regr_r2("value", "day_x"), 6).alias("r2"),
     )
+
+
+@op(
+    "agg_decimal_exact",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                   AS sum_price_exact,
+               CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                   AS min_price_exact,
+               CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                   AS max_price_exact
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    scale=(
+        "Money-grade arithmetic: DECIMAL(18,2) sums are EXACT — no "
+        "accumulation-order drift, no rounding discipline needed — and "
+        "emitted as canonical strings so the parity check proves "
+        "bit-identical cents across engines. Spark decimal aggregation "
+        "partial-combines like any sum (128-bit accumulator); the "
+        "at-scale rule: money enters the pipeline as decimal/cents ONCE "
+        "at ingest, never as accumulated doubles."
+    ),
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL(18,2) price totals and extrema per returnflag,
+    emitted as canonical decimal strings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("string").alias("sum_price_exact"),
+        F.min(dec).cast("string").alias("min_price_exact"),
+        F.max(dec).cast("string").alias("max_price_exact"),
+    )

@@ -73,3 +73,88 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _user_days(spark, sf_dir, "view").subtract(
         _user_days(spark, sf_dir, "purchase")
     )
+
+
+@op(
+    "edge_empty_inputs",
+    oracle="""
+        SELECT 'inner_vs_empty' AS check_name,
+               (SELECT count(*) FROM orders o
+                JOIN (SELECT c_custkey FROM customer WHERE c_custkey < 0) c
+                  ON o.o_custkey = c.c_custkey) AS n_rows
+        UNION ALL
+        SELECT 'left_vs_empty',
+               (SELECT count(*) FROM orders o
+                LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+                           WHERE c_custkey < 0) c
+                  ON o.o_custkey = c.c_custkey
+                WHERE c.c_acctbal IS NULL)
+        UNION ALL
+        SELECT 'agg_over_empty',
+               (SELECT count(*) FROM (
+                    SELECT o_orderpriority, sum(o_totalprice)
+                    FROM orders WHERE o_orderkey < 0
+                    GROUP BY o_orderpriority))
+        UNION ALL
+        SELECT 'global_agg_over_empty_is_one_row',
+               (SELECT count(*) FROM (
+                    SELECT count(*) AS c, sum(o_totalprice) AS s
+                    FROM orders WHERE o_orderkey < 0))
+        UNION ALL
+        SELECT 'union_with_empty_preserves',
+               (SELECT count(*) FROM (
+                    SELECT o_orderkey FROM orders
+                    UNION ALL
+                    SELECT o_orderkey FROM orders WHERE o_orderkey < 0))
+    """,
+    scale=(
+        "Empty-relation semantics, pinned: inner join vs empty = 0 rows, "
+        "left join fills nulls, GROUPED agg over empty = 0 rows but "
+        "GLOBAL agg = exactly 1 row (count 0 / sum NULL), union with "
+        "empty preserves the other side. These invariants are what "
+        "partition-pruned branches and dead filters reduce to at 100 TB — "
+        "a plan that collapses a subtree to empty must keep them, and AQE "
+        "does exactly that collapse at runtime."
+    ),
+)
+def edge_empty_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five empty-input semantic checks as (check_name, n_rows) rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    empty_c = cust.where(F.col("c_custkey") < 0)
+    inner = orders.join(
+        empty_c.select("c_custkey"), orders["o_custkey"] == empty_c["c_custkey"]
+    ).count()
+    left = (
+        orders.join(
+            empty_c.select("c_custkey", "c_acctbal"),
+            orders["o_custkey"] == empty_c["c_custkey"],
+            "left",
+        )
+        .where(F.col("c_acctbal").isNull())
+        .count()
+    )
+    grouped = (
+        orders.where(F.col("o_orderkey") < 0)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice"))
+        .count()
+    )
+    global_agg = (
+        orders.where(F.col("o_orderkey") < 0)
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("o_totalprice").alias("s"))
+        .count()
+    )
+    unioned = (
+        orders.select("o_orderkey")
+        .unionByName(orders.where(F.col("o_orderkey") < 0).select("o_orderkey"))
+        .count()
+    )
+    rows = [
+        ("inner_vs_empty", inner),
+        ("left_vs_empty", left),
+        ("agg_over_empty", grouped),
+        ("global_agg_over_empty_is_one_row", global_agg),
+        ("union_with_empty_preserves", unioned),
+    ]
+    return spark.createDataFrame(rows, "check_name string, n_rows long")

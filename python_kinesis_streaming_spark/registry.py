@@ -181,6 +181,8 @@ _GRADING_PRIORITY = [
     "emb_centroid_diagnostics",
     "market_basket_lift",
     "fn_collation",
+    "agg_decimal_exact",
+    "edge_empty_inputs",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

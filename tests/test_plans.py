@@ -212,6 +212,7 @@ _EXECUTES_ON_BUILD = ("stream_", "source_stream", "join_stream", "sink_")
 _EXECUTES_EXTRA = {
     "scan_partition_pruned", "scan_schema_evolution", "join_bucketed",
     "dedup_clusters",
+    "edge_empty_inputs",  # runs its five count() checks on build
 }
 
 
