@@ -1008,3 +1008,116 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bounce_rate"
         ),
     )
+
+
+@op(
+    "events_peak_concurrency",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(CAST(ts AS TIMESTAMP))
+                                - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM ordered
+        ),
+        intervals AS (
+            SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+            FROM sess GROUP BY user_id, sid
+        ),
+        deltas AS (
+            SELECT s AS t, 1 AS delta, user_id, sid FROM intervals
+            UNION ALL
+            SELECT e AS t, -1 AS delta, user_id, sid FROM intervals
+        ),
+        local_run AS (
+            SELECT date_trunc('day', t) AS day, t, delta,
+                   sum(delta) OVER (PARTITION BY date_trunc('day', t)
+                       ORDER BY t, delta DESC, user_id, sid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running
+            FROM deltas
+        ),
+        day_tot AS (
+            SELECT day, sum(delta) AS tot
+            FROM local_run GROUP BY day
+        ),
+        carry AS (
+            SELECT day,
+                   coalesce(sum(tot) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS c
+            FROM day_tot
+        )
+        SELECT l.day, CAST(max(c + running) AS BIGINT) AS peak_concurrency
+        FROM local_run l JOIN carry USING (day)
+        GROUP BY l.day
+    """,
+    scale=(
+        "Peak concurrency WITHOUT a global sort: +1/-1 session-boundary "
+        "deltas run per-DAY partitions (parallel windows), and the "
+        "cross-day prefix is a carry computed over |days| rows — the "
+        "two-pass prefix-sum decomposition that turns an inherently "
+        "sequential sweep into a partition-parallel plan. Closed-interval "
+        "tie rule (+1 sorts before -1 at the same instant) is explicit in "
+        "the ordering so both engines count a back-to-back session swap "
+        "as overlapping."
+    ),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak number of simultaneously-open 30-min-gap sessions
+    (day-partitioned running sum + cross-day carry)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    ).withColumn("sid", F.sum("new_s").over(wcum))
+    intervals = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = intervals.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id", "sid"
+    ).unionByName(
+        intervals.select(
+            F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "sid"
+        )
+    )
+    day = F.date_trunc("day", "t")
+    w_day = (
+        Window.partitionBy(day)
+        .orderBy(F.col("t"), F.desc("delta"), F.col("user_id"), F.col("sid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_run = deltas.select(
+        day.alias("day"), "delta", F.sum("delta").over(w_day).alias("running")
+    )
+    day_tot = local_run.groupBy("day").agg(F.sum("delta").alias("tot"))
+    w_days = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_tot.select(
+        "day", F.coalesce(F.sum("tot").over(w_days), F.lit(0)).alias("c")
+    )
+    return (
+        local_run.join(carry, "day")
+        .groupBy("day")
+        .agg(F.max(F.col("c") + F.col("running")).cast("long").alias("peak_concurrency"))
+    )

@@ -183,6 +183,7 @@ _GRADING_PRIORITY = [
     "fn_collation",
     "agg_decimal_exact",
     "edge_empty_inputs",
+    "events_peak_concurrency",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
