@@ -550,3 +550,39 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"].alias("k"), "n_clicks", "n_purchases"
     )
+
+
+@op(
+    "join_lateral_topn",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_custkey < 50
+    """,
+    scale=(
+        "Correlated LATERAL top-N per outer row — the SQL spelling of "
+        "per-key top-k. Catalyst decorrelates it into a join + per-key "
+        "windowed limit rather than re-running the subquery per row, so "
+        "the plan is the same shuffle-once shape as the explicit "
+        "row_number() variant (win_rank_topn) — LATERAL is surface, not "
+        "a nested-loop sentence."
+    ),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price for each customer below key 50, written as a
+    correlated LATERAL subquery through the SQL parser."""
+    from python_kinesis_streaming_spark.operators.analytics import _view
+
+    vc = _view(spark, sf_dir, "customer")
+    vo = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM {vc} c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM {vo} o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_custkey < 50
+    """)

@@ -184,6 +184,9 @@ _GRADING_PRIORITY = [
     "agg_decimal_exact",
     "edge_empty_inputs",
     "events_peak_concurrency",
+    "join_lateral_topn",
+    "events_hourly_heatmap",
+    "stream_state_metrics",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

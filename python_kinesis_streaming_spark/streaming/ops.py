@@ -857,3 +857,54 @@ def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mem = run_to_memory(agg, "complete")
     return mem.select("event_type", "n", rnd(F.col("sv"), 4).alias("sum_value"))
+
+
+@op(
+    "stream_state_metrics",
+    oracle=f"""
+        SELECT CAST((SELECT count(*) FROM (
+                   SELECT DISTINCT date_trunc('hour', {TS}), event_type
+                   FROM events)) AS BIGINT) AS state_rows,
+               CAST(4 AS BIGINT) AS n_data_batches
+    """,
+    scale=(
+        "State-store observability: stateOperators.numRowsTotal from the "
+        "progress API is the number the capacity plan watches — for a "
+        "windowed agg it equals live (window × key) groups, so it should "
+        "track watermark eviction, not stream length. Deterministic here: "
+        "complete mode retains every group, so the final metric equals the "
+        "batch-side distinct-group count, pinned by the oracle."
+    ),
+)
+def stream_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state-store row count (and data-batch count) of the tumbling
+    agg, read from the streaming progress metrics."""
+    import uuid as _uuid
+
+    s = replay_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    name = f"state_{_uuid.uuid4().hex[:10]}"
+    ckpt = os.path.join(SCRATCH, "ckpt", name)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    state_rows = 0
+    for p in reversed(progresses):
+        ops_ = p.get("stateOperators") or []
+        if ops_:
+            state_rows = int(ops_[0]["numRowsTotal"])
+            break
+    n_data = sum(1 for p in progresses if int(p["numInputRows"]) > 0)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return spark.createDataFrame(
+        [(state_rows, n_data)], "state_rows long, n_data_batches long"
+    )
