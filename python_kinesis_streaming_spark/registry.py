@@ -187,6 +187,7 @@ _GRADING_PRIORITY = [
     "join_lateral_topn",
     "events_hourly_heatmap",
     "stream_state_metrics",
+    "fn_variant_json",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
