@@ -873,3 +873,63 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
         .limit(20)
     )
+
+
+@op(
+    "agg_gini_revenue",
+    oracle=f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.505)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, o_custkey) AS i,
+                   count(*) OVER () AS n,
+                   CAST(sum(cents) OVER () AS BIGINT) AS tot
+            FROM rev
+        )
+        SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+               CAST(any_value(tot) AS BIGINT) AS total_cents,
+               {sql_rnd(
+                   "2.0 * sum(CAST(i AS DOUBLE) * cents) / "
+                   "(any_value(n) * any_value(tot)) "
+                   "- (any_value(n) + 1.0) / any_value(n)", 6)} AS gini
+        FROM ranked
+    """,
+    scale=(
+        "Gini concentration of customer revenue — ALL in integer cents "
+        "until the final ratio: per-customer sums are exact, the rank is "
+        "totally ordered (cents, custkey), and Σ i·xᵢ is an integer-"
+        "weighted sum — no accumulation-order hazard can move the rank "
+        "cut. The global sort is over |customers| (post-agg) rows, not "
+        "orders; at 100 TB that's the already-reduced side."
+    ),
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue (integer cents,
+    rank-weighted closed form)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.505)).cast("long")
+    rev = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    w_rank = Window.orderBy("cents", "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("tot"),
+    )
+    return ranked.agg(
+        F.first("n").cast("long").alias("n_customers"),
+        F.first("tot").cast("long").alias("total_cents"),
+        rnd(
+            F.lit(2.0)
+            * F.sum(F.col("i").cast("double") * F.col("cents"))
+            / (F.first("n") * F.first("tot"))
+            - (F.first("n") + F.lit(1.0)) / F.first("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -344,3 +344,58 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     )
+
+
+@op(
+    "ts_changepoint_cusum",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        ),
+        stats AS (SELECT avg(n) AS mu FROM daily),
+        cusum AS (
+            SELECT d, n,
+                   sum(n - mu) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS c
+            FROM daily, stats
+        )
+        SELECT d AS changepoint_day,
+               {sql_rnd("abs(c)", 4)} AS cusum_abs,
+               CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days
+        FROM cusum
+        ORDER BY abs(c) DESC, d LIMIT 1
+    """,
+    scale=(
+        "CUSUM changepoint over the daily series: the heavy work is the "
+        "|days|-row daily agg (partial-agg over events); the CUSUM sweep "
+        "itself runs on that TINY series — ordered window over |days| "
+        "rows, then an argmax. The monitoring primitive for ingest-volume "
+        "shifts; at 100 TB the daily rollup is the only full-data pass "
+        "and is usually already materialized."
+    ),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely level-shift day of daily event volume via the max-|CUSUM|
+    statistic (mean-centered cumulative sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mu = daily.agg(F.avg("n")).first()[0]  # scalar over |days| rows
+    n_days = daily.count()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cusum = daily.select(
+        "d", F.sum(F.col("n") - F.lit(float(mu))).over(w).alias("c")
+    )
+    return (
+        cusum.select(
+            F.col("d").alias("changepoint_day"),
+            rnd(F.abs("c"), 4).alias("cusum_abs"),
+            F.lit(n_days).cast("long").alias("n_days"),
+        )
+        .orderBy(F.desc("cusum_abs"), F.asc("changepoint_day"))
+        .limit(1)
+    )

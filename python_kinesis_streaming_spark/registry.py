@@ -188,6 +188,8 @@ _GRADING_PRIORITY = [
     "events_hourly_heatmap",
     "stream_state_metrics",
     "fn_variant_json",
+    "ts_changepoint_cusum",
+    "agg_gini_revenue",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
