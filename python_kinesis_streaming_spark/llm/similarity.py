@@ -727,3 +727,75 @@ def emb_centroid_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.first("cnorm"), 4).alias("centroid_norm"),
         rnd(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
     )
+
+
+@op(
+    "emb_outlier_gate",
+    oracle="""
+        WITH expl AS (
+            SELECT label, vec_id, u.i AS pos,
+                   embedding[CAST(u.i AS INTEGER)]::DOUBLE AS v
+            FROM embeddings, unnest(range(1, 65)) AS u(i)
+        ),
+        cent AS (SELECT label, pos, avg(v) AS c FROM expl GROUP BY label, pos),
+        carr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+        coss AS (
+            SELECT e.label, e.vec_id,
+                   floor(list_cosine_similarity(e.embedding::DOUBLE[], cv)
+                         * 1000000.0 + 0.505) / 1000000.0 AS cos
+            FROM embeddings e JOIN carr USING (label)
+        ),
+        stats AS (
+            SELECT label,
+                   floor(avg(cos) * 1000000.0 + 0.505) / 1000000.0 AS mu,
+                   floor(stddev_pop(cos) * 1000000.0 + 0.505) / 1000000.0 AS sd
+            FROM coss GROUP BY label
+        )
+        SELECT c.label,
+               count(*) AS n_vectors,
+               CAST(count_if(c.cos < s.mu - 2.0 * s.sd) AS BIGINT) AS n_outliers
+        FROM coss c JOIN stats s USING (label)
+        GROUP BY c.label
+    """,
+    scale=(
+        "Embedding outlier gate (cohesion z-test vs the class centroid): "
+        "three broadcast-sized aggregates — centroids (k·d), per-class "
+        "cosine moments (k rows) — and two scans; no row-level shuffle. "
+        "Every comparison operates on eps-floor-rounded values so the "
+        "outlier threshold cut is bit-identical across engines. The "
+        "mislabeled/corrupt-vector filter that runs before ANN index "
+        "builds."
+    ),
+)
+def emb_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count of vectors whose centroid-cosine falls more than
+    2 population-stddevs below the class mean (rounded thresholds)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = expl.groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias(
+            "cv"
+        )
+    )
+    coss = emb.join(F.broadcast(carr), "label").select(
+        "label",
+        "vec_id",
+        rnd(cosine(F.col("embedding"), F.col("cv")), 6).alias("cos"),
+    )
+    stats = coss.groupBy("label").agg(
+        rnd(F.avg("cos"), 6).alias("mu"),
+        rnd(F.stddev_pop("cos"), 6).alias("sd"),
+    )
+    return (
+        coss.join(F.broadcast(stats), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count_if(
+                F.col("cos") < F.col("mu") - F.lit(2.0) * F.col("sd")
+            ).alias("n_outliers"),
+        )
+    )

@@ -574,3 +574,47 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(dec).cast("string").alias("min_price_exact"),
         F.max(dec).cast("string").alias("max_price_exact"),
     )
+
+
+@op(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_bitmap,
+               CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+                   AS n_users_all
+        FROM events GROUP BY event_type
+    """,
+    scale=(
+        "EXACT distinct counting with mergeable state: bitmap_construct_agg "
+        "packs each key's bit position into a fixed-width bitmap, partials "
+        "OR-combine map-side (like sums — unlike count(DISTINCT) whose "
+        "state is the key set itself), and bitmap_or_agg re-merges "
+        "per-group bitmaps into the global count WITHOUT re-touching rows. "
+        "The exact tier of the distinct-count ladder (HLL sketch-merge is "
+        "the approximate tier, agg_sketch_merge) for dense int key spaces."
+    ),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact distinct users via bucketed bitmap aggregates, plus
+    the global distinct re-derived by OR-merging the per-type bitmaps.
+
+    bitmap_bit_position is 1-based (input 0 would vanish), so keys shift
+    by +1; bitmap_bucket_number partitions the key space into fixed-width
+    bitmaps so arbitrarily large ids never collide."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("user_id") + F.lit(1)
+    per_bucket = ev.groupBy("event_type", F.bitmap_bucket_number(key).alias("bkt")).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(key)).alias("bm")
+    )
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users_bitmap")
+    )
+    global_n = (
+        per_bucket.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("obm"))
+        .agg(F.sum(F.bitmap_count("obm")).alias("n_all"))
+    )
+    return per_type.crossJoin(F.broadcast(global_n)).select(
+        "event_type", "n_users_bitmap", F.col("n_all").alias("n_users_all")
+    )

@@ -190,6 +190,8 @@ _GRADING_PRIORITY = [
     "fn_variant_json",
     "ts_changepoint_cusum",
     "agg_gini_revenue",
+    "agg_bitmap_distinct",
+    "emb_outlier_gate",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

@@ -203,6 +203,7 @@ BNLJ_ALLOWED = {
     "corpus_mix_planner",  # |sources| rows × 1-row grand total
     "sim_truncated_dims",  # corpus × 1-row broadcast query vector
     "emb_kmeans_one_iter",  # corpus × k=8-row broadcast centroid table
+    "agg_bitmap_distinct",  # |types| rows × 1-row OR-merged global bitmap
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
