@@ -158,3 +158,55 @@ def edge_empty_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("union_with_empty_preserves", unioned),
     ]
     return spark.createDataFrame(rows, "check_name string, n_rows long")
+
+
+@op(
+    "set_ops_all_variants",
+    oracle="""
+        SELECT 'intersect_all' AS op, count(*) AS n FROM (
+            SELECT user_id, event_type FROM events WHERE value > 50.0
+            INTERSECT ALL
+            SELECT user_id, event_type FROM events WHERE value < 200.0
+        )
+        UNION ALL
+        SELECT 'except_all', count(*) FROM (
+            SELECT user_id, event_type FROM events WHERE value > 50.0
+            EXCEPT ALL
+            SELECT user_id, event_type FROM events WHERE value < 200.0
+        )
+        UNION ALL
+        SELECT 'intersect_distinct', count(*) FROM (
+            SELECT user_id, event_type FROM events WHERE value > 50.0
+            INTERSECT
+            SELECT user_id, event_type FROM events WHERE value < 200.0
+        )
+        UNION ALL
+        SELECT 'except_distinct', count(*) FROM (
+            SELECT user_id, event_type FROM events WHERE value > 50.0
+            EXCEPT
+            SELECT user_id, event_type FROM events WHERE value < 200.0
+        )
+    """,
+    scale=(
+        "Bag vs set semantics side by side: INTERSECT/EXCEPT ALL compile "
+        "to per-key multiplicity arithmetic (min / truncated difference of "
+        "counts) over ONE hash shuffle — same cost shape as the DISTINCT "
+        "variants, different answer. The multiplicity-aware forms are what "
+        "reconciliation jobs (did every record land exactly as many times "
+        "as it left?) need at 100 TB; DISTINCT silently forgives dup "
+        "inflation."
+    ),
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row counts of INTERSECT/EXCEPT in both ALL (bag) and DISTINCT (set)
+    semantics over two overlapping event projections."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("value") > 50.0).select("user_id", "event_type")
+    b = ev.where(F.col("value") < 200.0).select("user_id", "event_type")
+    rows = [
+        ("intersect_all", a.intersectAll(b).count()),
+        ("except_all", a.exceptAll(b).count()),
+        ("intersect_distinct", a.intersect(b).count()),
+        ("except_distinct", a.subtract(b).count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n long")

@@ -295,3 +295,37 @@ def win_head_tail_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") <= 2, "head").otherwise("tail").alias("which"),
         )
     )
+
+
+@op(
+    "win_rolling_median",
+    oracle="""
+        SELECT event_id, user_id,
+               floor((quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+                   * 10000.0 + 0.505) / 10000.0 AS med5
+        FROM events
+    """,
+    scale=(
+        "Rolling exact median (5-event trailing frame): the robust "
+        "smoother that a mean-based moving average can't give you. The "
+        "frame is ROWS-bounded so per-row state is 5 values regardless of "
+        "stream length — one user_id shuffle + one sort, same plan shape "
+        "as any windowed agg. For wide frames at 100 TB switch to "
+        "approx_percentile over the same window (mergeable sketch)."
+    ),
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 5-event exact median of value (event-time order)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        rnd(F.expr("percentile(value, 0.5)").over(w), 4).alias("med5"),
+    )

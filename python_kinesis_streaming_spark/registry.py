@@ -192,6 +192,8 @@ _GRADING_PRIORITY = [
     "agg_gini_revenue",
     "agg_bitmap_distinct",
     "emb_outlier_gate",
+    "set_ops_all_variants",
+    "win_rolling_median",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

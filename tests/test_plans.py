@@ -214,6 +214,7 @@ _EXECUTES_EXTRA = {
     "scan_partition_pruned", "scan_schema_evolution", "join_bucketed",
     "dedup_clusters",
     "edge_empty_inputs",  # runs its five count() checks on build
+    "set_ops_all_variants",  # runs its four count() checks on build
 }
 
 
