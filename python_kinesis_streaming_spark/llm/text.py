@@ -648,3 +648,51 @@ def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         rnd(F.avg("nll"), 6).alias("xent"),
     )
+
+
+@op(
+    "text_zipf_fit",
+    oracle="""
+        WITH tok AS (
+            SELECT t.tok AS tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE len(t.tok) > 0
+        ),
+        freq AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
+        ranked AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+            FROM freq
+        ),
+        top AS (SELECT ln(r) AS lx, ln(f) AS ly FROM ranked WHERE r <= 100)
+        SELECT count(*) AS n_ranks,
+               floor((regr_slope(ly, lx)) * 1000000.0 + 0.505) / 1000000.0
+                   AS zipf_slope,
+               floor((regr_r2(ly, lx)) * 1000000.0 + 0.505) / 1000000.0
+                   AS fit_r2
+        FROM top
+    """,
+    scale=(
+        "Zipf-law diagnostics: does the corpus's rank-frequency curve "
+        "look like natural language (slope ≈ -1) or like templated/"
+        "synthetic spam? Token counts are the only corpus-sized pass "
+        "(partial agg); the rank+fit runs on the top-100 rows. The "
+        "cheap distribution-level quality check that catches generator "
+        "collapse where per-doc gates can't."
+    ),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(freq) vs ln(rank) over the top-100 corpus tokens —
+    the Zipf exponent and fit quality."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = doc_tokens(docs).groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.desc("f"), F.asc("tok"))
+    top = (
+        freq.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 100)
+        .select(F.log("r").alias("lx"), F.log("f").alias("ly"))
+    )
+    return top.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        rnd(F.regr_slope("ly", "lx"), 6).alias("zipf_slope"),
+        rnd(F.regr_r2("ly", "lx"), 6).alias("fit_r2"),
+    )

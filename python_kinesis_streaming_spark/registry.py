@@ -194,6 +194,7 @@ _GRADING_PRIORITY = [
     "emb_outlier_gate",
     "set_ops_all_variants",
     "win_rolling_median",
+    "text_zipf_fit",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
