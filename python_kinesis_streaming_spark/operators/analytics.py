@@ -1148,3 +1148,64 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@op(
+    "events_ab_test_lift",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                   value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        per_v AS (
+            SELECT variant, count(*) AS n,
+                   avg(value) AS mu,
+                   var_samp(value) AS v
+            FROM assigned GROUP BY variant
+        )
+        SELECT a.n AS n_a, b.n AS n_b,
+               {sql_rnd("a.mu", 4)} AS mean_a,
+               {sql_rnd("b.mu", 4)} AS mean_b,
+               {sql_rnd("b.mu - a.mu", 4)} AS lift,
+               {sql_rnd("(b.mu - a.mu) / sqrt(a.v / a.n + b.v / b.n)", 4)}
+                   AS z_score
+        FROM (SELECT * FROM per_v WHERE variant = 'A') a,
+             (SELECT * FROM per_v WHERE variant = 'B') b
+    """,
+    scale=(
+        "Two-sample A/B readout: deterministic hash assignment (no "
+        "sampling job, reproducible across retries/engines), per-variant "
+        "moments in ONE partial-agg pass, Welch z from the two summary "
+        "rows. At 100 TB the experiment readout costs one scan; CUPED or "
+        "covariate adjustment adds columns to the same agg, not passes."
+    ),
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B purchase-value comparison under deterministic user_id%2
+    assignment: per-variant means, lift, and Welch z-score."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.where(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "value",
+    )
+    per_v = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    a = per_v.where(F.col("variant") == "A").alias("a")
+    b = per_v.where(F.col("variant") == "B").alias("b")
+    j = a.crossJoin(b)
+    return j.select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        rnd(F.col("a.mu"), 4).alias("mean_a"),
+        rnd(F.col("b.mu"), 4).alias("mean_b"),
+        rnd(F.col("b.mu") - F.col("a.mu"), 4).alias("lift"),
+        rnd(
+            (F.col("b.mu") - F.col("a.mu"))
+            / F.sqrt(F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")),
+            4,
+        ).alias("z_score"),
+    )

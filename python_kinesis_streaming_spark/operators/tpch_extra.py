@@ -605,3 +605,53 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rnd(F.lit(100.0) * (F.col("revenue") - prev) / prev, 4))
         .alias("yoy_pct"),
     )
+
+
+@op(
+    "orders_dormancy_winback",
+    oracle="""
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                             CAST(lag(o_orderdate) OVER w AS DATE),
+                             CAST(o_orderdate AS DATE)) AS gap_days
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT o_custkey AS custkey,
+               count(*) AS n_reorders,
+               CAST(count_if(gap_days > 60) AS BIGINT) AS n_winbacks,
+               CAST(max(gap_days) AS BIGINT) AS max_gap_days
+        FROM gaps WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey
+        HAVING count_if(gap_days > 60) > 0
+    """,
+    scale=(
+        "Dormancy / win-back detection: one lag window and one agg on the "
+        "same o_custkey partitioning — a single shuffle finds every "
+        "customer who went quiet >60 days and returned. Integer day gaps "
+        "(no float thresholds); the CRM re-activation feed, and the "
+        "HAVING keeps the output to the actionable subset."
+    ),
+)
+def orders_dormancy_winback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with >60-day order gaps that later re-ordered: reorder
+    count, win-back count, and longest dormancy."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reorders"),
+            F.count_if(F.col("gap_days") > 60).alias("n_winbacks"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+        .where(F.col("n_winbacks") > 0)
+    )

@@ -195,6 +195,8 @@ _GRADING_PRIORITY = [
     "set_ops_all_variants",
     "win_rolling_median",
     "text_zipf_fit",
+    "events_ab_test_lift",
+    "orders_dormancy_winback",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

@@ -204,6 +204,7 @@ BNLJ_ALLOWED = {
     "sim_truncated_dims",  # corpus × 1-row broadcast query vector
     "emb_kmeans_one_iter",  # corpus × k=8-row broadcast centroid table
     "agg_bitmap_distinct",  # |types| rows × 1-row OR-merged global bitmap
+    "events_ab_test_lift",  # 1-row variant-A summary × 1-row variant-B summary
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
