@@ -696,3 +696,76 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.regr_slope("ly", "lx"), 6).alias("zipf_slope"),
         rnd(F.regr_r2("ly", "lx"), 6).alias("fit_r2"),
     )
+
+
+@op(
+    "text_lang_confusion",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t.tok AS tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE len(t.tok) > 0
+        ),
+        profile AS (
+            SELECT d.lang, tok, count(*) AS freq
+            FROM tok JOIN documents d USING (doc_id) GROUP BY d.lang, tok
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        scores AS (
+            SELECT tf.doc_id, p.lang, sum(tf.tf * p.freq) AS score
+            FROM tf JOIN profile p USING (tok)
+            GROUP BY tf.doc_id, p.lang
+        ),
+        pred AS (
+            SELECT doc_id, lang AS pred_lang FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+                FROM scores
+            ) WHERE rn = 1
+        )
+        SELECT d.lang AS true_lang, p.pred_lang,
+               count(*) AS n,
+               CAST(count_if(d.lang = p.pred_lang) AS BIGINT) AS n_correct
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY d.lang, p.pred_lang
+    """,
+    scale=(
+        "Classifier evaluation as a first-class op: the confusion matrix "
+        "is one equi join of predictions back to labels + a |langs|² "
+        "partial agg — evaluation cost is the prediction pass, the "
+        "readout is free. The same shape scores ANY model whose "
+        "predictions land in a table (the offline-eval loop of a "
+        "training pipeline)."
+    ),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the corpus-trained language identifier vs the
+    true labels (true_lang × pred_lang counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = doc_tokens(docs)
+    profile = (
+        tok.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    scores = (
+        tf.join(F.broadcast(profile), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.col("freq")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("true_lang") == F.col("pred_lang")).alias("n_correct"),
+        )
+    )

@@ -655,3 +655,53 @@ def orders_dormancy_winback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_winbacks") > 0)
     )
+
+
+@op(
+    "li_supplier_hhi",
+    oracle=f"""
+        WITH rev AS (
+            SELECT p.p_type, l.l_suppkey,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_type, l.l_suppkey
+        ),
+        tot AS (SELECT p_type, sum(r) AS t FROM rev GROUP BY p_type)
+        SELECT rev.p_type,
+               count(*) AS n_suppliers,
+               {sql_rnd("sum((r / t) * (r / t))", 6)} AS hhi
+        FROM rev JOIN tot USING (p_type)
+        GROUP BY rev.p_type
+    """,
+    scale=(
+        "Herfindahl-Hirschman concentration per market segment: two "
+        "partial aggs on the same (p_type, suppkey) grain, the totals "
+        "table is |types| rows (broadcast back), and Σ share² is one more "
+        "tiny agg. The supplier-risk metric procurement dashboards track; "
+        "scales as the already-reduced side like gini/pareto."
+    ),
+)
+def li_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration (HHI) within each part type."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")),
+                li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("p_type").agg(F.sum("r").alias("t"))
+    share = F.col("r") / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            rnd(F.sum(share * share), 6).alias("hhi"),
+        )
+    )

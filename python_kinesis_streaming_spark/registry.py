@@ -197,6 +197,8 @@ _GRADING_PRIORITY = [
     "text_zipf_fit",
     "events_ab_test_lift",
     "orders_dormancy_winback",
+    "li_supplier_hhi",
+    "text_lang_confusion",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
