@@ -1209,3 +1209,66 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_score"),
     )
+
+
+@op(
+    "events_cohort_ltv",
+    oracle=f"""
+        WITH signup AS (
+            SELECT user_id, min(ts) AS s_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        purchases AS (
+            SELECT p.user_id, s.s_ts,
+                   (epoch_us(CAST(p.ts AS TIMESTAMP))
+                    - epoch_us(CAST(s.s_ts AS TIMESTAMP)))
+                       // 604800000000 AS wk_since,
+                   p.value
+            FROM events p JOIN signup s USING (user_id)
+            WHERE p.event_type = 'purchase' AND p.ts >= s.s_ts
+        )
+        SELECT date_trunc('week', CAST(s_ts AS TIMESTAMP)) AS cohort_week,
+               CAST(wk_since AS BIGINT) AS weeks_since_signup,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+               {sql_rnd("sum(value)", 4)} AS revenue
+        FROM purchases
+        GROUP BY 1, 2
+    """,
+    scale=(
+        "Cohort LTV curve: first-signup per user (one partial agg), one "
+        "same-key equi join attaching the cohort anchor, integer week "
+        "offsets, and a (cohort × offset) grid agg — a single user_id "
+        "shuffle chain end to end. THE subscription/retention-economics "
+        "readout; the cumulative-LTV variant is one running-sum window "
+        "over this grid (|cohorts|×|weeks| rows)."
+    ),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort revenue by integer weeks since signup (buyers +
+    revenue per cell)."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .select(
+            "user_id",
+            "s_ts",
+            ((F.unix_micros("ts") - F.unix_micros("s_ts")) / F.lit(604800000000))
+            .cast("long")
+            .alias("wk_since"),
+            "value",
+        )
+    )
+    return purchases.groupBy(
+        F.date_trunc("week", "s_ts").alias("cohort_week"),
+        F.col("wk_since").alias("weeks_since_signup"),
+    ).agg(
+        F.countDistinct("user_id").alias("n_buyers"),
+        rnd(F.sum("value"), 4).alias("revenue"),
+    )

@@ -199,6 +199,7 @@ _GRADING_PRIORITY = [
     "orders_dormancy_winback",
     "li_supplier_hhi",
     "text_lang_confusion",
+    "events_cohort_ltv",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
