@@ -1272,3 +1272,54 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_buyers"),
         rnd(F.sum("value"), 4).alias("revenue"),
     )
+
+
+@op(
+    "events_error_rate_alert",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                   count(*) AS n,
+                   CAST(count_if(event_type = 'error') AS BIGINT) AS n_err,
+                   floor((CAST(count_if(event_type = 'error') AS DOUBLE)
+                          / count(*)) * 1000000.0 + 0.505) / 1000000.0 AS rate
+            FROM events GROUP BY 1
+        ),
+        stats AS (
+            SELECT floor(avg(rate) * 1000000.0 + 0.505) / 1000000.0 AS mu,
+                   floor(stddev_pop(rate) * 1000000.0 + 0.505) / 1000000.0 AS sd
+            FROM hourly
+        )
+        SELECT h AS alert_hour, n, n_err, rate
+        FROM hourly, stats
+        WHERE rate > mu + 2.0 * sd
+    """,
+    scale=(
+        "Error-budget alerting: hourly rates are a partial agg (one "
+        "count_if rides the count), the control band is TWO scalars from "
+        "the |hours|-row series, and the breach filter compares rounded "
+        "values so alert membership is bit-identical across engines. At "
+        "100 TB the hourly rollup is the only full pass and is the same "
+        "table the monitoring dashboard already materializes."
+    ),
+)
+def events_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose error rate breaches mean + 2 population-stddevs of the
+    hourly-rate series (rates and thresholds eps-floor-rounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("event_type") == "error").alias("n_err"),
+    ).withColumn(
+        "rate",
+        rnd(F.col("n_err").cast("double") / F.col("n"), 6),
+    )
+    stats = hourly.agg(
+        rnd(F.avg("rate"), 6).alias("mu"),
+        rnd(F.stddev_pop("rate"), 6).alias("sd"),
+    )
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .where(F.col("rate") > F.col("mu") + F.lit(2.0) * F.col("sd"))
+        .select(F.col("h").alias("alert_hour"), "n", "n_err", "rate")
+    )

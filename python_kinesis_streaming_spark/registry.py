@@ -200,6 +200,7 @@ _GRADING_PRIORITY = [
     "li_supplier_hhi",
     "text_lang_confusion",
     "events_cohort_ltv",
+    "events_error_rate_alert",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

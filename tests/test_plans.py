@@ -205,6 +205,7 @@ BNLJ_ALLOWED = {
     "emb_kmeans_one_iter",  # corpus × k=8-row broadcast centroid table
     "agg_bitmap_distinct",  # |types| rows × 1-row OR-merged global bitmap
     "events_ab_test_lift",  # 1-row variant-A summary × 1-row variant-B summary
+    "events_error_rate_alert",  # |hours| rows × 1-row control-band stats
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
