@@ -705,3 +705,271 @@ def li_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum(share * share), 6).alias("hhi"),
         )
     )
+
+
+@op(
+    "q4_order_priority",
+    oracle="""
+        SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o.o_orderpriority
+    """,
+    scale=(
+        "TPC-H Q4 shape (late-shipment priority check; the fixture has no "
+        "commitdate/receiptdate, so 'late' = shipped >60 days after order). "
+        "Left-semi join on the orderkey equi-key with the lateness residual "
+        "evaluated inside the join — lineitem is never widened or "
+        "re-aggregated, the semi join short-circuits per orderkey, and the "
+        "date window prunes orders before the shuffle. One shuffle chain; "
+        "output is 5 rows at any SF."
+    ),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority that had at least one late (>60d) shipment."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = (
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+@op(
+    "q9_product_profit",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               {sql_rnd("sum(l.l_extendedprice * (1 - l.l_discount)"
+                        " - 0.6 * p.p_retailprice * l.l_quantity)")} AS profit
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+    """,
+    scale=(
+        "TPC-H Q9 shape (product-line profit by supplier nation x year; no "
+        "partsupp in the fixture, so supply cost = 0.6 x p_retailprice). "
+        "part is filtered by the name predicate BEFORE the join and "
+        "broadcast — at 100 TB the filtered part side is the classic "
+        "broadcast-after-prune win; supplier/nation broadcast; the only "
+        "shuffles are lineitem->orders on orderkey and the final tiny "
+        "(nation, year) agg, with partial aggregation map-side."
+    ),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and order year for one product family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - (
+        F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(o.select("o_orderkey", "o_orderdate"),
+              li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(rnd(F.sum(profit)).alias("profit"))
+    )
+
+
+@op(
+    "q11_important_stock",
+    oracle=f"""
+        WITH pv AS (
+            SELECT l.l_partkey AS p_partkey,
+                   sum(l.l_extendedprice) AS val
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+            GROUP BY l.l_partkey
+        )
+        SELECT p_partkey, {sql_rnd("val")} AS stock_value
+        FROM pv
+        WHERE {sql_rnd("val")} > (SELECT {sql_rnd("sum(val) * 0.001")} FROM pv)
+    """,
+    scale=(
+        "TPC-H Q11 shape (important-stock scan; inventory value stands in "
+        "for ps_supplycost*ps_availqty). One partkey-grain partial agg over "
+        "the region-filtered fact, then the grand total (1 row) joins back "
+        "as a broadcast scalar — the per-part relation is aggregated ONCE "
+        "and reused for both the threshold and the output, never re-scanned. "
+        "Both sides of the > compare through the shared floor-rounding so "
+        "the cut is bit-identical across engines."
+    ),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose regional stock value exceeds 0.1% of the regional total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    eu_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    pv = (
+        li.join(F.broadcast(eu_supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("l_extendedprice").alias("val"))
+    )
+    pv = pv.persist()
+    thr = pv.agg(rnd(F.sum("val") * F.lit(0.001)).alias("thr"))
+    return (
+        pv.crossJoin(F.broadcast(thr))
+        .where(rnd(F.col("val")) > F.col("thr"))
+        .select("p_partkey", rnd(F.col("val")).alias("stock_value"))
+    )
+
+
+@op(
+    "q16_parts_supplier",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    scale=(
+        "TPC-H Q16 shape (supplier diversity per part family; lineitem "
+        "supply relationships stand in for partsupp, negative-balance "
+        "suppliers for the complaints blacklist). The blacklist is a tiny "
+        "broadcast anti join BEFORE the distinct agg; brand/type/size "
+        "predicates prune part pre-broadcast. count(DISTINCT suppkey) "
+        "shuffles on the (brand,type,size) group key only after a "
+        "map-side partial distinct on (group, suppkey)."
+    ),
+)
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct non-blacklisted suppliers per (brand, type, size) family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+              li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@op(
+    "q21_waiting_supplier",
+    oracle="""
+        WITH g AS (
+            SELECT l.l_orderkey, l.l_suppkey, max(l.l_shipdate) AS s_max
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY l.l_orderkey, l.l_suppkey
+        ),
+        w AS (
+            SELECT *,
+                   max(s_max) OVER (PARTITION BY l_orderkey) AS o_max,
+                   count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+            FROM g
+        ),
+        w2 AS (
+            SELECT *,
+                   sum(CASE WHEN s_max = o_max THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY l_orderkey) AS n_attain
+            FROM w
+        )
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM w2
+        JOIN supplier s ON w2.l_suppkey = s.s_suppkey
+        WHERE n_supp >= 2 AND s_max = o_max AND n_attain = 1
+        GROUP BY s.s_name
+    """,
+    scale=(
+        "TPC-H Q21 shape (suppliers who kept finished multi-supplier orders "
+        "waiting = the order's unique latest shipper). lineitem is first "
+        "reduced to (orderkey, suppkey) grain — the exists/not-exists pair "
+        "of the original becomes two window functions over that already-"
+        "aggregated relation, so the per-order state is |suppliers-per-"
+        "order| rows, not lineitems. One shuffle on orderkey serves the "
+        "agg AND both windows (same partitioning, no re-exchange); the "
+        "supplier name lookup broadcasts."
+    ),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of finished multi-supplier orders each supplier shipped last."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = load_table(spark, sf_dir, "supplier")
+    g = (
+        li.join(o, li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("s_max"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    w2 = (
+        g.withColumn("o_max", F.max("s_max").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_attain",
+            F.sum(
+                F.when(F.col("s_max") == F.col("o_max"), 1).otherwise(0)
+            ).over(w),
+        )
+    )
+    return (
+        w2.where(
+            (F.col("n_supp") >= 2)
+            & (F.col("s_max") == F.col("o_max"))
+            & (F.col("n_attain") == 1)
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )

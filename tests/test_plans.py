@@ -206,6 +206,7 @@ BNLJ_ALLOWED = {
     "agg_bitmap_distinct",  # |types| rows × 1-row OR-merged global bitmap
     "events_ab_test_lift",  # 1-row variant-A summary × 1-row variant-B summary
     "events_error_rate_alert",  # |hours| rows × 1-row control-band stats
+    "q11_important_stock",  # |parts| rows × 1-row broadcast threshold scalar
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
