@@ -769,3 +769,50 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("true_lang") == F.col("pred_lang")).alias("n_correct"),
         )
     )
+
+
+@op(
+    "text_heaps_law",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        f AS (
+            SELECT w, min(doc_id) AS doc_id FROM w GROUP BY w
+        ),
+        p AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS new_words
+            FROM f GROUP BY doc_id
+        )
+        SELECT doc_id, new_words,
+               CAST(sum(new_words) OVER (ORDER BY doc_id) AS BIGINT)
+                   AS cum_vocab
+        FROM p
+    """,
+    scale=(
+        "Heaps'-law vocabulary-growth curve: which documents introduce "
+        "new vocabulary, scanning the corpus in doc_id order. explode -> "
+        "min(doc_id) per word is ONE shuffle keyed on the word (map-side "
+        "partial min), the per-doc re-agg is keyed on doc_id, and the "
+        "cumulative sum runs over the |docs-with-new-words| relation — "
+        "at 100 TB that's bounded by vocabulary size, not corpus size. "
+        "The curve is the standard dedup-health diagnostic: a corpus "
+        "whose cum_vocab flattens early is heavily duplicated."
+    ),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document new-vocabulary counts and the cumulative vocab curve."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    firsts = words.groupBy("w").agg(F.min("doc_id").alias("doc_id"))
+    per_doc = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("new_words")
+    )
+    return per_doc.select(
+        "doc_id",
+        "new_words",
+        F.sum("new_words").over(Window.orderBy("doc_id")).alias("cum_vocab"),
+    )

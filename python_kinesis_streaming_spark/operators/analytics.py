@@ -1323,3 +1323,73 @@ def events_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rate") > F.col("mu") + F.lit(2.0) * F.col("sd"))
         .select(F.col("h").alias("alert_hour"), "n", "n_err", "rate")
     )
+
+
+@op(
+    "agg_chi_square",
+    oracle=f"""
+        WITH cells AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang, source
+        ),
+        m AS (
+            SELECT n,
+                   sum(n) OVER (PARTITION BY lang)   AS row_tot,
+                   sum(n) OVER (PARTITION BY source) AS col_tot,
+                   sum(n) OVER ()                    AS g_tot
+            FROM cells
+        ),
+        d AS (
+            SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_src
+            FROM cells
+        )
+        SELECT
+            {sql_rnd("any_value(g_tot) * (sum((n * n) * 1.0 / (row_tot * col_tot)) - 1)", 4)}
+                AS chi2,
+            (SELECT (n_lang - 1) * (n_src - 1) FROM d) AS dof
+        FROM m
+    """,
+    scale=(
+        "Chi-square independence test for lang x source using the "
+        "identity chi2 = N*(SUM n_ij^2/(r_i*c_j) - 1) — only OBSERVED "
+        "cells are needed, so the empty cells of the contingency table "
+        "never materialize (no full-grid cross join). The contingency "
+        "table is one partial agg (|langs|x|sources| rows max); margins "
+        "are three windows over that tiny relation; the test statistic is "
+        "one more 1-row agg. At 100 TB only the first agg touches data."
+    ),
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for lang/source independence over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = cells.select(
+        "n",
+        F.sum("n").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("g_tot"),
+    )
+    dof = cells.agg(
+        (
+            (F.count_distinct("lang") - F.lit(1))
+            * (F.count_distinct("source") - F.lit(1))
+        ).alias("dof")
+    )
+    stat = m.agg(
+        rnd(
+            F.any_value("g_tot")
+            * (
+                F.sum(
+                    (F.col("n") * F.col("n"))
+                    * F.lit(1.0)
+                    / (F.col("row_tot") * F.col("col_tot"))
+                )
+                - F.lit(1)
+            ),
+            4,
+        ).alias("chi2")
+    )
+    return stat.crossJoin(F.broadcast(dof))

@@ -399,3 +399,151 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cusum_abs"), F.asc("changepoint_day"))
         .limit(1)
     )
+
+
+@op(
+    "ts_autocorr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+                   sum(value) AS v
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT v,
+                   lag(v, 1) OVER (ORDER BY d) AS v1,
+                   lag(v, 2) OVER (ORDER BY d) AS v2,
+                   lag(v, 3) OVER (ORDER BY d) AS v3
+            FROM daily
+        ),
+        c AS (
+            SELECT corr(v, v1) AS a1, corr(v, v2) AS a2, corr(v, v3) AS a3
+            FROM lagged
+        )
+        SELECT 1 AS lag, {sql_rnd("a1", 6)} AS acf FROM c
+        UNION ALL SELECT 2, {sql_rnd("a2", 6)} FROM c
+        UNION ALL SELECT 3, {sql_rnd("a3", 6)} FROM c
+    """,
+    scale=(
+        "Autocorrelation of the daily aggregate series at lags 1-3 — the "
+        "seasonality screen run before fitting any forecast model. The "
+        "series is reduced to day grain FIRST (one partial agg; |days| rows "
+        "regardless of SF), so the window sort and the three corr "
+        "aggregates all operate on a relation that fits in one task at any "
+        "scale. corr's co-moment state is mergeable, so even a year-grain "
+        "series would stay a partial agg. All three lags share ONE window "
+        "sort (same ORDER BY, three lag offsets)."
+    ),
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of the daily total-value series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum("value").alias("v")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+    c = lagged.agg(
+        rnd(F.corr("v", "v1"), 6).alias("a1"),
+        rnd(F.corr("v", "v2"), 6).alias("a2"),
+        rnd(F.corr("v", "v3"), 6).alias("a3"),
+    )
+    return c.select(
+        F.expr("stack(3, 1, a1, 2, a2, 3, a3) AS (lag, acf)")
+    )
+
+
+@op(
+    "ts_seasonal_profile",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                   sum(value) AS hv
+            FROM events GROUP BY 1
+        ),
+        prof AS (
+            SELECT CAST(hour(h) AS INTEGER) AS hod,
+                   avg(hv) AS avg_v,
+                   CAST(count(*) AS BIGINT) AS n_hours
+            FROM hourly GROUP BY 1
+        )
+        SELECT hod, {sql_rnd("avg_v")} AS avg_value, n_hours,
+               {sql_rnd("avg_v / avg(avg_v) OVER ()", 4)} AS seasonal_idx
+        FROM prof
+    """,
+    scale=(
+        "Hour-of-day seasonal index (the multiplicative-decomposition "
+        "seasonal component): two stacked partial aggs — raw events to "
+        "hour grain, hour grain to the 24-row hour-of-day profile — then "
+        "the normalizing grand mean is a frameless window over those 24 "
+        "rows (no scalar-subquery re-scan, no cross join). Both aggs "
+        "combine map-side; the only data-sized shuffle is the first, keyed "
+        "on |days|x24 distinct hours."
+    ),
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day average activity and its normalized seasonal index."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("value").alias("hv")
+    )
+    prof = hourly.groupBy(F.hour("h").alias("hod")).agg(
+        F.avg("hv").alias("avg_v"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    return prof.select(
+        "hod",
+        rnd(F.col("avg_v")).alias("avg_value"),
+        "n_hours",
+        rnd(
+            F.col("avg_v") / F.avg("avg_v").over(Window.partitionBy()), 4
+        ).alias("seasonal_idx"),
+    )
+
+
+@op(
+    "events_attribution_first_touch",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type, value,
+                   first_value(event_type) OVER (
+                       PARTITION BY user_id ORDER BY {_ORD_SQL}
+                   ) AS first_touch
+            FROM events
+        )
+        SELECT first_touch,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               {sql_rnd("sum(value)")} AS attributed_value
+        FROM e
+        WHERE event_type = 'purchase'
+        GROUP BY first_touch
+    """,
+    scale=(
+        "First-touch marketing attribution: every purchase credits the "
+        "user's FIRST event type. One shuffle on user_id serves the "
+        "first_value window (ordered by the shared changelog ordinal — "
+        "deterministic under same-ms ties); the purchase filter then "
+        "shrinks the relation before the tiny |event_types| re-agg. At "
+        "100 TB the window needs only first_value running state (no full "
+        "buffering), and a pre-bucketed events table removes the shuffle "
+        "entirely."
+    ),
+)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute purchase value to each user's first-seen event type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(_ord_col())
+    return (
+        ev.withColumn("first_touch", F.first("event_type").over(w))
+        .where(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            rnd(F.sum("value")).alias("attributed_value"),
+        )
+    )

@@ -207,6 +207,7 @@ BNLJ_ALLOWED = {
     "events_ab_test_lift",  # 1-row variant-A summary × 1-row variant-B summary
     "events_error_rate_alert",  # |hours| rows × 1-row control-band stats
     "q11_important_stock",  # |parts| rows × 1-row broadcast threshold scalar
+    "agg_chi_square",  # 1-row statistic × 1-row degrees-of-freedom
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
