@@ -476,3 +476,78 @@ def sim_truncated_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("in_trunc"), F.lit(False)).alias("in_trunc"),
         )
     )
+
+
+@op(
+    "corpus_sample_weighted",
+    oracle="""
+        WITH per_src AS (
+            SELECT source, sum(n_chars) AS src_chars
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(src_chars) AS total_chars FROM per_src),
+        rates AS (
+            SELECT source,
+                   CAST(floor((CASE WHEN src_chars * 30.0 <= total_chars
+                                    THEN 1.0
+                                    ELSE total_chars / (30.0 * src_chars)
+                               END) * 1000000.0 + 0.505) AS BIGINT)
+                       AS keep_ppm
+            FROM per_src, tot
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS kept_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS kept_chars,
+               any_value(r.keep_ppm) AS keep_ppm
+        FROM documents d
+        JOIN rates r ON d.source = r.source
+        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000 < r.keep_ppm
+        GROUP BY d.source
+    """,
+    scale=(
+        "The execution half of corpus_mix_planner: apply the per-source "
+        "keep-rate as a DETERMINISTIC Bernoulli sample — keep iff "
+        "md5(doc_id) mod 1e6 < rate_ppm. Hash-based sampling (not rand()) "
+        "is the 100 TB requirement: re-running the job, resuming a failed "
+        "stage, or sampling on another engine selects the SAME documents, "
+        "and the integer ppm comparison is bit-identical everywhere. The "
+        "rate table is |sources| rows broadcast; the sample is map-only."
+    ),
+)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-Bernoulli down-sample at mix-planner rates."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.sum("n_chars").alias("src_chars"))
+    tot = per_src.agg(F.sum("src_chars").alias("total_chars"))
+    rates = (
+        per_src.join(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(
+                F.when(
+                    F.col("src_chars") * F.lit(30.0) <= F.col("total_chars"),
+                    F.lit(1.0),
+                ).otherwise(
+                    F.col("total_chars") / (F.lit(30.0) * F.col("src_chars"))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.505)
+            )
+            .cast("long")
+            .alias("keep_ppm"),
+        )
+    )
+    u = md5_hash64(F.col("doc_id").cast("string")) % F.lit(1000000)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(u < F.col("keep_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+            F.any_value("keep_ppm").alias("keep_ppm"),
+        )
+    )

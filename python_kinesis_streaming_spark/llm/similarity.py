@@ -799,3 +799,74 @@ def emb_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@op(
+    "emb_hamming_knn",
+    oracle="""
+        WITH sigs AS (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(range(1, 33),
+                       i -> CASE WHEN embedding[i] > 0
+                                 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT
+                            END)) AS BIGINT) AS sig_lo,
+                   CAST(list_sum(list_transform(range(33, 65),
+                       i -> CASE WHEN embedding[i] > 0
+                                 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT
+                            END)) AS BIGINT) AS sig_hi
+            FROM embeddings
+        ),
+        q AS (SELECT sig_lo AS q_lo, sig_hi AS q_hi FROM sigs WHERE vec_id = 0)
+        SELECT s.vec_id,
+               CAST(bit_count(xor(s.sig_lo, q.q_lo))
+                    + bit_count(xor(s.sig_hi, q.q_hi)) AS INTEGER) AS hamming
+        FROM sigs s CROSS JOIN q
+        WHERE s.vec_id <> 0
+        ORDER BY hamming, s.vec_id
+        LIMIT 10
+    """,
+    scale=(
+        "Binary-signature ANN: each 64-dim float vector compresses to a "
+        "64-bit sign signature (two 32-bit halves packed into BIGINTs), "
+        "and similarity becomes popcount(xor) — 8 bytes per vector instead "
+        "of 256, so a 100 TB float corpus becomes a ~3 TB bit corpus that "
+        "scans at memory bandwidth. Signatures are computed map-only from "
+        "built-in HOF exprs (aggregate over sequence — no UDF); the query "
+        "signature is a 1-row broadcast; top-k is TakeOrderedAndProject "
+        "(no global sort). The standard first-pass filter before exact "
+        "re-ranking (see sim_rerank_two_stage)."
+    ),
+)
+def emb_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest neighbours by sign-bit Hamming distance to vec 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def sig(lo_bit: int, hi_bit: int, alias: str):
+        return F.expr(
+            f"aggregate(sequence({lo_bit}, {hi_bit}), 0L, (acc, i) -> "
+            f"acc + IF(element_at(embedding, i) > 0, "
+            f"shiftleft(1L, i - {lo_bit}), 0L))"
+        ).alias(alias)
+
+    sigs = emb.select(
+        "vec_id", sig(1, 32, "sig_lo"), sig(33, 64, "sig_hi")
+    )
+    q = (
+        sigs.where(F.col("vec_id") == 0)
+        .select(
+            F.col("sig_lo").alias("q_lo"), F.col("sig_hi").alias("q_hi")
+        )
+    )
+    return (
+        sigs.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.expr("sig_lo ^ q_lo"))
+                + F.bit_count(F.expr("sig_hi ^ q_hi"))
+            ).cast("int").alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )

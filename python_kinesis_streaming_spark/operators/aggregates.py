@@ -618,3 +618,48 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.crossJoin(F.broadcast(global_n)).select(
         "event_type", "n_users_bitmap", F.col("n_all").alias("n_users_all")
     )
+
+
+@op(
+    "agg_incremental_rollup",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(value) AS sv
+            FROM events GROUP BY 1, 2
+        )
+        SELECT date_trunc('month', d) AS m, event_type,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               {sql_rnd("sum(sv)")} AS sum_value,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1, 2
+    """,
+    scale=(
+        "Incremental (hypertable-style) rollup: the monthly aggregate is "
+        "computed FROM the daily rollup, never from raw events — count and "
+        "sum are algebraic, so partials merge losslessly. This is the "
+        "materialized-rollup maintenance pattern at 100 TB: each new day "
+        "aggregates once (|day| partition only), months re-aggregate "
+        "|days|x|types| rows in milliseconds, and backfills touch only "
+        "affected days. The same two-level shape is what AQE-era map-side "
+        "partial aggregation does inside a single query."
+    ),
+)
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly aggregates derived from a daily rollup (algebraic re-agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("sv"),
+    )
+    return daily.groupBy(
+        F.date_trunc("month", "d").alias("m"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        rnd(F.sum("sv")).alias("sum_value"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )

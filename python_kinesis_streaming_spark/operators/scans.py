@@ -307,3 +307,64 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("val").alias("total_val"),
     )
+
+
+@op(
+    "join_dpp_partition_pruned",
+    oracle="""
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e
+        WHERE e.event_type IN ('purchase', 'signup')
+        GROUP BY e.event_type
+    """,
+    scale=(
+        "DYNAMIC partition pruning — the star-join layout lever at 100 TB. "
+        "The fact is partitioned by event_type; the dim is a separate "
+        "parquet whose category filter is unknowable at plan time, so "
+        "static pruning is impossible. Spark runs the broadcast dim filter "
+        "first, REUSES that broadcast as a pruning subquery on the fact's "
+        "PartitionFilters (`dynamicpruning#` — pinned in test_plans), and "
+        "never lists, opens, or reads the non-matching partitions. On a "
+        "date-partitioned 100 TB fact joined to a filtered date dim this "
+        "routinely skips >90% of the scan."
+    ),
+)
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join the event_type-partitioned fact to a category-filtered dim
+    parquet so the fact partitions prune at RUNTIME (DPP), not plan time."""
+    tag = fixture_tag(sf_dir)
+    fact_dir = os.path.join(SCRATCH, "part_events", tag)
+    if not os.path.exists(os.path.join(fact_dir, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(fact_dir)
+    dim_dir = os.path.join(SCRATCH, "evt_dim", tag)
+    if not os.path.exists(os.path.join(dim_dir, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_type")
+            .distinct()
+            .withColumn(
+                "category",
+                F.when(
+                    F.col("event_type").isin("purchase", "signup"),
+                    "conversion",
+                )
+                .when(F.col("event_type") == "error", "ops")
+                .otherwise("engagement"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dim_dir)
+        )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).where(F.col("category") == "conversion")
+    return (
+        fact.join(F.broadcast(dim.select("event_type")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -208,6 +208,8 @@ BNLJ_ALLOWED = {
     "events_error_rate_alert",  # |hours| rows × 1-row control-band stats
     "q11_important_stock",  # |parts| rows × 1-row broadcast threshold scalar
     "agg_chi_square",  # 1-row statistic × 1-row degrees-of-freedom
+    "emb_hamming_knn",  # corpus × 1-row broadcast query signature
+    "corpus_sample_weighted",  # |sources| rate rows × 1-row grand total
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
@@ -216,6 +218,7 @@ BNLJ_ALLOWED = {
 _EXECUTES_ON_BUILD = ("stream_", "source_stream", "join_stream", "sink_")
 _EXECUTES_EXTRA = {
     "scan_partition_pruned", "scan_schema_evolution", "join_bucketed",
+    "join_dpp_partition_pruned",
     "dedup_clusters",
     "edge_empty_inputs",  # runs its five count() checks on build
     "set_ops_all_variants",  # runs its four count() checks on build
@@ -307,3 +310,20 @@ def test_runtime_bloom_filter_injection(spark, sf_dir, no_table_cache):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, no_table_cache):
+    """join_dpp_partition_pruned: the dim's category filter cannot prune the
+    fact statically (it lives in a separate parquet), so the executed plan
+    must carry a dynamicpruning subquery inside the fact's PartitionFilters
+    — the runtime skip-90%-of-the-scan lever for partitioned star joins."""
+    df = Q["join_dpp_partition_pruned"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p, p[:4000]
+    # the pruning subquery must sit on the partitioned fact scan
+    fact_scan = [
+        ln for ln in p.splitlines()
+        if "FileScan" in ln and "part_events" in ln
+    ]
+    assert fact_scan and "dynamicpruning" in fact_scan[0], fact_scan
