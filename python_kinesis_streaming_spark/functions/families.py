@@ -792,3 +792,36 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("k").isNull()).alias("n_missing"),
         )
     )
+
+
+@op(
+    "fn_group_by_all",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_rnd("sum(l_quantity)")} AS sum_qty,
+               {sql_rnd("avg(l_discount)", 4)} AS avg_disc
+        FROM lineitem
+        GROUP BY ALL
+    """,
+    scale=(
+        "GROUP BY ALL (Spark 3.4+/ANSI shorthand): every non-aggregate "
+        "select item becomes a grouping key, eliminating the classic "
+        "drift bug where a new projection column silently changes grain. "
+        "Compiles to the identical HashAggregate as the explicit form — "
+        "partial agg map-side, 6-row result — purely parser surface."
+    ),
+)
+def fn_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL shorthand over the Q1 grouping."""
+    v = _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST({sql_rnd("sum(l_quantity)")} AS DOUBLE) AS sum_qty,
+               CAST({sql_rnd("avg(l_discount)", 4)} AS DOUBLE) AS avg_disc
+        FROM {v}
+        GROUP BY ALL
+        """
+    )

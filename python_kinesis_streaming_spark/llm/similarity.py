@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from python_kinesis_streaming_spark.functions.rounding import rnd
+from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
 from python_kinesis_streaming_spark.registry import op
 from python_kinesis_streaming_spark.sources.tables import load_table
 
@@ -870,3 +870,102 @@ def emb_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(10)
     )
+
+
+@op(
+    "emb_pca_power_iter",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        x AS (
+            SELECT vec_id, CAST(u.i AS INTEGER) AS j, v[u.i + 1] AS x
+            FROM e, unnest(range(0, 64)) AS u(i)
+        ),
+        s1 AS (SELECT vec_id, sum(x) / 8.0 AS s FROM x GROUP BY vec_id),
+        v1 AS (
+            SELECT j, sum(x.x * s1.s) AS v1
+            FROM x JOIN s1 USING (vec_id) GROUP BY j
+        ),
+        v1n AS (SELECT j, v1 / sqrt(sum(v1 * v1) OVER ()) AS v1n FROM v1),
+        s2 AS (
+            SELECT vec_id, sum(x.x * v1n.v1n) AS s2
+            FROM x JOIN v1n USING (j) GROUP BY vec_id
+        ),
+        v2 AS (
+            SELECT j, sum(x.x * s2.s2) AS v2
+            FROM x JOIN s2 USING (vec_id) GROUP BY j
+        ),
+        nrm AS (SELECT j, v2, sqrt(sum(v2 * v2) OVER ()) AS n2 FROM v2),
+        lam AS (
+            SELECT sum(v1n.v1n * v2.v2) AS l FROM v1n JOIN v2 USING (j)
+        )
+        SELECT nrm.j, {sql_rnd("v2 / n2", 4)} AS loading,
+               (SELECT {sql_rnd("l")} FROM lam) AS eigenvalue
+        FROM nrm
+    """,
+    scale=(
+        "Top principal component by TWO power-iteration matvecs that never "
+        "materialize the gram matrix: v_{{t+1}} = Σ_i e_i (e_i·v_t), i.e. "
+        "each pass is a per-row dot product (map-only against the broadcast "
+        "64-row v_t) followed by a d-row weighted-sum agg — the Krylov "
+        "pattern that scales to 100 TB because the shuffle carries d rows "
+        "per partition, not d² and not N. Start vector is the constant "
+        "1/8-vector so the first dot product folds into a row-local HOF. "
+        "The Rayleigh quotient v_t·v_{{t+1}} estimates the eigenvalue. "
+        "More iterations = repeat pass 2; convergence is |corpus|-free."
+    ),
+)
+def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration steps toward the top PCA loading vector."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "x"),
+    )
+    s1 = emb.select(
+        "vec_id",
+        (
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / F.lit(8.0)
+        ).alias("s"),
+    )
+    v1 = (
+        x.join(s1, "vec_id")
+        .groupBy("j")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("v1"))
+    )
+    wall = Window.partitionBy()
+    v1n = v1.select(
+        "j",
+        (
+            F.col("v1")
+            / F.sqrt(F.sum(F.col("v1") * F.col("v1")).over(wall))
+        ).alias("v1n"),
+    )
+    s2 = (
+        x.join(F.broadcast(v1n), "j")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("v1n")).alias("s2"))
+    )
+    v2 = (
+        x.join(s2, "vec_id")
+        .groupBy("j")
+        .agg(F.sum(F.col("x") * F.col("s2")).alias("v2"))
+    )
+    lam = (
+        v2.join(F.broadcast(v1n), "j")
+        .agg(rnd(F.sum(F.col("v1n") * F.col("v2"))).alias("eigenvalue"))
+    )
+    nrm = v2.select(
+        "j",
+        rnd(
+            F.col("v2") / F.sqrt(F.sum(F.col("v2") * F.col("v2")).over(wall)),
+            4,
+        ).alias("loading"),
+    )
+    return nrm.crossJoin(F.broadcast(lam))

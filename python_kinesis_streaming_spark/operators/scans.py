@@ -368,3 +368,48 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@op(
+    "sink_partitioned_write",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               min(CAST(ts AS TIMESTAMP)) AS first_ts,
+               max(CAST(ts AS TIMESTAMP)) AS last_ts
+        FROM events
+        GROUP BY event_type
+    """,
+    scale=(
+        "Writer-side clustering — the producer half of the pruning story: "
+        "repartition by the partition column (one file per partition dir, "
+        "not one per task x partition: no small-file explosion), sort "
+        "WITHIN partitions by (ts, event_id) so every parquet row group "
+        "carries tight min/max ts stats (row-group skipping for time-range "
+        "readers), and cap maxRecordsPerFile so a skewed partition splits "
+        "into parallel-readable files. This layout is what makes "
+        "scan_partition_pruned and join_dpp_partition_pruned cheap at "
+        "100 TB; the read-back agg proves the roundtrip is lossless."
+    ),
+)
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned + sorted-within-partition parquet write, verified by a
+    read-back aggregate."""
+    tag = fixture_tag(sf_dir)
+    out = os.path.join(SCRATCH, "sink_partsorted", tag)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.repartition("event_type")
+            .sortWithinPartitions("event_type", "ts", "event_id")
+            .write.partitionBy("event_type")
+            .option("maxRecordsPerFile", 50000)
+            .mode("overwrite")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

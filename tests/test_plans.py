@@ -210,6 +210,7 @@ BNLJ_ALLOWED = {
     "agg_chi_square",  # 1-row statistic × 1-row degrees-of-freedom
     "emb_hamming_knn",  # corpus × 1-row broadcast query signature
     "corpus_sample_weighted",  # |sources| rate rows × 1-row grand total
+    "emb_pca_power_iter",  # 64 loading rows × 1-row Rayleigh eigenvalue
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
