@@ -332,3 +332,61 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_src, LATERAL chunk_manifest(n_chars) m
         """
     )
+
+
+@op(
+    "udaf_weighted_median",
+    oracle="""
+        WITH t AS (
+            SELECT event_type, value, user_id % 10 + 1 AS w FROM events
+        ),
+        c AS (
+            SELECT event_type, value,
+                   sum(w) OVER (PARTITION BY event_type ORDER BY value)
+                       AS cw,
+                   sum(w) OVER (PARTITION BY event_type) AS tw
+            FROM t
+        )
+        SELECT event_type,
+               floor(min(value) FILTER (WHERE cw * 2 >= tw) * 10000.0
+                     + 0.505) / 10000.0 AS wmedian
+        FROM c GROUP BY event_type
+    """,
+    scale=(
+        "Weighted median as a grouped-agg pandas UDAF: each group's "
+        "(value, weight) pairs land in one Python worker, numpy sorts and "
+        "cumsums, and the answer is the smallest value whose RANGE-framed "
+        "cumulative weight reaches half the total (tie rows share their "
+        "cumulative sum, matching the SQL RANGE default — the kernel "
+        "reduces ties with a groupby-last before the threshold scan). "
+        "Shuffles raw rows (no partial agg — the UDAF trade-off); the "
+        "window-function twin in the oracle is the scalable native form, "
+        "and at 100 TB approx_percentile's sketch is the real answer."
+    ),
+)
+def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-by-(user_id%10+1) median of value per event_type (UDAF)."""
+
+    def wmedian_fn(v, w):
+        import numpy as np
+        import pandas as pd
+
+        df = pd.DataFrame({"v": v.to_numpy(), "w": w.to_numpy()})
+        df = df.sort_values("v", kind="mergesort")
+        df["cw"] = df["w"].cumsum()
+        # RANGE-frame semantics: tied values share the group's last cumsum.
+        cw = df.groupby("v")["cw"].transform("max")
+        tw = float(df["w"].sum())
+        hit = df["v"].to_numpy()[(cw.to_numpy() * 2.0) >= tw]
+        med = float(hit[0]) if len(hit) else float("nan")
+        import math
+
+        return math.floor(med * 10000.0 + 0.505) / 10000.0
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "w", (F.col("user_id") % 10 + 1).cast("double")
+    )
+    wmedian = pandas_udf(wmedian_fn, "double", PandasUDFType.GROUPED_AGG)
+    return ev.groupBy("event_type").agg(
+        wmedian(F.col("value"), F.col("w")).alias("wmedian")
+    )
