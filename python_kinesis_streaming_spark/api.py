@@ -50,6 +50,10 @@ __all__ = [
     "scd2",
     "nearest_event_join",
     "decontaminate",
+    "weighted_sample",
+    "hamming_knn",
+    "power_iteration_step",
+    "triangle_stats",
 ]
 
 
@@ -593,4 +597,119 @@ def kmeans_step(df: DataFrame, vec_col: str, centroids: DataFrame) -> DataFrame:
         .withColumn("_ord", ordinal)
         .groupBy(*cols)
         .agg(F.min_by("cid", "_ord").alias("cid"))
+    )
+
+
+def weighted_sample(df: DataFrame, id_col: str, rates: DataFrame, key_col: str) -> DataFrame:
+    """Deterministic hash-Bernoulli down-sample (registry op
+    ``corpus_sample_weighted`` generalized): ``rates`` is a (key_col,
+    keep_ppm) frame, broadcast-joined on ``key_col``; a row survives iff
+    md5(id) mod 1e6 < its key's keep_ppm. Re-runs, stage retries, and
+    other engines select the SAME rows — the reproducibility property
+    rand()-based sampling cannot give. Map-only after the broadcast."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    u = md5_hash64(F.col(id_col).cast("string")) % F.lit(1000000)
+    return df.join(F.broadcast(rates), key_col).where(u < F.col("keep_ppm")).drop(
+        "keep_ppm"
+    )
+
+
+def hamming_knn(df: DataFrame, vec_col: str, id_col: str, query_id, k: int = 10) -> DataFrame:
+    """Sign-bit Hamming top-k (registry op ``emb_hamming_knn`` generalized):
+    vectors compress to two packed 32-bit sign halves; distance is
+    popcount(xor). Returns (id_col, hamming) for the ``k`` nearest to
+    ``query_id``'s vector, ties broken by id. First-pass ANN filter —
+    re-rank the survivors with exact cosine."""
+    dim = 64
+
+    def sig(lo: int, hi: int, alias: str):
+        return F.expr(
+            f"aggregate(sequence({lo}, {hi}), 0L, (acc, i) -> "
+            f"acc + IF(element_at({vec_col}, i) > 0, shiftleft(1L, i - {lo}), 0L))"
+        ).alias(alias)
+
+    half = dim // 2
+    sigs = df.select(
+        F.col(id_col), sig(1, half, "sig_lo"), sig(half + 1, dim, "sig_hi")
+    )
+    q = sigs.where(F.col(id_col) == query_id).select(
+        F.col("sig_lo").alias("q_lo"), F.col("sig_hi").alias("q_hi")
+    )
+    return (
+        sigs.where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            (
+                F.bit_count(F.expr("sig_lo ^ q_lo"))
+                + F.bit_count(F.expr("sig_hi ^ q_hi"))
+            ).cast("int").alias("hamming"),
+        )
+        .orderBy("hamming", id_col)
+        .limit(k)
+    )
+
+
+def power_iteration_step(df: DataFrame, vec_col: str, id_col: str, v: DataFrame) -> DataFrame:
+    """One distributed power-iteration matvec (registry op
+    ``emb_pca_power_iter`` generalized): given ``v`` as a (j, vj) frame,
+    returns the un-normalized (j, vj) of G·v computed as Σ_i e_i(e_i·v) —
+    the gram matrix never materializes; per pass the shuffle carries d
+    rows per partition. ``id_col`` must uniquely identify rows (a
+    nondeterministic generated id would break the self-join). Normalize
+    driver-side (d values) and loop."""
+    x = df.select(
+        F.col(id_col).alias("_rid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("j", "x"),
+    )
+    s = (
+        x.join(F.broadcast(v.select("j", F.col("vj"))), "j")
+        .groupBy("_rid")
+        .agg(F.sum(F.col("x") * F.col("vj")).alias("s"))
+    )
+    return (
+        x.join(s, "_rid")
+        .groupBy("j")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("vj"))
+    )
+
+
+def triangle_stats(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
+    """Edge/wedge/triangle counts + clustering coefficient of an undirected
+    graph (registry op ``graph_triangle_count`` generalized). ``edges``
+    must hold each undirected edge once with u < v; triangles enumerate
+    once via the u<v<w ordering. See the registry op's scale note for the
+    degree-ordered-orientation refinement at web-graph scale."""
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).persist()
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2)).cast("long").alias("n_wedges")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        n_e.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias(
+                "clustering_coeff"
+            ),
+        )
     )

@@ -342,3 +342,76 @@ def test_kmeans_step_matches_registry(spark, sf_dir):
         .toPandas()
     )
     assert_twin_match(api, reg, "kmeans_step")
+
+
+def test_hamming_knn_matches_registry(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = api.hamming_knn(emb, "embedding", "vec_id", 0, k=10).toPandas()
+    reg = Q["emb_hamming_knn"](spark, sf_dir).toPandas()
+    assert_twin_match(a, reg, "hamming_knn")
+
+
+def test_weighted_sample_is_rate_bounded_subset(spark, sf_dir):
+    """weighted_sample keeps a deterministic subset: re-running selects the
+    identical rows, and a 500000-ppm rate keeps roughly half per key."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = (
+        docs.select("source").distinct()
+        .withColumn("keep_ppm", F.lit(500000))
+    )
+    s1 = api.weighted_sample(docs, "doc_id", rates, "source")
+    s2 = api.weighted_sample(docs, "doc_id", rates, "source")
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in s2.select("doc_id").collect())
+    assert ids1 == ids2 and ids1, "hash sampling must be deterministic"
+    n_total = docs.count()
+    assert 0.35 * n_total < len(ids1) < 0.65 * n_total
+
+
+def test_power_iteration_step_matches_registry_loadings(spark, sf_dir):
+    """Two API matvec steps + normalization reproduce the registry op's
+    loading vector (which fuses the same two passes)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    spark_dim = 64
+    v0 = spark.createDataFrame(
+        [(j, 1.0 / 8.0) for j in range(spark_dim)], "j int, vj double"
+    )
+    v1 = api.power_iteration_step(emb, "embedding", "vec_id", v0).collect()
+    n1 = math.sqrt(sum(r.vj * r.vj for r in v1))
+    v1n = spark.createDataFrame(
+        [(r.j, r.vj / n1) for r in v1], "j int, vj double"
+    )
+    v2 = api.power_iteration_step(emb, "embedding", "vec_id", v1n).toPandas()
+    n2 = math.sqrt((v2.vj * v2.vj).sum())
+    v2["loading"] = (v2.vj / n2 * 1e4 + 0.505).apply(math.floor) / 1e4
+    reg = Q["emb_pca_power_iter"](spark, sf_dir).toPandas()
+    assert_twin_match(
+        v2[["j", "loading"]], reg[["j", "loading"]], "power_iteration"
+    )
+
+
+def test_triangle_stats_matches_registry(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    api_df = (
+        api.triangle_stats(edges)
+        .withColumn(
+            "clustering_coeff",
+            F.floor(F.col("clustering_coeff") * 1e6 + F.lit(0.505)) / 1e6,
+        )
+        .toPandas()
+    )
+    reg = Q["graph_triangle_count"](spark, sf_dir).toPandas()
+    assert_twin_match(api_df, reg, "triangle_stats")
