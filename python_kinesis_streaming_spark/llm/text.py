@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from python_kinesis_streaming_spark.functions.rounding import rnd
+from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
 from python_kinesis_streaming_spark.registry import op
 from python_kinesis_streaming_spark.sources.tables import load_table
 
@@ -815,4 +815,101 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "new_words",
         F.sum("new_words").over(Window.orderBy("doc_id")).alias("cum_vocab"),
+    )
+
+
+@op(
+    "text_collocations_pmi",
+    oracle=f"""
+        WITH dw AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        uni AS (
+            SELECT u.t AS word, CAST(count(*) AS BIGINT) AS c
+            FROM dw, unnest(w) AS u(t) GROUP BY u.t
+        ),
+        bi AS (
+            SELECT w[u.i] AS x, w[u.i + 1] AS y,
+                   CAST(count(*) AS BIGINT) AS cxy
+            FROM dw, unnest(range(1, len(w))) AS u(i)
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni,
+                   (SELECT CAST(sum(cxy) AS BIGINT) FROM bi) AS n_bi
+        )
+        SELECT b.x, b.y, b.cxy,
+               {sql_rnd(
+                   "ln((b.cxy * 1.0 / t.n_bi) / "
+                   "((ux.c * 1.0 / t.n_uni) * (uy.c * 1.0 / t.n_uni)))", 4)}
+                   AS pmi
+        FROM bi b
+        JOIN uni ux ON b.x = ux.word
+        JOIN uni uy ON b.y = uy.word
+        CROSS JOIN tot t
+        WHERE b.cxy >= 5
+        ORDER BY pmi DESC, b.x, b.y
+        LIMIT 20
+    """,
+    scale=(
+        "Pointwise-mutual-information collocations — the phrase-mining / "
+        "tokenizer-merge signal. Bigrams come from an in-row index HOF "
+        "(no positional self-join): each doc emits its adjacent pairs "
+        "map-side, then ONE shuffle each for unigram and bigram counts "
+        "(both partial-agg). The c_xy >= 5 support floor prunes the "
+        "long tail BEFORE the two count joins, which broadcast at any "
+        "corpus size (vocabulary-bounded). Top-k is TakeOrdered on the "
+        "rounded score with full tie-breaks."
+    ),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by PMI (support >= 5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select("doc_id", F.split("text", " ").alias("w"))
+    uni = (
+        dw.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bi = (
+        dw.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS x, "
+                    "element_at(w, i + 1) AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    n_bi = bi.agg(F.sum("cxy").cast("long").alias("n_bi"))
+    ux = uni.select(F.col("word").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("word").alias("y"), F.col("c").alias("cy"))
+    return (
+        bi.where(F.col("cxy") >= 5)
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "x",
+            "y",
+            "cxy",
+            rnd(
+                F.log(
+                    (F.col("cxy") * F.lit(1.0) / F.col("n_bi"))
+                    / (
+                        (F.col("cx") * F.lit(1.0) / F.col("n_uni"))
+                        * (F.col("cy") * F.lit(1.0) / F.col("n_uni"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "x", "y")
+        .limit(20)
     )

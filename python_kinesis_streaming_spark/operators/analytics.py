@@ -1490,3 +1490,64 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@op(
+    "agg_benford_law",
+    oracle=f"""
+        WITH cents AS (
+            SELECT CAST(floor(o_totalprice * 100.0 + 0.505) AS BIGINT) AS c
+            FROM orders
+        ),
+        digits AS (
+            SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+                       AS first_digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM cents GROUP BY 1
+        )
+        SELECT first_digit, n,
+               {sql_rnd("n * 1.0 / sum(n) OVER ()", 6)} AS share,
+               {sql_rnd("log10(1.0 + 1.0 / first_digit)", 6)}
+                   AS benford_expected,
+               {sql_rnd(
+                   "n * 1.0 / sum(n) OVER () - log10(1.0 + 1.0 / first_digit)",
+                   6)} AS deviation
+        FROM digits
+    """,
+    scale=(
+        "Benford's-law first-digit audit — the fraud/data-quality screen "
+        "for monetary columns. The amount converts to integer cents "
+        "(shared floor-rounding), and the first digit is extracted via "
+        "int-to-string — exact and engine-identical, avoiding the "
+        "floor(log10(x)) ulp trap where log10(1000) can land just below "
+        "3. One partial agg to 9 rows; share and expectation are "
+        "windows/constants over those 9 rows. At 100 TB the digit "
+        "histogram merges map-side like any count."
+    ),
+)
+def agg_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals vs Benford expectation."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = (
+        o.select(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.505)
+            .cast("long")
+            .cast("string")
+            .substr(1, 1)
+            .cast("int")
+            .alias("first_digit")
+        )
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    share = F.col("n") * F.lit(1.0) / F.sum("n").over(Window.partitionBy())
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("first_digit"))
+    return digits.select(
+        "first_digit",
+        "n",
+        rnd(share, 6).alias("share"),
+        rnd(benford, 6).alias("benford_expected"),
+        rnd(share - benford, 6).alias("deviation"),
+    )

@@ -547,3 +547,53 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
             rnd(F.sum("value")).alias("attributed_value"),
         )
     )
+
+
+@op(
+    "ts_interarrival",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type,
+                   (epoch_us(CAST(ts AS TIMESTAMP))
+                    - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                          PARTITION BY user_id ORDER BY {_ORD_SQL}
+                      )) / 1000000.0 AS gap_s
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(gap_s) AS BIGINT) AS n_gaps,
+               {sql_rnd("avg(gap_s)")} AS avg_gap_s,
+               {sql_rnd("quantile_cont(gap_s, 0.5)")} AS p50_gap_s,
+               {sql_rnd("quantile_cont(gap_s, 0.95)")} AS p95_gap_s
+        FROM g
+        WHERE gap_s IS NOT NULL
+        GROUP BY event_type
+    """,
+    scale=(
+        "Per-user inter-arrival gaps (the burstiness / engagement-cadence "
+        "metric): one shuffle on user_id for the lag window — ordered by "
+        "the shared changelog ordinal so same-ms ties resolve identically "
+        "— then a tiny per-type agg of the gap distribution. Exact "
+        "percentiles collect per-group sorted gaps; at 100 TB swap in "
+        "approx_percentile's mergeable sketch (same ladder as "
+        "agg_percentile). Gap arithmetic is integer microseconds divided "
+        "once at the end — no float accumulation across rows."
+    ),
+)
+def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap stats (avg/p50/p95 seconds) per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(_ord_col())
+    g = ev.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+            / F.lit(1000000.0)
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        rnd(F.avg("gap_s")).alias("avg_gap_s"),
+        rnd(F.expr("percentile(gap_s, 0.5)")).alias("p50_gap_s"),
+        rnd(F.expr("percentile(gap_s, 0.95)")).alias("p95_gap_s"),
+    )

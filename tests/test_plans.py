@@ -212,6 +212,7 @@ BNLJ_ALLOWED = {
     "corpus_sample_weighted",  # |sources| rate rows × 1-row grand total
     "emb_pca_power_iter",  # 64 loading rows × 1-row Rayleigh eigenvalue
     "graph_triangle_count",  # 1-row edge × 1-row wedge × 1-row triangle aggs
+    "text_collocations_pmi",  # supported bigrams × two 1-row grand totals
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
