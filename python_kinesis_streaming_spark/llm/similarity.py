@@ -969,3 +969,52 @@ def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("loading"),
     )
     return nrm.crossJoin(F.broadcast(lam))
+
+
+@op(
+    "emb_dim_variance_prune",
+    oracle=f"""
+        WITH x AS (
+            SELECT CAST(u.i AS INTEGER) AS j,
+                   (embedding::DOUBLE[])[u.i + 1] AS x
+            FROM embeddings, unnest(range(0, 64)) AS u(i)
+        ),
+        v AS (
+            SELECT j, var_pop(x) AS vj FROM x GROUP BY j
+        ),
+        r AS (
+            SELECT j, {sql_rnd("vj", 6)} AS variance,
+                   row_number() OVER (
+                       ORDER BY {sql_rnd("vj", 6)} DESC, j
+                   ) AS rk
+            FROM v
+        )
+        SELECT j, variance, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 16
+    """,
+    scale=(
+        "Per-dimension variance ranking — the feature-pruning half of "
+        "dimensionality reduction (keep the 16 highest-variance dims "
+        "before an expensive PCA/OPQ pass). var_pop keeps a 3-value "
+        "mergeable moment state per dimension, so the shuffle carries 64 "
+        "partials per map task at any corpus size; ranking happens on 64 "
+        "rows. Ordering ties break on the rounded variance THEN j so the "
+        "cut is engine-identical."
+    ),
+)
+def emb_dim_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-16 embedding dimensions by population variance."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "x")
+    )
+    v = x.groupBy("j").agg(rnd(F.var_pop("x"), 6).alias("variance"))
+    r = v.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("variance"), "j"))
+        .cast("long"),
+    )
+    return r.where(F.col("rk") <= 16)

@@ -1551,3 +1551,123 @@ def agg_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(benford, 6).alias("benford_expected"),
         rnd(share - benford, 6).alias("deviation"),
     )
+
+
+@op(
+    "events_survival_curve",
+    oracle=f"""
+        WITH life AS (
+            SELECT user_id,
+                   CAST(date_diff('day',
+                        min(CAST(ts AS TIMESTAMP)),
+                        max(CAST(ts AS TIMESTAMP))) AS BIGINT) AS lifespan_d
+            FROM events GROUP BY user_id
+        ),
+        h AS (
+            SELECT lifespan_d, CAST(count(*) AS BIGINT) AS n_users
+            FROM life GROUP BY lifespan_d
+        )
+        SELECT lifespan_d, n_users,
+               CAST(sum(n_users) OVER (
+                   ORDER BY lifespan_d DESC
+               ) AS BIGINT) AS n_surviving,
+               {sql_rnd(
+                   "sum(n_users) OVER (ORDER BY lifespan_d DESC) * 1.0 "
+                   "/ sum(n_users) OVER ()", 6)} AS survival_frac
+        FROM h
+    """,
+    scale=(
+        "User-lifetime survival curve S(k) = P(lifespan >= k days): one "
+        "user-grain agg (min/max ts — mergeable partials), a lifespan "
+        "histogram, then the survivor count is a DESCENDING cumulative "
+        "window over |distinct lifespans| rows — the Kaplan-Meier shape "
+        "without per-user sorting. At 100 TB only the first agg touches "
+        "events; everything after is |days|-sized. date_diff on the "
+        "casted timestamps is integer-exact on both engines."
+    ),
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts and fractions by user lifespan in days."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        ).cast("long").alias("lifespan_d")
+    )
+    h = life.groupBy("lifespan_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    w_desc = Window.orderBy(F.desc("lifespan_d"))
+    w_all = Window.partitionBy()
+    return h.select(
+        "lifespan_d",
+        "n_users",
+        F.sum("n_users").over(w_desc).cast("long").alias("n_surviving"),
+        rnd(
+            F.sum("n_users").over(w_desc)
+            * F.lit(1.0)
+            / F.sum("n_users").over(w_all),
+            6,
+        ).alias("survival_frac"),
+    )
+
+
+@op(
+    "agg_corr_matrix",
+    oracle=f"""
+        WITH c AS (
+            SELECT corr(l_quantity, l_extendedprice) AS c_qty_price,
+                   corr(l_quantity, l_discount)      AS c_qty_disc,
+                   corr(l_quantity, l_tax)           AS c_qty_tax,
+                   corr(l_extendedprice, l_discount) AS c_price_disc,
+                   corr(l_extendedprice, l_tax)      AS c_price_tax,
+                   corr(l_discount, l_tax)           AS c_disc_tax
+            FROM lineitem
+        )
+        SELECT 'l_quantity' AS x, 'l_extendedprice' AS y,
+               {sql_rnd("c_qty_price", 6)} AS r FROM c
+        UNION ALL SELECT 'l_quantity', 'l_discount',
+               {sql_rnd("c_qty_disc", 6)} FROM c
+        UNION ALL SELECT 'l_quantity', 'l_tax',
+               {sql_rnd("c_qty_tax", 6)} FROM c
+        UNION ALL SELECT 'l_extendedprice', 'l_discount',
+               {sql_rnd("c_price_disc", 6)} FROM c
+        UNION ALL SELECT 'l_extendedprice', 'l_tax',
+               {sql_rnd("c_price_tax", 6)} FROM c
+        UNION ALL SELECT 'l_discount', 'l_tax',
+               {sql_rnd("c_disc_tax", 6)} FROM c
+    """,
+    scale=(
+        "Pairwise Pearson correlation matrix of the four lineitem "
+        "measures in ONE scan: all six corr aggregates share the same "
+        "partial-agg pass (each keeps a 6-value co-moment state that "
+        "merges associatively), so the feature-correlation screen costs "
+        "one map-side reduction regardless of row count — never six "
+        "scans, never a collect. The upper triangle unpivots via stack "
+        "on the 1-row result."
+    ),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle correlation matrix over lineitem measures."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.agg(
+        rnd(F.corr("l_quantity", "l_extendedprice"), 6).alias("c_qty_price"),
+        rnd(F.corr("l_quantity", "l_discount"), 6).alias("c_qty_disc"),
+        rnd(F.corr("l_quantity", "l_tax"), 6).alias("c_qty_tax"),
+        rnd(F.corr("l_extendedprice", "l_discount"), 6).alias("c_price_disc"),
+        rnd(F.corr("l_extendedprice", "l_tax"), 6).alias("c_price_tax"),
+        rnd(F.corr("l_discount", "l_tax"), 6).alias("c_disc_tax"),
+    )
+    return c.select(
+        F.expr(
+            "stack(6, "
+            "'l_quantity', 'l_extendedprice', c_qty_price, "
+            "'l_quantity', 'l_discount', c_qty_disc, "
+            "'l_quantity', 'l_tax', c_qty_tax, "
+            "'l_extendedprice', 'l_discount', c_price_disc, "
+            "'l_extendedprice', 'l_tax', c_price_tax, "
+            "'l_discount', 'l_tax', c_disc_tax) AS (x, y, r)"
+        )
+    )
