@@ -1,0 +1,349 @@
+"""ML feature-engineering + data-quality profiling operators.
+
+The training-data-pipeline surface beyond text/dedup: the standard tabular
+feature transforms (target encoding, quantile binning, min-max scaling,
+one-hot of top-k categories, the hashing trick) plus dataset health probes
+(per-column null/distinct profile, freshness lag, degree distribution).
+
+Scale notes (100 TB):
+- Every encoder here is the two-pass shape: a tiny aggregate (|categories|,
+  |bins|, |segments| rows) broadcast-joined back onto the fact table — the
+  big side never shuffles, the small side is KBs.
+- Determinism: money flows as integer cents (`floor(x*100+0.5)`), hash
+  buckets via the md5-derived 60-bit int (`llm.dedup.md5_hash64`) — both
+  bit-reproducible across Spark and DuckDB, so every op is SQL-oracled.
+- The null/distinct profile uses exact count(distinct) per column; at 100 TB
+  swap each for approx_count_distinct (one pass, mergeable HLL partials) —
+  the op shape (wide agg → stack/unpivot) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+from python_kinesis_streaming_spark.llm.dedup import _sql_hash64, md5_hash64
+from python_kinesis_streaming_spark.registry import op
+from python_kinesis_streaming_spark.sources.tables import load_table
+
+
+@op(
+    "feat_target_encode",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        stats AS (
+            SELECT o_orderpriority,
+                   CAST(sum(cents) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o GROUP BY o_orderpriority
+        )
+        SELECT o.o_orderkey, o.o_orderpriority,
+               {loo} AS loo_enc
+        FROM o JOIN stats USING (o_orderpriority)
+    """.format(loo=sql_rnd("(s - cents) / (100.0 * (n - 1))", 2)),
+    scale=(
+        "Leave-one-out target encoding as (group_sum - own) / (n-1): one "
+        "partial agg to |categories| rows (5 here), broadcast back onto the "
+        "facts — no per-row window, no fact-side shuffle. Integer-cents "
+        "sums keep the encoding bit-deterministic regardless of partial-agg "
+        "order; the LOO form is the standard leakage guard (own row "
+        "excluded from its encoding)."
+    ),
+)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of o_orderpriority against order value."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    stats = o.groupBy("o_orderpriority").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    return o.join(F.broadcast(stats), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        rnd((F.col("s") - F.col("cents")) / (100.0 * (F.col("n") - 1)), 2).alias(
+            "loo_enc"
+        ),
+    )
+
+
+@op(
+    "feat_quantile_bin",
+    oracle="""
+        WITH binned AS (
+            SELECT c_acctbal,
+                   ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS bin
+            FROM customer
+        )
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               {lo} AS lo, {hi} AS hi
+        FROM binned GROUP BY bin
+    """.format(lo=sql_rnd("min(c_acctbal)", 2), hi=sql_rnd("max(c_acctbal)", 2)),
+    scale=(
+        "ntile over a total order is a global sort — fine for boundary "
+        "DISCOVERY on a sample; at 100 TB compute cut points once via "
+        "approx_percentile (mergeable sketch, one pass) and bucketize with "
+        "a broadcast CASE — this op emits exactly that 10-row cut-point "
+        "table (lo/hi per bin) which downstream jobs apply shuffle-free."
+    ),
+)
+def feat_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning of customer balance; emits the per-bin boundary table."""
+    cust = load_table(spark, sf_dir, "customer")
+    binned = cust.select(
+        "c_acctbal",
+        F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        rnd(F.min("c_acctbal"), 2).alias("lo"),
+        rnd(F.max("c_acctbal"), 2).alias("hi"),
+    )
+
+
+@op(
+    "feat_minmax_scale",
+    oracle="""
+        WITH rng AS (
+            SELECT c_mktsegment, min(c_acctbal) AS mn, max(c_acctbal) AS mx
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT c_custkey, c_mktsegment,
+               {scaled} AS acctbal_scaled
+        FROM customer JOIN rng USING (c_mktsegment)
+    """.format(scaled=sql_rnd("(c_acctbal - mn) / (mx - mn)", 4)),
+    scale=(
+        "Per-segment min/max are exact, mergeable, order-independent "
+        "partials (no float-sum hazard) — a |segments|-row broadcast; the "
+        "scaling itself is a map-only projection on the fact scan."
+    ),
+)
+def feat_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment min-max normalization of account balance."""
+    cust = load_table(spark, sf_dir, "customer")
+    rng = cust.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx")
+    )
+    return cust.join(F.broadcast(rng), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        rnd((F.col("c_acctbal") - F.col("mn")) / (F.col("mx") - F.col("mn")), 4).alias(
+            "acctbal_scaled"
+        ),
+    )
+
+
+@op(
+    "feat_onehot_topk",
+    oracle="""
+        WITH counts AS (
+            SELECT p.p_brand, count(*) AS cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        ),
+        ranked AS (
+            SELECT p_brand,
+                   row_number() OVER (ORDER BY cnt DESC, p_brand) AS rk
+            FROM counts
+        )
+        SELECT p.p_partkey,
+               CAST(coalesce(CAST(r.rk = 1 AS INT), 0) AS INT) AS brand_top1,
+               CAST(coalesce(CAST(r.rk = 2 AS INT), 0) AS INT) AS brand_top2,
+               CAST(coalesce(CAST(r.rk = 3 AS INT), 0) AS INT) AS brand_top3,
+               CAST(CASE WHEN r.rk IS NULL THEN 1 ELSE 0 END AS INT) AS brand_other
+        FROM part p
+        LEFT JOIN (SELECT * FROM ranked WHERE rk <= 3) r USING (p_brand)
+    """,
+    scale=(
+        "Top-k category discovery is a partial agg to |brands| rows (25), "
+        "ranked driver-free with one tiny window; the one-hot expansion is a "
+        "broadcast left join + CASE projection on the dimension scan. The "
+        "vocabulary table is the only state — columns stay fixed-width "
+        "regardless of corpus size (unseen categories fold into 'other')."
+    ),
+)
+def feat_onehot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encode the 3 most-sold brands (by lineitem count); rest → other."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = part.select("p_partkey", "p_brand")
+    counts = (
+        li.join(F.broadcast(dim), li.l_partkey == dim.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = counts.select(
+        "p_brand",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("p_brand")))
+        .alias("rk"),
+    ).where(F.col("rk") <= 3)
+    return part.join(F.broadcast(ranked), "p_brand", "left").select(
+        "p_partkey",
+        F.coalesce((F.col("rk") == 1).cast("int"), F.lit(0)).alias("brand_top1"),
+        F.coalesce((F.col("rk") == 2).cast("int"), F.lit(0)).alias("brand_top2"),
+        F.coalesce((F.col("rk") == 3).cast("int"), F.lit(0)).alias("brand_top3"),
+        F.when(F.col("rk").isNull(), 1).otherwise(0).cast("int").alias("brand_other"),
+    )
+
+
+@op(
+    "feat_hashing_trick",
+    oracle="""
+        WITH feat AS (
+            SELECT event_type || ':' || regexp_extract(props, '[0-9]+')
+                       AS feature,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT CAST({h} % 32 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS sum_value_cents
+        FROM feat GROUP BY bucket
+    """.format(h=_sql_hash64("feature")),
+    scale=(
+        "The hashing trick bounds feature cardinality without a vocabulary "
+        "pass: arbitrary (event_type, prop) pairs → 32 fixed buckets via the "
+        "md5-derived 60-bit hash, then one partial agg — the shuffle carries "
+        "32 rows however many distinct features exist. Integer-cents sums "
+        "keep bucket totals exact under any partial-agg order."
+    ),
+)
+def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature bucketing of (event_type, props.k) pairs, 32 buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        F.concat_ws(
+            ":", "event_type", F.regexp_extract("props", "[0-9]+", 0)
+        ).alias("feature"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return (
+        feat.select(
+            (md5_hash64(F.col("feature")) % 32).alias("bucket"), "cents"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_value_cents"),
+        )
+    )
+
+
+@op(
+    "dq_null_profile",
+    oracle="""
+        SELECT 'event_id' AS col_name,
+               CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+        FROM events
+        UNION ALL
+        SELECT 'ts', CAST(count(*) - count(ts) AS BIGINT),
+               CAST(count(DISTINCT ts) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'event_type', CAST(count(*) - count(event_type) AS BIGINT),
+               CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+               CAST(count(DISTINCT value) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'props', CAST(count(*) - count(props) AS BIGINT),
+               CAST(count(DISTINCT props) AS BIGINT) FROM events
+    """,
+    scale=(
+        "Whole-table column profile in ONE scan: all per-column null + "
+        "distinct aggregates evaluate in a single wide agg, then unpivot to "
+        "(column, metric) rows with stack — never N scans for N columns. "
+        "Exact count(distinct) per column multiplies the agg via expand; at "
+        "100 TB swap each for approx_count_distinct (single-pass mergeable "
+        "HLL) — the profile shape is unchanged."
+    ),
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null-count + distinct-count profile of the events table."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col_name, n_null, n_distinct)"
+        )
+    )
+
+
+@op(
+    "dq_freshness",
+    oracle="""
+        WITH g AS (SELECT max(CAST(ts AS TIMESTAMP)) AS global_max FROM events),
+        per_type AS (
+            SELECT event_type, max(CAST(ts AS TIMESTAMP)) AS last_ts
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, last_ts,
+               CAST(epoch_us(global_max) - epoch_us(last_ts) AS BIGINT)
+                   AS staleness_us
+        FROM per_type, g
+    """,
+    scale=(
+        "Freshness lag per stream partition: two tiny max() aggregates "
+        "(order-independent, mergeable) and a 1-row broadcast for the "
+        "global watermark — scans once, shuffles |event_type| rows. This is "
+        "the standard ingestion-health probe a 100 TB pipeline runs per "
+        "batch; max(ts) also comes free from parquet footer stats."
+    ),
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type last-seen timestamp and staleness vs the global max."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(F.max("ts").alias("last_ts"))
+    g = ev.agg(F.max("ts").alias("global_max"))
+    return per_type.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "last_ts",
+        (F.unix_micros("global_max") - F.unix_micros("last_ts")).alias(
+            "staleness_us"
+        ),
+    )
+
+
+@op(
+    "graph_degree_stats",
+    oracle="""
+        WITH deg AS (
+            SELECT user_id,
+                   CAST(count(DISTINCT (event_type, CAST(CAST(ts AS TIMESTAMP)
+                        AS DATE))) AS BIGINT) AS degree
+            FROM events GROUP BY user_id
+        )
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_users
+        FROM deg GROUP BY degree
+    """,
+    scale=(
+        "Bipartite degree distribution as two chained partial aggs: the "
+        "(user, type, day) dedup collapses map-side before the user "
+        "shuffle, the histogram shuffle carries |distinct degrees| rows. "
+        "The same two-level shape computes any power-law degree audit at "
+        "100 TB — swap the edge definition, keep the plan."
+    ),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the user ↔ (event_type, day) bipartite graph."""
+    ev = load_table(spark, sf_dir, "events")
+    deg = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type", F.to_date("ts")).alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_users"))

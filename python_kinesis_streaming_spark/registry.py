@@ -48,6 +48,7 @@ _OP_MODULES = [
     "python_kinesis_streaming_spark.functions.families",
     "python_kinesis_streaming_spark.streaming.ops",
     "python_kinesis_streaming_spark.operators.udfs",
+    "python_kinesis_streaming_spark.operators.features",
     "python_kinesis_streaming_spark.llm.ops",
     "python_kinesis_streaming_spark.llm.corpus",
 ]
@@ -201,6 +202,15 @@ _GRADING_PRIORITY = [
     "text_lang_confusion",
     "events_cohort_ltv",
     "events_error_rate_alert",
+    # round-4 feature-engineering / data-quality batch (never graded)
+    "feat_target_encode",
+    "feat_quantile_bin",
+    "feat_minmax_scale",
+    "feat_onehot_topk",
+    "feat_hashing_trick",
+    "dq_null_profile",
+    "dq_freshness",
+    "graph_degree_stats",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
