@@ -551,3 +551,63 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("keep_ppm").alias("keep_ppm"),
         )
     )
+
+
+@op(
+    "corpus_shard_assign",
+    oracle="""
+        WITH assigned AS (
+            SELECT doc_id, n_chars,
+                   CAST(('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) % 16 AS shard,
+                   CAST(('0x' || substring(md5('11:' || CAST(doc_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) AS pos_key
+            FROM documents
+        ),
+        ranked AS (
+            SELECT shard, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY pos_key, doc_id) AS pos
+            FROM assigned
+        )
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT)
+                   AS first_doc
+        FROM ranked GROUP BY shard
+    """,
+    scale=(
+        "Reproducible global corpus shuffle — the training-data ordering "
+        "primitive: shard = md5(doc_id) % N routes docs with one hash "
+        "shuffle (uniform by construction, no skew), within-shard order = "
+        "a second independent md5 ranked per shard. Deterministic across "
+        "runs/engines, so a resumed training job sees the identical "
+        "sample order. At 100 TB: N = O(total/target_shard_bytes), the "
+        "within-shard sort is per-partition (no global sort), and the "
+        "manifest emitted here (counts + first doc per shard) is the "
+        "audit artifact."
+    ),
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically shuffle + shard the corpus; emit per-shard manifest."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        (md5_hash64(F.col("doc_id").cast("string"), seed=7) % 16).alias("shard"),
+        md5_hash64(F.col("doc_id").cast("string"), seed=11).alias("pos_key"),
+    )
+    ranked = assigned.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy("pos_key", "doc_id")
+        ),
+    )
+    return ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+    )

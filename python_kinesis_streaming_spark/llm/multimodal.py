@@ -210,3 +210,121 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         (F.sum("frame_idx") * 64).alias("sampled_offset_sum"),
     )
+
+
+@op(
+    "multimodal_phash_bands",
+    # Stand-in pHash over the utf-8 payload (pure-ASCII fixture ⇒ byte ==
+    # code point, same trick as multimodal_decode): bit_j compares block j's
+    # mean byte against the whole-payload mean — in cross-multiplied integer
+    # form (bsum*L > total*blen), so both engines compute identical bits.
+    oracle="""
+        WITH codes AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ''), c -> unicode(c)) AS cs,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS L
+            FROM documents
+            WHERE octet_length(encode(text)) >= 64
+        ),
+        tot AS (
+            SELECT doc_id, cs, L,
+                   CAST(list_aggregate(cs, 'sum') AS BIGINT) AS total
+            FROM codes
+        ),
+        blocks AS (
+            SELECT doc_id, L, total, j.j AS j,
+                   CAST(list_aggregate(
+                       cs[CAST((j.j * L) // 64 AS BIGINT) + 1 :
+                          CAST(((j.j + 1) * L) // 64 AS BIGINT)],
+                       'sum') AS BIGINT) AS bsum,
+                   CAST(((j.j + 1) * L) // 64 - (j.j * L) // 64 AS BIGINT)
+                       AS blen
+            FROM tot, unnest(range(64)) AS j(j)
+        ),
+        bands AS (
+            SELECT doc_id, CAST(j // 16 AS BIGINT) AS band,
+                   CAST(sum(CAST(bsum * 64 * L > total * 64 * blen AS BIGINT)
+                            << (j % 16)) AS BIGINT) AS bkey
+            FROM blocks GROUP BY doc_id, j // 16
+        ),
+        buckets AS (
+            SELECT band, bkey, count(*) AS sz FROM bands GROUP BY band, bkey
+        )
+        SELECT band,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(sz) AS BIGINT) AS max_bucket,
+               CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_candidate_pairs
+        FROM buckets GROUP BY band
+    """,
+    scale=(
+        "Perceptual-hash near-dup blocking for media payloads: a 64-bit "
+        "block-mean pHash per payload (the real kernel would be "
+        "DCT-of-thumbnail; the block-mean stand-in keeps identical "
+        "plumbing), split into 4 x 16-bit LSH bands — Hamming-close "
+        "images collide in >=1 band, so candidate generation is 4 "
+        "equi-join-able bucket keys instead of an all-pairs scan "
+        "(identical banding math to dedup_near_minhash). The kernel is "
+        "one vectorized numpy pass per Arrow batch (reduceat segment "
+        "sums, no per-row Python); the emitted per-band bucket histogram "
+        "is the skew audit you run BEFORE launching the pair join at "
+        "100 TB. Integer cross-multiplied bit tests — engine-exact."
+    ),
+)
+def multimodal_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit block-mean pHash per payload → 4 LSH bands → per-band bucket
+    stats (bucket count, largest bucket, candidate-pair count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.where(
+        F.octet_length(F.encode("text", "utf-8")) >= 64
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def phash_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = pdf["payload"]
+            n = len(pdf)
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            totals = np.add.reduceat(flat, offsets)
+            j = np.arange(64, dtype=np.int64)
+            starts_rel = (j[None, :] * lens[:, None]) // 64
+            ends_rel = ((j[None, :] + 1) * lens[:, None]) // 64
+            blens = ends_rel - starts_rel
+            idx = (offsets[:, None] + starts_rel).ravel()
+            bsums = np.add.reduceat(flat, idx).reshape(n, 64)
+            bits = bsums * lens[:, None] > totals[:, None] * blens
+            weights = (1 << np.arange(16, dtype=np.int64))
+            bands = bits.reshape(n, 4, 16) @ weights
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "b0": bands[:, 0],
+                    "b1": bands[:, 1],
+                    "b2": bands[:, 2],
+                    "b3": bands[:, 3],
+                }
+            )
+
+    hashed = payload.mapInPandas(
+        phash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    banded = hashed.select(
+        F.expr(
+            "stack(4, CAST(0 AS BIGINT), b0, CAST(1 AS BIGINT), b1, "
+            "CAST(2 AS BIGINT), b2, CAST(3 AS BIGINT), b3) AS (band, bkey)"
+        )
+    )
+    buckets = banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("sz"))
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(F.floor(F.col("sz") * (F.col("sz") - 1) / 2)).cast("long").alias(
+            "n_candidate_pairs"
+        ),
+    )

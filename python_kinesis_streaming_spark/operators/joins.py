@@ -586,3 +586,136 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
         WHERE c.c_custkey < 50
     """)
+
+
+@op(
+    "join_bloom_prefilter",
+    oracle="""
+        WITH k AS (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+        ),
+        kb AS (
+            SELECT c_custkey, seed,
+                   CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' ||
+                        CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 4096
+                       AS bit
+            FROM k, (VALUES (1), (2)) s(seed)
+        ),
+        bloom AS (
+            SELECT bit // 32 AS word,
+                   bit_or(1::BIGINT << (bit % 32)) AS bits
+            FROM kb GROUP BY bit // 32
+        ),
+        pb AS (
+            SELECT o_orderkey, o_custkey, seed,
+                   CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' ||
+                        CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 4096
+                       AS bit
+            FROM orders, (VALUES (1), (2)) s(seed)
+        ),
+        hits AS (
+            SELECT pb.o_orderkey, pb.o_custkey,
+                   CASE WHEN bloom.bits IS NOT NULL
+                             AND (bloom.bits & (1::BIGINT << (pb.bit % 32)))
+                                 = (1::BIGINT << (pb.bit % 32))
+                        THEN 1 ELSE 0 END AS hit
+            FROM pb LEFT JOIN bloom ON pb.bit // 32 = bloom.word
+        ),
+        cand AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN sum(hit) = 2 THEN 1 ELSE 0 END AS candidate
+            FROM hits GROUP BY o_orderkey, o_custkey
+        ),
+        flagged AS (
+            SELECT c.o_orderkey, c.candidate,
+                   CASE WHEN k.c_custkey IS NULL THEN 0 ELSE 1 END AS matched
+            FROM cand c LEFT JOIN k ON c.o_custkey = k.c_custkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(candidate) AS BIGINT) AS n_candidates,
+               CAST(sum(matched) AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN candidate = 1 AND matched = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        FROM flagged
+    """,
+    scale=(
+        "Explicit bloom-filter semi-join reduction — what Spark's runtime "
+        "filter injection does, built as a first-class operator so the "
+        "reduction is available across stages/jobs (e.g. persisted beside "
+        "a daily dim snapshot). Build side: |keys| rows fold into a "
+        "4096-bit / 128-word bitset via two md5-derived hashes and "
+        "bit_or partial aggs — mergeable, tiny, broadcast. Probe side is "
+        "map-only: 2 bit tests against the broadcast bitset drop most "
+        "non-matching fact rows BEFORE the real join's shuffle; the "
+        "false-positive count emitted here is the knob for sizing m/k at "
+        "real key cardinalities. All integer arithmetic — engine-exact."
+    ),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 4096-bit bloom filter of high-balance customers, pre-filter
+    orders against it, and report candidate/true-match/false-positive counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = cust.where(F.col("c_acctbal") > 7000).select("c_custkey")
+
+    # Two hash probes per key: bit = md5_hash64("<seed>:<key>") % 4096.
+    def with_bit(df: DataFrame, key: str) -> DataFrame:
+        out = df.select("*", F.explode(F.array(F.lit(1), F.lit(2))).alias("seed"))
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("seed").cast("string"), F.col(key).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return out.withColumn("bit", h % 4096)
+
+    kb = with_bit(keys, "c_custkey")
+    bloom = kb.groupBy((F.col("bit") / 32).cast("long").alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))")).alias(
+            "bits"
+        )
+    )
+    pb = with_bit(orders.select("o_orderkey", "o_custkey"), "o_custkey").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("bit") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").alias("mask"),
+    )
+    hits = pb.join(F.broadcast(bloom), "word", "left").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    cand = hits.groupBy("o_orderkey", "o_custkey").agg(
+        F.when(F.sum("hit") == 2, 1).otherwise(0).alias("candidate")
+    )
+    marked = keys.withColumn("matched_key", F.lit(1))
+    flagged = cand.join(
+        F.broadcast(marked), cand.o_custkey == marked.c_custkey, "left"
+    ).select(
+        "candidate",
+        F.when(F.col("matched_key").isNull(), 0).otherwise(1).alias("matched"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("candidate").cast("long").alias("n_candidates"),
+        F.sum("matched").cast("long").alias("n_matched"),
+        F.sum(
+            F.when((F.col("candidate") == 1) & (F.col("matched") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    )

@@ -211,6 +211,10 @@ _GRADING_PRIORITY = [
     "dq_null_profile",
     "dq_freshness",
     "graph_degree_stats",
+    "sim_pq_assign",
+    "join_bloom_prefilter",
+    "corpus_shard_assign",
+    "multimodal_phash_bands",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
