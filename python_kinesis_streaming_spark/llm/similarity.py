@@ -1110,3 +1110,63 @@ def sim_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_assigned"),
         rnd(F.sum("idist") / (F.count("*") * 10000.0), 4).alias("avg_qerr"),
     )
+
+
+@op(
+    "sim_threshold_sweep",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]))
+                         * 10000.0 + 0.505) / 10000.0 AS sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT t.t AS threshold,
+               CAST(count(*) FILTER (WHERE sim >= t.t) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT CASE WHEN sim >= t.t THEN vb END)
+                    AS BIGINT) AS n_docs_flagged
+        FROM pairs, (VALUES (0.25), (0.30), (0.35), (0.40)) t(t)
+        GROUP BY t.t
+    """,
+    scale=(
+        "Dedup-threshold calibration: ONE blocked pair join scanned once, "
+        "all candidate thresholds evaluated as conditional aggregates over "
+        "the same pair stream — never one pair join per threshold. The "
+        "output (pairs + docs removed per threshold) is the curve an "
+        "operator reads before committing a near-dup cut on the full "
+        "corpus; at 100 TB the pair stream comes from the LSH-band join "
+        "and this sweep rides it for free. Counts on ROUNDED sims — "
+        "engine-exact set membership at every threshold."
+    ),
+)
+def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair/doc counts at each candidate cosine threshold, from one
+    label-blocked pair join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("b.vec_id").alias("vb"),
+        rnd(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("sim"),
+    )
+    thresholds = F.explode(
+        F.array(*[F.lit(t) for t in (0.25, 0.30, 0.35, 0.40)])
+    ).alias("threshold")
+    return (
+        pairs.select("*", thresholds)
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(F.col("sim") >= F.col("threshold"), 1)).alias(
+                "n_pairs"
+            ),
+            F.countDistinct(
+                F.when(F.col("sim") >= F.col("threshold"), F.col("vb"))
+            ).alias("n_docs_flagged"),
+        )
+    )

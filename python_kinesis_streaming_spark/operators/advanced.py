@@ -933,3 +933,88 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@op(
+    "merge_into_upsert",
+    oracle="""
+        WITH tgt AS (
+            SELECT c_custkey AS key,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+            FROM customer
+        ),
+        src AS (
+            SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 1000000
+                        ELSE o_custkey END AS key,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS delta,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        merged AS (
+            SELECT coalesce(t.key, s.key) AS key,
+                   CASE
+                     WHEN s.key IS NULL THEN 'keep'
+                     WHEN t.key IS NULL THEN 'insert'
+                     WHEN s.n_orders >= 15 THEN 'delete'
+                     ELSE 'update'
+                   END AS action,
+                   CASE
+                     WHEN s.key IS NULL THEN t.cents
+                     WHEN t.key IS NULL THEN s.delta
+                     ELSE t.cents + s.delta
+                   END AS balance_cents
+            FROM tgt t FULL JOIN src s ON t.key = s.key
+        )
+        SELECT key, action, CAST(balance_cents AS BIGINT) AS balance_cents
+        FROM merged WHERE action != 'delete'
+    """,
+    scale=(
+        "MERGE INTO executed the way engines without a table format run "
+        "it: one full-outer join on the merge key resolves all three "
+        "clauses (WHEN MATCHED [AND cond] THEN UPDATE/DELETE, WHEN NOT "
+        "MATCHED THEN INSERT) in a single pass — never one pass per "
+        "clause. At 100 TB the join shuffles on the merge key (or zero "
+        "shuffle against a bucketed target / broadcast change set); with "
+        "a partitioned target, join the change set's distinct partition "
+        "values first so copy-on-write rewrites ONLY touched partitions. "
+        "Integer-cents balances keep the upsert arithmetic engine-exact."
+    ),
+)
+def merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a per-customer order-total change set into the balance snapshot:
+    matched+big→delete, matched→update, unmatched→insert, untouched→keep."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    tgt = cust.select(
+        F.col("c_custkey").alias("t_key"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    src = (
+        orders.groupBy(
+            F.when(
+                F.col("o_custkey") % 3 == 0, F.col("o_custkey") + 1000000
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("s_key")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("delta"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    merged = tgt.join(src, tgt.t_key == src.s_key, "full_outer").select(
+        F.coalesce("t_key", "s_key").alias("key"),
+        F.when(F.col("s_key").isNull(), "keep")
+        .when(F.col("t_key").isNull(), "insert")
+        .when(F.col("n_orders") >= 15, "delete")
+        .otherwise("update")
+        .alias("action"),
+        F.when(F.col("s_key").isNull(), F.col("cents"))
+        .when(F.col("t_key").isNull(), F.col("delta"))
+        .otherwise(F.col("cents") + F.col("delta"))
+        .alias("balance_cents"),
+    )
+    return merged.where(F.col("action") != "delete")

@@ -597,3 +597,74 @@ def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.expr("percentile(gap_s, 0.5)")).alias("p50_gap_s"),
         rnd(F.expr("percentile(gap_s, 0.95)")).alias("p95_gap_s"),
     )
+
+
+@op(
+    "ts_holt_linear",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id,
+                   list(value::DOUBLE ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       AS xs
+            FROM events GROUP BY user_id
+        ),
+        folded AS (
+            -- accumulator is a DOUBLE[2] pair [level, trend]: DuckDB 1.0's
+            -- lambda mis-evaluates STRUCT accumulators inside list_reduce
+            -- (verified: field cross-talk on the 2nd fold step); LIST
+            -- accumulators fold correctly and match Spark bit-for-bit.
+            SELECT user_id, len(xs) AS n_events,
+                   list_reduce(
+                       list_prepend([xs[1], 0.0::DOUBLE],
+                           list_transform(xs[2:], x -> [x, 0.0::DOUBLE])),
+                       (acc, s) -> [
+                           0.6::DOUBLE * s[1]
+                               + 0.4::DOUBLE * (acc[1] + acc[2]),
+                           0.3::DOUBLE * (0.6::DOUBLE * s[1]
+                               + 0.4::DOUBLE * (acc[1] + acc[2]) - acc[1])
+                               + 0.7::DOUBLE * acc[2]]) AS hw
+            FROM seq
+        )
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               {sql_rnd("hw[1]", 6)} AS level,
+               {sql_rnd("hw[2]", 6)} AS trend,
+               {sql_rnd("hw[1] + 3 * hw[2]", 6)} AS forecast_h3
+        FROM folded
+    """,
+    scale=(
+        "Holt's linear-trend double exponential smoothing — the "
+        "level+trend recursion ts_ewma's single-state fold can't express. "
+        "Same bounded in-row fold shape: per-key sequence collected into "
+        "one aggregation buffer, struct accumulator (level, trend) folded "
+        "by a codegen HOF — one user_id shuffle, no window sort, no "
+        "Python. Both engines fold the identical (ts, event_id) order "
+        "with identical double arithmetic, so the recursion and the "
+        "3-step-ahead forecast are bit-reproducible. Unbounded keys → "
+        "the applyInPandasWithState sessionizer shape, state = (l, b)."
+    ),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear smoothing (alpha=0.6, beta=0.3) of event values
+    in event-time order; emits final level/trend and a 3-step forecast."""
+    ev = load_table(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("a")
+    )
+    hw = F.expr(
+        "aggregate(slice(a, 2, size(a) - 1), "
+        "named_struct('l', CAST(element_at(a, 1).value AS DOUBLE), "
+        "             'b', CAST(0.0 AS DOUBLE)), "
+        "(acc, s) -> named_struct("
+        "  'l', 0.6D * s.value + 0.4D * (acc.l + acc.b), "
+        "  'b', 0.3D * (0.6D * s.value + 0.4D * (acc.l + acc.b) - acc.l) "
+        "       + 0.7D * acc.b))"
+    )
+    return grouped.select(
+        "user_id",
+        F.size("a").cast("long").alias("n_events"),
+        rnd(hw.getField("l"), 6).alias("level"),
+        rnd(hw.getField("b"), 6).alias("trend"),
+        rnd(hw.getField("l") + 3 * hw.getField("b"), 6).alias("forecast_h3"),
+    )

@@ -215,6 +215,9 @@ _GRADING_PRIORITY = [
     "join_bloom_prefilter",
     "corpus_shard_assign",
     "multimodal_phash_bands",
+    "ts_holt_linear",
+    "merge_into_upsert",
+    "sim_threshold_sweep",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
