@@ -611,3 +611,73 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
     )
+
+
+@op(
+    "corpus_epoch_plan",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        w -> len(w) > 0)) AS BIGINT)
+                       AS n_tokens,
+                   CAST(('0x' || substring(md5('13:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS pos_key
+            FROM documents
+        ),
+        ordered AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY pos_key, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM toks
+        )
+        SELECT CAST((cum - n_tokens) // 5000 AS BIGINT) AS epoch,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS epoch_tokens,
+               CAST(min(doc_id) AS BIGINT) AS min_doc
+        FROM ordered GROUP BY 1
+    """,
+    scale=(
+        "Token-budget epoch planning: docs in the reproducible shuffle "
+        "order (md5 pos key), prefix-summed token counts cut into 5k-token "
+        "epochs. The global running sum is the one non-scalable piece — at "
+        "100 TB plan per shard (corpus_shard_assign) with per-shard "
+        "budgets and carry the shard totals (a |shards|-row cumsum on the "
+        "driver-free two-level pattern); everything else is map-side. The "
+        "manifest (docs + tokens per epoch) is what the training loader "
+        "consumes."
+    ),
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign docs (in deterministic shuffle order) to 5k-token epochs;
+    emit the per-epoch manifest."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        md5_hash64(F.col("doc_id").cast("string"), seed=13).alias("pos_key"),
+    )
+    w = (
+        Window.orderBy("pos_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = toks.select(
+        "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("cum")
+    )
+    return (
+        ordered.groupBy(
+            F.floor((F.col("cum") - F.col("n_tokens")) / 5000).alias("epoch")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("epoch_tokens"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )

@@ -347,3 +347,224 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type", F.to_date("ts")).alias("degree")
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_users"))
+
+
+@op(
+    "feat_winsorize",
+    oracle="""
+        WITH cuts AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        ),
+        clamped AS (
+            SELECT e.event_type,
+                   CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents,
+                   CAST(floor(CASE WHEN e.value < c.lo THEN c.lo
+                                   WHEN e.value > c.hi THEN c.hi
+                                   ELSE e.value END * 100 + 0.5) AS BIGINT)
+                       AS wcents,
+                   CASE WHEN e.value < c.lo THEN 1 ELSE 0 END AS is_lo,
+                   CASE WHEN e.value > c.hi THEN 1 ELSE 0 END AS is_hi
+            FROM events e JOIN cuts c USING (event_type)
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(is_lo) AS BIGINT) AS n_clamped_lo,
+               CAST(sum(is_hi) AS BIGINT) AS n_clamped_hi,
+               floor(sum(cents) / (count(*) * 100.0) * 10000.0 + 0.505)
+                   / 10000.0 AS mean_before,
+               floor(sum(wcents) / (count(*) * 100.0) * 10000.0 + 0.505)
+                   / 10000.0 AS mean_after
+        FROM clamped GROUP BY event_type
+    """,
+    scale=(
+        "Winsorization — the robust-stats feature clamp: per-group "
+        "p05/p95 cut points (exact here; percentile_approx's mergeable "
+        "sketch at 100 TB), broadcast back, map-only clamp. Clamped "
+        "values re-quantized to integer cents BEFORE summation so the "
+        "before/after means are exact under any partial-agg order. Exact "
+        "percentile + broadcast-back is the same two-pass shape as every "
+        "encoder in this module — the fact table never shuffles."
+    ),
+)
+def feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamp event values to per-type [p05, p95]; report clamp counts and
+    the before/after means."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    w = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    clamped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.floor(w * 100 + 0.5).cast("long").alias("wcents"),
+        (F.col("value") < F.col("lo")).cast("int").alias("is_lo"),
+        (F.col("value") > F.col("hi")).cast("int").alias("is_hi"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("is_lo").cast("long").alias("n_clamped_lo"),
+        F.sum("is_hi").cast("long").alias("n_clamped_hi"),
+        rnd(F.sum("cents") / (F.count("*") * 100.0), 4).alias("mean_before"),
+        rnd(F.sum("wcents") / (F.count("*") * 100.0), 4).alias("mean_after"),
+    )
+
+
+@op(
+    "dq_referential_integrity",
+    oracle="""
+        SELECT 'orders.o_custkey->customer' AS fk,
+               CAST(count(*) AS BIGINT) AS n_child,
+               CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT)
+                   AS n_orphans
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE p_partkey IS NULL) AS BIGINT)
+        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE s_suppkey IS NULL) AS BIGINT)
+        FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE n_nationkey IS NULL) AS BIGINT)
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+    scale=(
+        "Referential-integrity audit across every declared FK in one "
+        "report: each check is a broadcast left join (dim side) counted "
+        "with a conditional agg — the child table scans once per FK and "
+        "never shuffles. At 100 TB run the orphan probes as "
+        "bloom-prefiltered anti joins (join_bloom_prefilter shape) and "
+        "union the 1-row summaries; the report schema is the contract "
+        "a pipeline gate asserts on before publishing a snapshot."
+    ),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan counts for the four declared foreign keys, one audit row each."""
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("orders", "lineitem", "customer", "part", "supplier", "nation")
+    }
+
+    def check(label, child, ckey, parent, pkey):
+        j = child.join(
+            F.broadcast(parent.select(pkey)), child[ckey] == parent[pkey], "left"
+        )
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.count(F.when(F.col(pkey).isNull(), 1)).alias("n_orphans"),
+        )
+
+    checks = [
+        check("orders.o_custkey->customer", t["orders"], "o_custkey",
+              t["customer"], "c_custkey"),
+        check("lineitem.l_partkey->part", t["lineitem"], "l_partkey",
+              t["part"], "p_partkey"),
+        check("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey",
+              t["supplier"], "s_suppkey"),
+        check("customer.c_nationkey->nation", t["customer"], "c_nationkey",
+              t["nation"], "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+@op(
+    "dq_distribution_drift",
+    oracle="""
+        WITH binned AS (
+            SELECT event_type,
+                   CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                             < DATE '2024-01-16' THEN 0 ELSE 1 END AS half,
+                   CASE WHEN value < 1 THEN 0 WHEN value < 5 THEN 1
+                        WHEN value < 10 THEN 2 WHEN value < 50 THEN 3
+                        WHEN value < 100 THEN 4 WHEN value < 200 THEN 5
+                        WHEN value < 500 THEN 6 ELSE 7 END AS bin
+            FROM events
+        ),
+        counts AS (
+            SELECT event_type, b.bin,
+                   count(*) FILTER (WHERE half = 0 AND binned.bin = b.bin)
+                       AS n_ref,
+                   count(*) FILTER (WHERE half = 1 AND binned.bin = b.bin)
+                       AS n_cur,
+                   sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS tot_ref,
+                   sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS tot_cur
+            FROM binned, unnest(range(8)) AS b(bin)
+            GROUP BY event_type, b.bin
+        ),
+        psi_terms AS (
+            SELECT event_type,
+                   ((n_ref + 1.0) / (tot_ref + 8.0)
+                    - (n_cur + 1.0) / (tot_cur + 8.0))
+                   * ln(((n_ref + 1.0) / (tot_ref + 8.0))
+                        / ((n_cur + 1.0) / (tot_cur + 8.0))) AS term
+            FROM counts
+        )
+        SELECT event_type,
+               floor(sum(term) * 10000.0 + 0.505) / 10000.0 AS psi
+        FROM psi_terms GROUP BY event_type
+    """,
+    scale=(
+        "Population-stability-index drift monitor — the standard check "
+        "before trusting a model/feature on a new data window: fixed "
+        "value bins (so the binning is a map-only CASE, no quantile "
+        "pass), Laplace-smoothed shares, PSI per segment. Aggregates to "
+        "|types| x |bins| partials (40 rows) regardless of input size; "
+        "the reference/current split generalizes to any two snapshots. "
+        "PSI rounded at 4 dp — ulp-level ln() divergence can't flip it."
+    ),
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the first and second half-month of events, per type."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.when(F.col("value") < 1, 0)
+        .when(F.col("value") < 5, 1)
+        .when(F.col("value") < 10, 2)
+        .when(F.col("value") < 50, 3)
+        .when(F.col("value") < 100, 4)
+        .when(F.col("value") < 200, 5)
+        .when(F.col("value") < 500, 6)
+        .otherwise(7)
+        .alias("bin"),
+    )
+    grid = binned.crossJoin(
+        F.broadcast(
+            spark.range(8).select(F.col("id").cast("int").alias("gbin"))
+        )
+    )
+    counts = grid.groupBy("event_type", "gbin").agg(
+        F.count(
+            F.when((F.col("half") == 0) & (F.col("bin") == F.col("gbin")), 1)
+        ).alias("n_ref"),
+        F.count(
+            F.when((F.col("half") == 1) & (F.col("bin") == F.col("gbin")), 1)
+        ).alias("n_cur"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("tot_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("tot_cur"),
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("tot_ref") + 8.0)
+    q = (F.col("n_cur") + 1.0) / (F.col("tot_cur") + 8.0)
+    terms = counts.select(
+        "event_type", ((p - q) * F.log(p / q)).alias("term")
+    )
+    return terms.groupBy("event_type").agg(rnd(F.sum("term"), 4).alias("psi"))

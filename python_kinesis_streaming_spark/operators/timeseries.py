@@ -668,3 +668,50 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(hw.getField("b"), 6).alias("trend"),
         rnd(hw.getField("l") + 3 * hw.getField("b"), 6).alias("forecast_h3"),
     )
+
+
+@op(
+    "ts_hopping_agg",
+    oracle="""
+        WITH hopped AS (
+            SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                       - k.k * INTERVAL '15 minutes' AS window_start,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events, unnest(range(4)) AS k(k)
+        )
+        SELECT window_start,
+               window_start + INTERVAL '1 hour' AS window_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM hopped GROUP BY window_start
+    """,
+    scale=(
+        "Batch hopping-window aggregation via Spark's native "
+        "window(ts, '1 hour', '15 minutes'): each row fans out to "
+        "windowLength/slide = 4 buckets map-side, then one partial agg — "
+        "the shuffle carries (window, partial) pairs, 4x the tumbling "
+        "cardinality and independent of row count. The same window() call "
+        "is the streaming formulation (stream_sliding), so batch backfill "
+        "and live computation share one definition — no drift between "
+        "them. The oracle derives identical epoch-aligned window starts "
+        "arithmetically."
+    ),
+)
+def ts_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 15 min over events: count + value sum."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.select(win.alias("w"), F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )

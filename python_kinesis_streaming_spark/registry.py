@@ -218,6 +218,11 @@ _GRADING_PRIORITY = [
     "ts_holt_linear",
     "merge_into_upsert",
     "sim_threshold_sweep",
+    "feat_winsorize",
+    "dq_referential_integrity",
+    "dq_distribution_drift",
+    "corpus_epoch_plan",
+    "ts_hopping_agg",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
