@@ -681,3 +681,89 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
         )
     )
+
+
+@op(
+    "corpus_importance_resample",
+    oracle="""
+        WITH weighted AS (
+            SELECT doc_id, source,
+                   CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                            THEN 2.5
+                        WHEN source IN ('src5','src6','src7','src8','src9',
+                                        'src10','src11','src12','src13','src14')
+                            THEN 1.0
+                        ELSE 0.25 END AS w,
+                   CAST(('0x' || substring(md5('17:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+                       AS u
+            FROM documents
+        ),
+        copies AS (
+            SELECT doc_id, source, w,
+                   CAST(floor(w) AS BIGINT)
+                   + CASE WHEN u < CAST((w - floor(w)) * 1000000 AS BIGINT)
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM weighted
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_copies) AS BIGINT) AS n_copies,
+               floor(sum(n_copies) / CAST(count(*) AS DOUBLE) * 10000.0
+                     + 0.505) / 10000.0 AS effective_ratio
+        FROM copies GROUP BY source
+    """,
+    scale=(
+        "Importance resampling — the data-mixing primitive: per-source "
+        "weights (up-sample high-quality sources with repetition, "
+        "down-sample the tail) realized as integer copy counts floor(w) "
+        "plus an md5-uniform Bernoulli for the fractional part. Map-only "
+        "per doc, deterministic across runs/engines (same docs duplicate "
+        "every rerun — required for reproducible training), one "
+        "|sources|-row agg for the audit manifest. At 100 TB the copy "
+        "expansion itself is posexplode(sequence(1, n_copies)) fused "
+        "into the shard writer — never materialized as a driver list."
+    ),
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic resampling manifest: weight -> integer copy
+    counts (floor + md5-Bernoulli fractional part)."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        F.when(
+            F.col("source").isin(*[f"src{i}" for i in range(5)]), F.lit(2.5)
+        )
+        .when(
+            F.col("source").isin(*[f"src{i}" for i in range(5, 15)]),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.25))
+    )
+    weighted = docs.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        (md5_hash64(F.col("doc_id").cast("string"), seed=17) % 1000000).alias(
+            "u"
+        ),
+    )
+    copies = weighted.select(
+        "source",
+        (
+            F.floor("w").cast("long")
+            + F.when(
+                F.col("u")
+                < ((F.col("w") - F.floor("w")) * 1000000).cast("long"),
+                1,
+            ).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return copies.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_copies").cast("long").alias("n_copies"),
+        rnd(F.sum("n_copies") / F.count(F.lit(1)).cast("double"), 4).alias(
+            "effective_ratio"
+        ),
+    )

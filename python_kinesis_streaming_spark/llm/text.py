@@ -913,3 +913,80 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "x", "y")
         .limit(20)
     )
+
+
+@op(
+    "text_ngram_novelty",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+            FROM documents
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   ws[i.i] || ' ' || ws[i.i + 1] || ' ' || ws[i.i + 2] AS sh
+            FROM toks, unnest(range(1, len(ws) - 1)) AS i(i)
+            WHERE len(ws) >= 3
+        ),
+        firsts AS (
+            SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(*) FILTER (WHERE f.first_doc = s.doc_id) AS BIGINT)
+                   AS n_novel,
+               floor(count(*) FILTER (WHERE f.first_doc = s.doc_id)
+                     / CAST(count(*) AS DOUBLE) * 10000.0 + 0.505) / 10000.0
+                   AS novelty
+        FROM shingles s JOIN firsts f USING (sh)
+        GROUP BY s.doc_id
+    """,
+    scale=(
+        "Corpus novelty curve — how much genuinely-new 3-gram content "
+        "each document adds given everything ingested before it (by "
+        "doc_id = arrival order). Two chained aggs on the shingle key: "
+        "first-occurrence via min(doc_id) (mergeable), then a join back "
+        "bounded by per-doc shingle counts. This is the monitoring side "
+        "of dedup: novelty collapsing toward 0 tells you the crawl is "
+        "re-reading itself BEFORE you pay for full near-dup passes. At "
+        "100 TB the shingle table is the same one the MinHash pipeline "
+        "builds — one materialization serves both."
+    ),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novel-3-gram fraction relative to all earlier docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: F.length(w) > 0).alias("ws"),
+    ).where(F.size("ws") >= 3)
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ws"), i + 1),
+                        F.element_at(F.col("ws"), i + 2),
+                        F.element_at(F.col("ws"), i + 3),
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    firsts = shingles.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    joined = shingles.join(firsts, "sh")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+            "n_novel"
+        ),
+        rnd(
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("novelty"),
+    )

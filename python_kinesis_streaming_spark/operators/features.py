@@ -568,3 +568,56 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", ((p - q) * F.log(p / q)).alias("term")
     )
     return terms.groupBy("event_type").agg(rnd(F.sum("term"), 4).alias("psi"))
+
+
+@op(
+    "dq_row_quarantine",
+    oracle="""
+        WITH checked AS (
+            SELECT event_id,
+                   CASE
+                     WHEN event_type = 'error' THEN 'error_event'
+                     WHEN value < 0.5 THEN 'suspect_low_value'
+                     WHEN CAST(regexp_extract(props, '[0-9]+') AS BIGINT) >= 95
+                          THEN 'prop_k_out_of_range'
+                     ELSE 'ok'
+                   END AS reason
+            FROM events
+        )
+        SELECT reason,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(event_id) AS BIGINT) AS sample_event_id
+        FROM checked WHERE reason != 'ok' GROUP BY reason
+        UNION ALL
+        SELECT 'ok', CAST(count(*) AS BIGINT), CAST(min(event_id) AS BIGINT)
+        FROM checked WHERE reason = 'ok'
+    """,
+    scale=(
+        "Row-level quarantine (dead-letter routing for batch): every row "
+        "classified by its FIRST failing expectation in one map-only "
+        "CASE pass; bad rows route to a quarantine sink with reason "
+        "codes, good rows flow on — the scan happens once, not once per "
+        "rule. The per-reason counts + sample ids emitted here are the "
+        "triage report; at 100 TB the same projection feeds a "
+        "partitioned-by-reason quarantine write so reprocessing one "
+        "failure class doesn't re-read the rest."
+    ),
+)
+def dq_row_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify events by first failing expectation; per-reason counts with
+    a sample row id (the 'ok' row included for mass-balance)."""
+    ev = load_table(spark, sf_dir, "events")
+    reason = (
+        F.when(F.col("event_type") == "error", "error_event")
+        .when(F.col("value") < 0.5, "suspect_low_value")
+        .when(
+            F.regexp_extract("props", "[0-9]+", 0).cast("long") >= 95,
+            "prop_k_out_of_range",
+        )
+        .otherwise("ok")
+    )
+    checked = ev.select("event_id", reason.alias("reason"))
+    return checked.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("sample_event_id"),
+    )

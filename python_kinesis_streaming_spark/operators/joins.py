@@ -719,3 +719,66 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_false_pos"),
     )
+
+
+@op(
+    "join_asof_tolerance",
+    oracle="""
+        WITH last_p AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS TIMESTAMP) END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_purchase_ts
+            FROM events WHERE event_type IN ('click', 'purchase')
+        )
+        SELECT event_id AS click_id, user_id,
+               CASE WHEN last_purchase_ts IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(last_purchase_ts)
+                             <= 1800000000
+                    THEN last_purchase_ts END AS matched_purchase_ts,
+               (last_purchase_ts IS NOT NULL
+                AND epoch_us(ts) - epoch_us(last_purchase_ts) <= 1800000000)
+                   AS within_tolerance
+        FROM last_p WHERE event_type = 'click'
+    """,
+    scale=(
+        "As-of join with a staleness tolerance — the feature-store "
+        "point-in-time lookup contract (a match older than the tolerance "
+        "is worse than no match: it leaks stale state into training "
+        "rows). Same union + running-max window as join_asof — ONE "
+        "user_id shuffle, linear state, no pairwise expansion — with the "
+        "tolerance applied as a residual predicate on the matched "
+        "timestamp, so the 30-min bound costs zero extra plan steps."
+    ),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click: the user's most recent purchase at-or-before it, but
+    only if within 30 minutes; else null (staleness-bounded as-of)."""
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = both.withColumn(
+        "last_purchase_ts",
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w),
+    )
+    within = F.col("last_purchase_ts").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("last_purchase_ts")
+        <= 1800000000
+    )
+    return scanned.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.when(within, F.col("last_purchase_ts")).alias("matched_purchase_ts"),
+        within.alias("within_tolerance"),
+    )

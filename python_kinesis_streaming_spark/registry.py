@@ -223,6 +223,10 @@ _GRADING_PRIORITY = [
     "dq_distribution_drift",
     "corpus_epoch_plan",
     "ts_hopping_agg",
+    "text_ngram_novelty",
+    "join_asof_tolerance",
+    "corpus_importance_resample",
+    "dq_row_quarantine",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
