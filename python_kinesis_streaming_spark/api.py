@@ -54,6 +54,12 @@ __all__ = [
     "hamming_knn",
     "power_iteration_step",
     "triangle_stats",
+    "target_encode",
+    "winsorize",
+    "merge_upsert",
+    "bloom_prefilter",
+    "holt_smooth",
+    "shard_assign",
 ]
 
 
@@ -712,4 +718,203 @@ def triangle_stats(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
                 "clustering_coeff"
             ),
         )
+    )
+
+
+def target_encode(
+    df: DataFrame, cat_col: str, value_col: str, out_col: str = "loo_enc"
+) -> DataFrame:
+    """Leave-one-out target encoding (registry op ``feat_target_encode``
+    generalized): appends ``out_col`` = mean of ``value_col`` over the row's
+    ``cat_col`` group EXCLUDING the row itself — the standard leakage guard.
+    Values are quantized to integer cents before summation so the encoding
+    is deterministic under any partial-agg order; the category stats are a
+    tiny broadcast, the input never shuffles."""
+    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("long")
+    stats = (
+        df.select(F.col(cat_col), cents.alias("_cents"))
+        .groupBy(cat_col)
+        .agg(F.sum("_cents").alias("_s"), F.count("*").alias("_n"))
+    )
+    return (
+        df.withColumn("_cents", cents)
+        .join(F.broadcast(stats), cat_col)
+        .withColumn(
+            out_col,
+            (F.col("_s") - F.col("_cents")) / (100.0 * (F.col("_n") - 1)),
+        )
+        .drop("_cents", "_s", "_n")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile clamp (registry op ``feat_winsorize``
+    generalized): appends ``<value_col>_w`` clamped to the group's
+    [p_lo, p_hi]. Exact percentiles here; swap ``percentile`` for
+    ``percentile_approx`` at scale — the broadcast-back shape is
+    unchanged."""
+    cuts = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_hi"),
+    )
+    clamped = (
+        F.when(F.col(value_col) < F.col("_lo"), F.col("_lo"))
+        .when(F.col(value_col) > F.col("_hi"), F.col("_hi"))
+        .otherwise(F.col(value_col))
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .withColumn(f"{value_col}_w", clamped)
+        .drop("_lo", "_hi")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    update_col: str,
+    delta_col: str,
+    delete_cond: Column | None = None,
+) -> DataFrame:
+    """MERGE INTO without a table format (registry op ``merge_into_upsert``
+    generalized): one full-outer join on ``key`` resolves update / insert /
+    delete / keep in a single pass. ``update_col`` (target) is incremented
+    by ``delta_col`` (source) on match; source-only keys insert with the
+    delta as the initial value; matched rows satisfying ``delete_cond``
+    drop. Returns (key, action, <update_col>)."""
+    t = target.select(F.col(key).alias("_tk"), F.col(update_col).alias("_tv"))
+    s_cols = [F.col(key).alias("_sk"), F.col(delta_col).alias("_sv")]
+    src = source.select(*s_cols, *(
+        [delete_cond.alias("_del")] if delete_cond is not None else [F.lit(False).alias("_del")]
+    ))
+    merged = t.join(src, t["_tk"] == src["_sk"], "full_outer").select(
+        F.coalesce("_tk", "_sk").alias(key),
+        F.when(F.col("_sk").isNull(), "keep")
+        .when(F.col("_tk").isNull(), "insert")
+        .when(F.col("_del"), "delete")
+        .otherwise("update")
+        .alias("action"),
+        F.when(F.col("_sk").isNull(), F.col("_tv"))
+        .when(F.col("_tk").isNull(), F.col("_sv"))
+        .otherwise(F.col("_tv") + F.col("_sv"))
+        .alias(update_col),
+    )
+    return merged.where(F.col("action") != "delete")
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    fact_key: str,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+) -> DataFrame:
+    """Explicit bloom-filter semi-join reduction (registry op
+    ``join_bloom_prefilter`` generalized): builds an ``m_bits``-bit /
+    2-hash bloom of ``keys[key_col]`` as a 32-bit-word bit_or aggregate,
+    broadcasts it, and returns the fact rows whose key passes both bit
+    tests (supersets the true semi-join by the false-positive rate).
+    Use ahead of an expensive shuffle join; all md5 integer arithmetic,
+    so the selected candidate set is deterministic."""
+
+    def with_bit(df: DataFrame, col: str) -> DataFrame:
+        out = df.select("*", F.explode(F.array(F.lit(1), F.lit(2))).alias("_seed"))
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("_seed").cast("string"), F.col(col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return out.withColumn("_bit", h % m_bits)
+
+    bloom = (
+        with_bit(keys.select(key_col), key_col)
+        .groupBy((F.col("_bit") / 32).cast("long").alias("_word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 32 AS INT))")
+            ).alias("_bits")
+        )
+    )
+    probes = with_bit(fact, fact_key).withColumn(
+        "_word", (F.col("_bit") / 32).cast("long")
+    ).withColumn(
+        "_mask", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 32 AS INT))")
+    )
+    hits = probes.join(F.broadcast(bloom), "_word", "left").withColumn(
+        "_hit",
+        F.when(
+            F.col("_bits").isNotNull()
+            & (F.col("_bits").bitwiseAND(F.col("_mask")) == F.col("_mask")),
+            1,
+        ).otherwise(0),
+    )
+    passed = (
+        hits.groupBy(fact.columns)
+        .agg(F.sum("_hit").alias("_nhit"))
+        .where(F.col("_nhit") == 2)
+        .drop("_nhit")
+    )
+    return passed
+
+
+def holt_smooth(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    alpha: float = 0.6,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt linear-trend smoothing per key (registry op ``ts_holt_linear``
+    generalized): returns (key, n_events, level, trend) from one bounded
+    in-row fold — no window sort, no Python. Order is (ts, value) within
+    key; pass a unique tiebreak in ``ts`` ordering via a struct col if
+    values can tie."""
+    grouped = df.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value_col).alias("v")))
+        ).alias("_a")
+    )
+    hw = F.expr(
+        f"aggregate(slice(_a, 2, size(_a) - 1), "
+        f"named_struct('l', CAST(element_at(_a, 1).v AS DOUBLE), "
+        f"             'b', CAST(0.0 AS DOUBLE)), "
+        f"(acc, s) -> named_struct("
+        f"  'l', {alpha}D * s.v + {1 - alpha}D * (acc.l + acc.b), "
+        f"  'b', {beta}D * ({alpha}D * s.v + {1 - alpha}D * (acc.l + acc.b) - acc.l) "
+        f"       + {1 - beta}D * acc.b))"
+    )
+    return grouped.select(
+        key,
+        F.size("_a").cast("long").alias("n_events"),
+        hw.getField("l").alias("level"),
+        hw.getField("b").alias("trend"),
+    )
+
+
+def shard_assign(
+    df: DataFrame, id_col: str, n_shards: int = 16, seed: int = 7
+) -> DataFrame:
+    """Reproducible global shuffle + sharding (registry op
+    ``corpus_shard_assign`` generalized): appends ``shard`` (md5-uniform,
+    skew-free) and ``pos_key`` (independent md5 — rank by it within shard
+    for the within-shard order). Deterministic across runs, engines, and
+    stage retries: a resumed training job reads the identical order."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    return df.withColumn(
+        "shard", md5_hash64(F.col(id_col).cast("string"), seed=seed) % n_shards
+    ).withColumn(
+        "pos_key", md5_hash64(F.col(id_col).cast("string"), seed=seed + 4)
     )

@@ -415,3 +415,122 @@ def test_triangle_stats_matches_registry(spark, sf_dir):
     )
     reg = Q["graph_triangle_count"](spark, sf_dir).toPandas()
     assert_twin_match(api_df, reg, "triangle_stats")
+
+
+def test_target_encode_matches_registry(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        api.target_encode(orders, "o_orderpriority", "o_totalprice")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.floor(F.col("loo_enc") * 100 + F.lit(0.505)) / 100).alias(
+                "loo_enc"
+            ),
+        )
+        .toPandas()
+    )
+    reg = Q["feat_target_encode"](spark, sf_dir).toPandas()
+    assert_twin_match(out, reg, "target_encode")
+
+
+def test_winsorize_matches_registry(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rowlevel = api.winsorize(ev, "event_type", "value")
+    agg = rowlevel.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.floor(F.col("value_w") * 100 + 0.5).cast("long")
+        ).alias("wcents"),
+    )
+    reg = (
+        Q["feat_winsorize"](spark, sf_dir)
+        .select(
+            "event_type",
+            "n",
+            (F.col("mean_after") * F.col("n") * 100).alias("approx_wcents"),
+        )
+        .toPandas()
+    )
+    out = agg.toPandas()
+    merged = out.merge(reg, on=["event_type", "n"])
+    assert len(merged) == len(out)
+    # mean_after was rounded at 4dp; allow the rounding slack per group
+    assert ((merged.wcents - merged.approx_wcents).abs() <= merged.n * 0.01 + 1).all()
+
+
+def test_merge_upsert_matches_registry(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    tgt = cust.select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("balance_cents"),
+    ).withColumnRenamed("c_custkey", "key")
+    src = (
+        orders.groupBy(
+            F.when(F.col("o_custkey") % 3 == 0, F.col("o_custkey") + 1000000)
+            .otherwise(F.col("o_custkey"))
+            .alias("key")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("delta"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    out = api.merge_upsert(
+        tgt, src, "key", "balance_cents", "delta",
+        delete_cond=F.col("n_orders") >= 15,
+    ).toPandas()
+    reg = Q["merge_into_upsert"](spark, sf_dir).toPandas()
+    assert_twin_match(out, reg, "merge_upsert")
+
+
+def test_bloom_prefilter_matches_registry_counts(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    keys = cust.where(F.col("c_acctbal") > 7000).select("c_custkey")
+    candidates = api.bloom_prefilter(orders, "o_custkey", keys, "c_custkey")
+    reg = Q["join_bloom_prefilter"](spark, sf_dir).collect()[0]
+    assert candidates.count() == reg["n_candidates"]
+    # every true match must pass (no false negatives — bloom invariant)
+    true_matches = orders.join(keys, orders.o_custkey == keys.c_custkey, "left_semi")
+    assert true_matches.exceptAll(candidates).count() == 0
+
+
+def test_holt_smooth_matches_registry(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id", F.struct("ts", "event_id").alias("tkey"), "value"
+    )
+    out = (
+        api.holt_smooth(src, "user_id", "tkey", "value")
+        .select(
+            "user_id",
+            "n_events",
+            (F.floor(F.col("level") * 1e6 + F.lit(0.505)) / 1e6).alias("level"),
+            (F.floor(F.col("trend") * 1e6 + F.lit(0.505)) / 1e6).alias("trend"),
+        )
+        .toPandas()
+    )
+    reg = (
+        Q["ts_holt_linear"](spark, sf_dir)
+        .select("user_id", "n_events", "level", "trend")
+        .toPandas()
+    )
+    assert_twin_match(out, reg, "holt_smooth")
+
+
+def test_shard_assign_matches_registry(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = api.shard_assign(docs, "doc_id")
+    manifest = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    reg = Q["corpus_shard_assign"](spark, sf_dir).select(
+        "shard", "n_docs", "total_chars"
+    )
+    assert manifest.exceptAll(reg).count() == 0
+    assert reg.exceptAll(manifest).count() == 0
