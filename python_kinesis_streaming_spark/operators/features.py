@@ -523,10 +523,12 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Population-stability-index drift monitor — the standard check "
         "before trusting a model/feature on a new data window: fixed "
         "value bins (so the binning is a map-only CASE, no quantile "
-        "pass), Laplace-smoothed shares, PSI per segment. Aggregates to "
-        "|types| x |bins| partials (40 rows) regardless of input size; "
-        "the reference/current split generalizes to any two snapshots. "
-        "PSI rounded at 4 dp — ulp-level ln() divergence can't flip it."
+        "pass), Laplace-smoothed shares, PSI per segment. The fact stream "
+        "is aggregated FIRST; the 8-bin spine fills empty bins on the "
+        "40-row aggregated side, so no fact-side row blowup at any "
+        "input size. The reference/current split generalizes to any two "
+        "snapshots. PSI rounded at 4 dp — ulp-level ln() divergence "
+        "can't flip it."
     ),
 )
 def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,20 +549,36 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(7)
         .alias("bin"),
     )
-    grid = binned.crossJoin(
+    # Aggregate FIRST (the only pass over the fact stream), then fill the
+    # 8-bin spine on the 40-row aggregated side — never a ×8 fact blowup.
+    present = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("p_ref"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("p_cur"),
+    )
+    tot = binned.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("tot_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("tot_cur"),
+    )
+    spine = tot.crossJoin(
         F.broadcast(
             spark.range(8).select(F.col("id").cast("int").alias("gbin"))
         )
     )
-    counts = grid.groupBy("event_type", "gbin").agg(
-        F.count(
-            F.when((F.col("half") == 0) & (F.col("bin") == F.col("gbin")), 1)
-        ).alias("n_ref"),
-        F.count(
-            F.when((F.col("half") == 1) & (F.col("bin") == F.col("gbin")), 1)
-        ).alias("n_cur"),
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("tot_ref"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("tot_cur"),
+    counts = (
+        spine.join(
+            present,
+            (spine.event_type == present.event_type)
+            & (F.col("gbin") == F.col("bin")),
+            "left",
+        )
+        .select(
+            spine.event_type,
+            "gbin",
+            F.coalesce("p_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("p_cur", F.lit(0)).alias("n_cur"),
+            "tot_ref",
+            "tot_cur",
+        )
     )
     p = (F.col("n_ref") + 1.0) / (F.col("tot_ref") + 8.0)
     q = (F.col("n_cur") + 1.0) / (F.col("tot_cur") + 8.0)

@@ -213,6 +213,8 @@ BNLJ_ALLOWED = {
     "emb_pca_power_iter",  # 64 loading rows × 1-row Rayleigh eigenvalue
     "graph_triangle_count",  # 1-row edge × 1-row wedge × 1-row triangle aggs
     "text_collocations_pmi",  # supported bigrams × two 1-row grand totals
+    "dq_freshness",  # |types| rows × 1-row global-watermark max
+    "dq_distribution_drift",  # binned events × broadcast 8-row bin spine
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
@@ -330,3 +332,53 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, no_table_cache):
         if "FileScan" in ln and "part_events" in ln
     ]
     assert fact_scan and "dynamicpruning" in fact_scan[0], fact_scan
+
+
+def test_feature_encoders_broadcast_stats_back(spark, sf_dir, no_table_cache):
+    """Every two-pass encoder must broadcast its tiny stats table back onto
+    the fact scan — a shuffled stats join at 100 TB re-shuffles the facts."""
+    for op_name in ("feat_target_encode", "feat_minmax_scale", "feat_winsorize"):
+        p = plan_of(Q[op_name](spark, sf_dir), "simple")
+        assert "BroadcastHashJoin" in p, op_name
+        assert "SortMergeJoin" not in p, op_name
+
+
+def test_bloom_prefilter_broadcasts_bitset(spark, sf_dir, no_table_cache):
+    """The 128-word bloom bitset must reach the probe side as a broadcast;
+    the orders scan must never shuffle for the membership test."""
+    p = plan_of(Q["join_bloom_prefilter"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p
+    # build + probe joins both broadcast; the only exchanges allowed are
+    # aggregation shuffles (bitset build + per-order candidate agg + final).
+    assert "SortMergeJoin" not in p
+
+
+def test_hashing_trick_partial_aggregates(spark, sf_dir, no_table_cache):
+    """feat_hashing_trick's 32-bucket agg must partial-aggregate map-side:
+    the exchange carries 32 rows per task, not the event stream."""
+    p = plan_of(Q["feat_hashing_trick"](spark, sf_dir), "simple")
+    assert p.count("HashAggregate") >= 2
+    assert "partial_" in p
+
+
+def test_hopping_window_single_shuffle(spark, sf_dir, no_table_cache):
+    """ts_hopping_agg: explode-to-4-windows is map-side; exactly one
+    aggregation exchange follows."""
+    p = plan_of(Q["ts_hopping_agg"](spark, sf_dir), "simple")
+    assert p.count("Exchange") == 1, p.count("Exchange")
+
+
+def test_holt_fold_single_shuffle(spark, sf_dir, no_table_cache):
+    """ts_holt_linear: one user_id shuffle; the fold itself is a projection
+    (no window sort, no extra exchange)."""
+    p = plan_of(Q["ts_holt_linear"](spark, sf_dir), "simple")
+    assert p.count("Exchange") == 1, p.count("Exchange")
+    assert "Window" not in p
+
+
+def test_pq_codebook_broadcast(spark, sf_dir, no_table_cache):
+    """sim_pq_assign: the 64-row codebook must broadcast; assignment work
+    is map-side against the vector scan."""
+    p = plan_of(Q["sim_pq_assign"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
