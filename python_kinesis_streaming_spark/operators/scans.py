@@ -413,3 +413,123 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@op(
+    "sink_python_datasource",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY event_type
+    """,
+    scale=(
+        "The WRITE half of the Spark 4 pure-Python DataSource seam "
+        "(source_python_datasource is the read half): executors call "
+        "write(iterator) per partition and emit a WriterCommitMessage; "
+        "the DRIVER's commit() sees all messages and finalizes — the "
+        "standard two-phase commit that makes task retries safe (a "
+        "failed task's file is never finalized; abort() cleans up). "
+        "Here each partition writes a JSON-lines part file and commit() "
+        "writes the manifest; the op proves the round trip by reading "
+        "the files back and re-aggregating — counts must equal the "
+        "source exactly (no lost/duplicated partitions)."
+    ),
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events through a pure-Python DataSource writer (2-phase commit:
+    per-partition part files + driver manifest), read back, re-aggregate."""
+    import glob
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    import shutil
+
+    out_dir = os.path.join(SCRATCH, "pysink", fixture_tag(sf_dir))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # Nested classes: cloudpickled by value (bare-session rule).
+    class _Msg(WriterCommitMessage):
+        def __init__(self, path, n):
+            self.path, self.n = path, n
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, path):
+            self.path = path
+
+        def write(self, iterator):
+            import json
+            import os as _os
+            import uuid
+
+            part = _os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(part + ".tmp", "w") as f:
+                for row in iterator:
+                    f.write(
+                        json.dumps(
+                            {
+                                "event_type": row["event_type"],
+                                "cents": row["cents"],
+                            }
+                        )
+                        + "\n"
+                    )
+                    n += 1
+            _os.rename(part + ".tmp", part)  # atomic finalize per task
+            return _Msg(part, n)
+
+        def commit(self, messages):
+            import json
+            import os as _os
+
+            manifest = {
+                "files": sorted(m.path for m in messages),
+                "rows": sum(m.n for m in messages),
+            }
+            with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            import os as _os
+
+            for m in messages:
+                if m is not None and _os.path.exists(m.path):
+                    _os.remove(m.path)
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "pkss_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options["path"])
+
+    spark.dataSource.register(JsonlSink)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    ev.write.format("pkss_jsonl_sink").option("path", out_dir).mode(
+        "append"
+    ).save()
+
+    # Verify the 2-phase commit: manifest must exist and cover every part.
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*.jsonl")))
+    assert parts == manifest["files"], "manifest/part mismatch"
+
+    back = spark.read.json(parts)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

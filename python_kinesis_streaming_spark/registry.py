@@ -227,6 +227,9 @@ _GRADING_PRIORITY = [
     "join_asof_tolerance",
     "corpus_importance_resample",
     "dq_row_quarantine",
+    "stream_idempotent_sink",
+    "sink_python_datasource",
+    "stream_batch_parity",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

@@ -908,3 +908,136 @@ def stream_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(state_rows, n_data)], "state_rows long, n_data_batches long"
     )
+
+
+@op(
+    "stream_idempotent_sink",
+    oracle="""
+        WITH n AS (SELECT count(*) AS c FROM events)
+        SELECT u.i AS batch_id,
+               CASE WHEN u.i < 3 THEN (c + 3) // 4
+                    ELSE c - 3 * ((c + 3) // 4) END AS rows_written,
+               CAST(2 AS BIGINT) AS attempts,
+               CAST(1 AS BIGINT) AS commits
+        FROM n, unnest(range(4)) AS u(i)
+    """,
+    scale=(
+        "Exactly-once WRITE semantics without a transactional table "
+        "format: foreachBatch keys every write on (batchId) and a commit "
+        "marker makes it idempotent — a replay of the same source (job "
+        "restart with a lost checkpoint, the worst case) re-delivers "
+        "every batch, and each one short-circuits on its marker instead "
+        "of double-writing. This is the standard batchId-ledger pattern "
+        "for non-transactional sinks (JDBC, object storage); with a "
+        "table format the marker becomes a txn-log row. The op PROVES "
+        "idempotence by streaming the 4-chunk replay twice into one sink "
+        "dir: attempts=2, commits=1 per batch, row counts unchanged."
+    ),
+)
+def stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the replay through an idempotent foreachBatch parquet sink,
+    then replay AGAIN from a fresh checkpoint: markers must dedup every
+    batch. Emits (batch_id, rows_written, attempts, commits)."""
+    import uuid as _uuid
+
+    out_dir = os.path.join(SCRATCH, "idem", sf_tag(sf_dir))
+    # Idempotent re-invocation: clear output + any stale checkpoints
+    # together (CLAUDE.md invariant 2).
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ledger: dict[int, dict[str, int]] = {}
+
+    def make_writer():
+        def write_batch(bdf, bid):
+            # foreachBatch callbacks run on the DRIVER — the ledger dict and
+            # filesystem markers are safe coordination points here; on a
+            # cluster the marker lives on the shared object store.
+            d = os.path.join(out_dir, f"batch={bid}")
+            marker = os.path.join(d, "_COMMITTED")
+            rec = ledger.setdefault(bid, {"attempts": 0, "commits": 0})
+            rec["attempts"] += 1
+            if os.path.exists(marker):
+                return
+            bdf.write.mode("overwrite").parquet(d)
+            with open(marker, "w") as f:
+                f.write("ok")
+            rec["commits"] += 1
+
+        return write_batch
+
+    for run in range(2):
+        s = replay_stream(spark, sf_dir)
+        ckpt = os.path.join(SCRATCH, "ckpt", f"idem_{_uuid.uuid4().hex[:10]}")
+        q = (
+            s.select("event_id", "user_id", "event_type")
+            .writeStream.foreachBatch(make_writer())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    rows = [
+        (int(bid), rec["attempts"], rec["commits"])
+        for bid, rec in sorted(ledger.items())
+    ]
+    counts = spark.createDataFrame(
+        rows, "batch_id long, attempts long, commits long"
+    )
+    written = (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .groupBy(F.col("batch").cast("long").alias("batch_id"))
+        .agg(F.count(F.lit(1)).alias("rows_written"))
+    )
+    return written.join(counts, "batch_id").select(
+        "batch_id", "rows_written", "attempts", "commits"
+    )
+
+
+@op(
+    "stream_batch_parity",
+    oracle="""
+        WITH w AS (
+            SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+                   count(*) AS n
+            FROM events GROUP BY h
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_windows_batch,
+               CAST(count(*) AS BIGINT) AS n_windows_stream,
+               CAST(count(*) AS BIGINT) AS n_matching
+        FROM w
+    """,
+    scale=(
+        "Lambda-architecture consistency check: the SAME tumbling-window "
+        "definition executed as a batch aggregate AND as a 4-micro-batch "
+        "Structured Streaming query (complete mode) must produce "
+        "identical (window, count) sets — one shared logical definition, "
+        "two execution modes, zero drift. This is the backfill contract: "
+        "at 100 TB the batch path recomputes history while the stream "
+        "path serves the live tail, and this op is the gate that lets "
+        "the two hand off. Equality is verified set-wise with an "
+        "inner-join-on-all-columns count, never row order."
+    ),
+)
+def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h counts computed in batch AND via streaming replay; emit
+    window counts for each mode plus the size of their intersection."""
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.col("w.start").alias("h"), "n")
+    s = replay_stream(spark, sf_dir)
+    streamed = run_to_memory(
+        s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "complete",
+    ).select(F.col("w.start").alias("h"), "n")
+    match = batch.join(streamed, ["h", "n"], "inner")
+    return (
+        batch.agg(F.count(F.lit(1)).alias("n_windows_batch"))
+        .crossJoin(streamed.agg(F.count(F.lit(1)).alias("n_windows_stream")))
+        .crossJoin(match.agg(F.count(F.lit(1)).alias("n_matching")))
+    )
