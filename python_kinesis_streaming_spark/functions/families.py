@@ -825,3 +825,42 @@ def fn_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@op(
+    "fn_interval_arith",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 MONTH
+                    AS DATE) AS TIMESTAMP) AS due_date,
+               date_trunc('quarter', CAST(o_orderdate AS TIMESTAMP))
+                   AS quarter_start,
+               CAST(last_day(CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE))
+                    AS TIMESTAMP) AS month_end,
+               CAST(date_diff('day', CAST(CAST(o_orderdate AS TIMESTAMP)
+                    AS DATE), DATE '2001-12-31') AS BIGINT) AS days_to_cutoff
+        FROM orders
+    """,
+    scale=(
+        "Calendar/interval arithmetic family — add_months (end-of-month "
+        "clamped identically in both engines), quarter truncation, "
+        "last_day, and day differences: all codegen projections on the "
+        "scan, no shuffle. These are the expressions every date-derived "
+        "feature column and every retention cutoff is built from; "
+        "end-of-month clamping (Jan 31 + 1 month = Feb 28) is the "
+        "classic cross-engine divergence and is pinned here."
+    ),
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/date arithmetic over order dates: +3 months (clamped),
+    quarter start, month end, and days to a fixed cutoff."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("due_date"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.datediff(
+            F.lit("2001-12-31").cast("date"), F.col("o_orderdate")
+        ).cast("long").alias("days_to_cutoff"),
+    )

@@ -1170,3 +1170,127 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_docs_flagged"),
         )
     )
+
+
+@op(
+    "emb_quantization_recall",
+    oracle="""
+        WITH sigs AS (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(range(1, 33),
+                       i -> CASE WHEN embedding[i] > 0
+                                 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT
+                            END)) AS BIGINT) AS sig_lo,
+                   CAST(list_sum(list_transform(range(33, 65),
+                       i -> CASE WHEN embedding[i] > 0
+                                 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT
+                            END)) AS BIGINT) AS sig_hi
+            FROM embeddings
+        ),
+        exact AS (
+            SELECT q.vec_id AS q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       floor((list_cosine_similarity(e.embedding::DOUBLE[],
+                             q.embedding::DOUBLE[])) * 10000.0 + 0.505)
+                           / 10000.0 DESC,
+                       e.vec_id) AS rk
+            FROM embeddings e JOIN embeddings q
+              ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+        ),
+        ham AS (
+            SELECT q.vec_id AS q_id, s.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       bit_count(xor(s.sig_lo, qs.sig_lo))
+                       + bit_count(xor(s.sig_hi, qs.sig_hi)),
+                       s.vec_id) AS rk
+            FROM sigs s
+            JOIN embeddings q ON q.vec_id < 5 AND s.vec_id <> q.vec_id
+            JOIN sigs qs ON qs.vec_id = q.vec_id
+        )
+        SELECT e.q_id,
+               CAST(count(h.vec_id) AS BIGINT) AS n_overlap,
+               floor(count(h.vec_id) / 10.0 * 100.0 + 0.505) / 100.0
+                   AS recall_at_10
+        FROM (SELECT * FROM exact WHERE rk <= 10) e
+        LEFT JOIN (SELECT * FROM ham WHERE rk <= 10) h
+          ON e.q_id = h.q_id AND e.vec_id = h.vec_id
+        GROUP BY e.q_id
+    """,
+    scale=(
+        "Quantization-recall audit — the measurement that licenses the "
+        "256B->8B sign-bit compression (emb_hamming_knn) as a first-pass "
+        "filter: exact cosine top-10 vs Hamming top-10 overlap for a "
+        "query panel. Both retrieval paths are broadcast-query scans "
+        "(no corpus self-shuffle); the audit runs on a sampled panel at "
+        "100 TB, and its recall@k output sets the re-rank depth in "
+        "sim_rerank_two_stage (recall too low -> widen the candidate "
+        "pool, never trust the bits blindly)."
+    ),
+)
+def emb_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of sign-bit Hamming retrieval vs exact cosine, for query
+    vectors 0..4."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def sig(lo_bit: int, hi_bit: int, alias: str):
+        return F.expr(
+            f"aggregate(sequence({lo_bit}, {hi_bit}), 0L, (acc, i) -> "
+            f"acc + IF(element_at(embedding, i) > 0, "
+            f"shiftleft(1L, i - {lo_bit}), 0L))"
+        ).alias(alias)
+
+    sigs = emb.select("vec_id", sig(1, 32, "sig_lo"), sig(33, 64, "sig_hi"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    qsigs = sigs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            rnd(cosine(F.col("embedding"), F.col("q_emb")), 4).alias("sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+            ),
+        )
+        .where(F.col("rk") <= 10)
+    )
+    ham = (
+        sigs.crossJoin(F.broadcast(qsigs))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.bit_count(F.expr("sig_lo ^ q_lo"))
+                + F.bit_count(F.expr("sig_hi ^ q_hi"))
+            ).alias("hd"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("hd", "vec_id")
+            ),
+        )
+        .where(F.col("rk") <= 10)
+    )
+    joined = exact.select("q_id", "vec_id").join(
+        ham.select(F.col("q_id").alias("hq"), F.col("vec_id").alias("hv")),
+        (F.col("q_id") == F.col("hq")) & (F.col("vec_id") == F.col("hv")),
+        "left",
+    )
+    return joined.groupBy("q_id").agg(
+        F.count("hv").alias("n_overlap"),
+        rnd(F.count("hv") / 10.0, 2).alias("recall_at_10"),
+    )

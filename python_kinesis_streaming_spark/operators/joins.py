@@ -782,3 +782,79 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("last_purchase_ts")).alias("matched_purchase_ts"),
         within.alias("within_tolerance"),
     )
+
+
+@op(
+    "join_skew_diagnose",
+    oracle="""
+        WITH k1 AS (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey),
+        k2 AS (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey),
+        k3 AS (SELECT count(*) AS c FROM orders GROUP BY o_custkey),
+        k4 AS (SELECT count(*) AS c FROM events GROUP BY user_id)
+        SELECT 'lineitem.l_orderkey' AS join_key,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_rows,
+               floor((quantile_cont(c, 0.5)) * 100.0 + 0.505) / 100.0 AS p50,
+               floor((quantile_cont(c, 0.99)) * 100.0 + 0.505) / 100.0 AS p99,
+               CAST(ceil(max(c) / quantile_cont(c, 0.5)) AS BIGINT)
+                   AS salt_factor
+        FROM k1
+        UNION ALL
+        SELECT 'lineitem.l_partkey', CAST(count(*) AS BIGINT),
+               CAST(max(c) AS BIGINT),
+               floor((quantile_cont(c, 0.5)) * 100.0 + 0.505) / 100.0,
+               floor((quantile_cont(c, 0.99)) * 100.0 + 0.505) / 100.0,
+               CAST(ceil(max(c) / quantile_cont(c, 0.5)) AS BIGINT)
+        FROM k2
+        UNION ALL
+        SELECT 'orders.o_custkey', CAST(count(*) AS BIGINT),
+               CAST(max(c) AS BIGINT),
+               floor((quantile_cont(c, 0.5)) * 100.0 + 0.505) / 100.0,
+               floor((quantile_cont(c, 0.99)) * 100.0 + 0.505) / 100.0,
+               CAST(ceil(max(c) / quantile_cont(c, 0.5)) AS BIGINT)
+        FROM k3
+        UNION ALL
+        SELECT 'events.user_id', CAST(count(*) AS BIGINT),
+               CAST(max(c) AS BIGINT),
+               floor((quantile_cont(c, 0.5)) * 100.0 + 0.505) / 100.0,
+               floor((quantile_cont(c, 0.99)) * 100.0 + 0.505) / 100.0,
+               CAST(ceil(max(c) / quantile_cont(c, 0.5)) AS BIGINT)
+        FROM k4
+    """,
+    scale=(
+        "The skew audit you run BEFORE a big shuffle join: per-key row "
+        "counts (one partial agg per key column), then |keys|-sized "
+        "distribution stats — max, p50, p99 — and the derived salt "
+        "factor ceil(max/p50) that join_skew_salted takes as its "
+        "replication knob. A hot key shows up as max >> p99 long before "
+        "it shows up as a straggling task; at 100 TB the per-key agg is "
+        "the same map-side-combined shape and the stats stage sees only "
+        "|distinct keys| rows. Exact percentiles here; sketch them at "
+        "scale."
+    ),
+)
+def join_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report (key count, max/p50/p99 rows-per-key, salt
+    factor) for the four hot join keys of the star schema."""
+    specs = [
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("events.user_id", "events", "user_id"),
+    ]
+    out = None
+    for label, table, key in specs:
+        t = load_table(spark, sf_dir, table)
+        per_key = t.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        stats = per_key.agg(
+            F.lit(label).alias("join_key"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_rows"),
+            rnd(F.expr("percentile(c, 0.5)"), 2).alias("p50"),
+            rnd(F.expr("percentile(c, 0.99)"), 2).alias("p99"),
+            F.ceil(F.max("c") / F.expr("percentile(c, 0.5)")).cast("long").alias(
+                "salt_factor"
+            ),
+        )
+        out = stats if out is None else out.unionAll(stats)
+    return out

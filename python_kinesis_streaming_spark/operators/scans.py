@@ -533,3 +533,43 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+@op(
+    "scan_file_metadata",
+    oracle="""
+        SELECT CAST(1 AS BIGINT) AS n_files,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(event_id) AS BIGINT) AS min_id,
+               CAST(max(event_id) AS BIGINT) AS max_id
+        FROM events
+    """,
+    scale=(
+        "Hidden _metadata columns on file sources (file_path, file_size, "
+        "modification time) — the lineage surface: per-file row "
+        "accounting without a separate listing job, because the metadata "
+        "struct rides the scan as a constant-per-split column. At 100 TB "
+        "this is how you attribute bad rows back to their input file "
+        "(quarantine by file), verify a compaction preserved row counts "
+        "per input, or bisect a corrupt partition — one aggregation, no "
+        "filesystem walk. The fixture is one file per table, so the "
+        "oracle pins n_files=1 plus the id range."
+    ),
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-input-file accounting via the hidden _metadata struct, collapsed
+    to (n_files, n_rows, id range)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    per_file = ev.select(
+        F.col("_metadata.file_path").alias("fp"), "event_id"
+    ).groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("mn"),
+        F.max("event_id").alias("mx"),
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("mn").alias("min_id"),
+        F.max("mx").alias("max_id"),
+    )

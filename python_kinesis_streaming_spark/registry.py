@@ -230,6 +230,10 @@ _GRADING_PRIORITY = [
     "stream_idempotent_sink",
     "sink_python_datasource",
     "stream_batch_parity",
+    "emb_quantization_recall",
+    "join_skew_diagnose",
+    "fn_interval_arith",
+    "scan_file_metadata",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
