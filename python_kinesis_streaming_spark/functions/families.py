@@ -864,3 +864,39 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("2001-12-31").cast("date"), F.col("o_orderdate")
         ).cast("long").alias("days_to_cutoff"),
     )
+
+
+@op(
+    "fn_sql_pipe",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_quantity < 10
+        GROUP BY l_returnflag
+    """,
+    scale=(
+        "Spark 4 SQL pipe syntax (FROM ... |> WHERE ... |> AGGREGATE): "
+        "purely a parser surface — the pipeline compiles to the exact "
+        "same logical plan as the SELECT form (filter pushdown, partial "
+        "agg, everything), which this op's oracle equality proves. "
+        "Matters for the migration story: ELT tools emitting pipe-form "
+        "SQL run unchanged."
+    ),
+)
+def fn_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q1-ish filter+aggregate expressed in Spark 4 pipe syntax."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("pkss_pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pkss_pipe_lineitem
+        |> WHERE l_quantity < 10
+        |> AGGREGATE count(*) AS n,
+                     sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                         AS revenue_cents
+           GROUP BY l_returnflag
+        """
+    ).select("l_returnflag", "n", "revenue_cents")

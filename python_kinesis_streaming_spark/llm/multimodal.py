@@ -328,3 +328,50 @@ def multimodal_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidate_pairs"
         ),
     )
+
+
+@op(
+    "multimodal_manifest",
+    oracle="""
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(d.n_chars AS BIGINT) AS n_chars,
+               CAST(octet_length(encode(d.text)) AS BIGINT) AS payload_bytes,
+               floor(sqrt(list_aggregate(list_transform(
+                   CAST(e.embedding AS DOUBLE[]), x -> x * x), 'sum'))
+                   * 10000.0 + 0.505) / 10000.0 AS emb_norm,
+               CAST(('0x' || substring(md5('7:' || CAST(d.doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 16 AS shard
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    scale=(
+        "Training-sample manifest assembly — the record a multimodal "
+        "loader actually consumes: caption metadata + payload byte size "
+        "(metadata-only: column pruning keeps the binary out of the "
+        "scan) + embedding norm (index-prep stat) + the SAME md5 shard "
+        "key corpus_shard_assign routes by, so the manifest co-shards "
+        "with the payload files. One equi join on the id (co-partition "
+        "or bucket both sides at 100 TB); everything else is map-side "
+        "projection."
+    ),
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join captions, payload stats, embedding norm, and shard route into
+    one training-manifest record per document."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+    from python_kinesis_streaming_spark.llm.similarity import l2norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.octet_length(F.encode("text", "utf-8"))
+        .cast("long")
+        .alias("payload_bytes"),
+        rnd(l2norm(F.col("embedding")), 4).alias("emb_norm"),
+        (md5_hash64(F.col("doc_id").cast("string"), seed=7) % 16).alias(
+            "shard"
+        ),
+    )

@@ -234,6 +234,9 @@ _GRADING_PRIORITY = [
     "join_skew_diagnose",
     "fn_interval_arith",
     "scan_file_metadata",
+    "dedup_lsh_tuning",
+    "fn_sql_pipe",
+    "multimodal_manifest",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
