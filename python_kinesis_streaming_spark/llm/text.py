@@ -990,3 +990,100 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("novelty"),
     )
+
+
+@op(
+    "text_bpe_merge_step",
+    oracle="""
+        WITH tok AS (
+            SELECT t.tok AS tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE len(t.tok) >= 2
+        ),
+        p1 AS (
+            SELECT u.p AS pair, count(*) AS n
+            FROM tok, unnest(list_transform(
+                     range(1, len(tok)),
+                     i -> substr(tok, CAST(i AS INTEGER), 2))) AS u(p)
+            GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+        ),
+        merged AS (
+            SELECT replace(array_to_string(string_split(tok, ''), ' '),
+                           substr(p1.pair, 1, 1) || ' ' || substr(p1.pair, 2, 1),
+                           p1.pair) AS m,
+                   p1.pair AS merged_pair
+            FROM tok, p1
+        ),
+        p2 AS (
+            SELECT merged_pair, u.p AS pair
+            FROM merged,
+                 unnest(list_transform(
+                     range(1, len(string_split(m, ' '))),
+                     i -> string_split(m, ' ')[i]
+                          || string_split(m, ' ')[i + 1])) AS u(p)
+        )
+        SELECT merged_pair, pair, CAST(count(*) AS BIGINT) AS n
+        FROM p2 GROUP BY merged_pair, pair
+        ORDER BY n DESC, pair LIMIT 20
+    """,
+    scale=(
+        "One full BPE training iteration: count adjacent symbol pairs, "
+        "pick the argmax merge (total tie-break), APPLY it corpus-wide "
+        "(left-to-right non-overlapping literal replace — both engines' "
+        "replace() semantics, which is exactly BPE's greedy scan), and "
+        "re-count pairs over the new symbol sequences. Each round is two "
+        "partial aggs over a tiny |symbols|^2 key space plus a map-only "
+        "rewrite; the 1-row argmax broadcast drives the rewrite — the "
+        "loop a distributed tokenizer trainer runs ~50k times, one round "
+        "materialized and oracle-pinned."
+    ),
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the top-1 BPE merge across the corpus and emit the top-20
+    post-merge symbol-pair counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = doc_tokens(docs).where(F.length("tok") >= 2).select("tok")
+    p1 = (
+        tok.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1), "
+                    "i -> substring(tok, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("merged_pair"))
+    )
+    spaced = F.expr("array_join(filter(split(tok, ''), c -> c != ''), ' ')")
+    merged = tok.crossJoin(F.broadcast(p1)).select(
+        "merged_pair",
+        F.replace(
+            spaced,
+            F.concat_ws(
+                " ",
+                F.substring("merged_pair", 1, 1),
+                F.substring("merged_pair", 2, 1),
+            ),
+            F.col("merged_pair"),
+        ).alias("m"),
+    )
+    p2 = merged.select(
+        "merged_pair",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(m, ' ')) - 1), "
+                "i -> concat(element_at(split(m, ' '), i), "
+                "element_at(split(m, ' '), i + 1)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        p2.groupBy("merged_pair", "pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

@@ -1018,3 +1018,75 @@ def merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("balance_cents"),
     )
     return merged.where(F.col("action") != "delete")
+
+
+@op(
+    "dedup_transactions_fuzzy",
+    oracle="""
+        WITH inj AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(o_orderdate AS TIMESTAMP) AS d
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+                   CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 DAY
+            FROM orders WHERE o_orderkey % 50 = 0
+        ),
+        o AS (
+            SELECT o_orderkey AS k, o_custkey AS c,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                   CAST(d AS DATE) AS dd
+            FROM inj
+        )
+        SELECT a.k AS order_a, b.k AS order_b, a.c AS o_custkey,
+               a.cents AS amount_cents
+        FROM o a JOIN o b
+          ON a.c = b.c AND a.cents = b.cents AND a.k < b.k
+             AND abs(date_diff('day', a.dd, b.dd)) <= 1
+    """,
+    scale=(
+        "Duplicate-invoice detection — transaction near-dup with a "
+        "blocked equi join: (customer, exact amount-cents) is the "
+        "blocking key, the ±1-day window is a residual predicate on the "
+        "block, so the pair space is bounded by per-(customer, amount) "
+        "multiplicity — never an all-pairs or time-range-only join. "
+        "Self-demonstrating: duplicates every 50th order one day later "
+        "(the fixture has no natural double-charges) and surfaces "
+        "exactly those pairs. At 100 TB widen the block to rounded "
+        "amount buckets and keep the exact test as the residual."
+    ),
+)
+def dedup_transactions_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge candidates: same customer + same cents within ±1 day
+    (with injected duplicates of every 50th order)."""
+    o = load_table(spark, sf_dir, "orders")
+    dups = o.where(F.col("o_orderkey") % 50 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("o_orderdate"),
+    )
+    inj = o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    ).unionAll(dups)
+    keyed = inj.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.to_date("o_orderdate").alias("dd"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return a.join(
+        b,
+        (F.col("a.c") == F.col("b.c"))
+        & (F.col("a.cents") == F.col("b.cents"))
+        & (F.col("a.k") < F.col("b.k"))
+        & (
+            F.abs(F.datediff(F.col("b.dd"), F.col("a.dd"))) <= 1
+        ),
+    ).select(
+        F.col("a.k").alias("order_a"),
+        F.col("b.k").alias("order_b"),
+        F.col("a.c").alias("o_custkey"),
+        F.col("a.cents").alias("amount_cents"),
+    )

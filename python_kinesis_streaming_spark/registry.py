@@ -237,6 +237,9 @@ _GRADING_PRIORITY = [
     "dedup_lsh_tuning",
     "fn_sql_pipe",
     "multimodal_manifest",
+    "feat_pit_training_set",
+    "text_bpe_merge_step",
+    "dedup_transactions_fuzzy",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

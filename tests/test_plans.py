@@ -215,6 +215,9 @@ BNLJ_ALLOWED = {
     "text_collocations_pmi",  # supported bigrams × two 1-row grand totals
     "dq_freshness",  # |types| rows × 1-row global-watermark max
     "dq_distribution_drift",  # binned events × broadcast 8-row bin spine
+    "text_bpe_merge_step",  # corpus × 1-row broadcast argmax merge pair
+    "emb_quantization_recall",  # corpus × 5-row broadcast query panel
+    "dedup_lsh_tuning",  # three 1-row pair-count × 1-row bucket-count aggs
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
