@@ -900,3 +900,104 @@ def fn_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag
         """
     ).select("l_returnflag", "n", "revenue_cents")
+
+
+@op(
+    "fn_hof_map_family",
+    oracle="""
+        WITH k AS (
+            SELECT event_id,
+                   CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS kv
+            FROM events
+        )
+        SELECT event_id,
+               'k=' || CAST(kv * 10 AS VARCHAR) || ',kk='
+                    || CAST(kv * 20 AS VARCHAR) AS scaled_entries,
+               CASE WHEN kv % 2 = 0 AND (kv * 2) % 2 = 0 THEN 'k,kk'
+                    WHEN kv % 2 = 0 THEN 'k'
+                    WHEN (kv * 2) % 2 = 0 THEN 'kk'
+                    ELSE '' END AS even_keys,
+               CAST(3 * kv + 12 AS BIGINT) AS zipped_total
+        FROM k
+    """,
+    scale=(
+        "Map higher-order functions (transform_values, map_filter, "
+        "map_zip_with) — per-row codegen expressions, no shuffle, no "
+        "Python; results canonicalized to sorted entry STRINGS because "
+        "top-level map columns crash the driver hasher (round-1 "
+        "agg_collect lesson). The oracle derives the same values "
+        "arithmetically — value equivalence, not phrasing equivalence, "
+        "is the contract."
+    ),
+)
+def fn_hof_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_values / map_filter / map_zip_with over a per-row map
+    built from the JSON prop, emitted as canonical strings."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("kv"),
+    )
+    return k.select(
+        "event_id",
+        F.expr(
+            "array_join(transform(array_sort(map_entries("
+            "  transform_values(map('k', kv, 'kk', kv * 2), (mk, v) -> v * 10)"
+            ")), e -> concat(e.key, '=', CAST(e.value AS STRING))), ',')"
+        ).alias("scaled_entries"),
+        F.expr(
+            "array_join(array_sort(map_keys("
+            "  map_filter(map('k', kv, 'kk', kv * 2), (mk, v) -> v % 2 = 0)"
+            ")), ',')"
+        ).alias("even_keys"),
+        F.expr(
+            "aggregate(map_values(map_zip_with("
+            "  map('k', kv, 'kk', kv * 2), map('k', 5L, 'kk', 7L), "
+            "  (mk, v1, v2) -> v1 + v2)), 0L, (acc, x) -> acc + x)"
+        ).alias("zipped_total"),
+    )
+
+
+@op(
+    "fn_lateral_view_sql",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, i.i - 1 AS pos, ws[i.i] AS tok
+            FROM toks, unnest(range(1, len(ws) + 1)) AS i(i)
+            WHERE len(ws[i.i]) > 0
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE pos % 2 = 0) AS BIGINT)
+                   AS n_even_positions,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+        FROM pos GROUP BY doc_id
+    """,
+    scale=(
+        "Hive-legacy LATERAL VIEW posexplode through the SQL parser — the "
+        "migration surface for warehouse SQL that predates modern "
+        "LATERAL/TVF syntax. Compiles to the identical Generate + partial "
+        "agg plan as the DataFrame explode (one doc_id shuffle after the "
+        "map-side expansion); the positional column comes free from "
+        "posexplode, no window needed."
+    ),
+)
+def fn_lateral_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token position stats via legacy `LATERAL VIEW posexplode` SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("pkss_lv_documents")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               count(IF(pos % 2 = 0, 1, NULL)) AS n_even_positions,
+               count(DISTINCT tok) AS n_distinct
+        FROM pkss_lv_documents
+        LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+        WHERE length(tok) > 0
+        GROUP BY doc_id
+        """
+    )

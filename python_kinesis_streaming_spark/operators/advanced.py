@@ -1090,3 +1090,72 @@ def dedup_transactions_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.c").alias("o_custkey"),
         F.col("a.cents").alias("amount_cents"),
     )
+
+
+@op(
+    "snapshot_diff_audit",
+    oracle="""
+        WITH s1 AS (
+            SELECT c_custkey AS key,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+            FROM customer
+        ),
+        s2 AS (
+            SELECT key,
+                   CASE WHEN key % 2 = 0 THEN cents + 1000 ELSE cents END
+                       AS cents
+            FROM s1 WHERE key % 97 != 0
+            UNION ALL
+            SELECT key + 1000000, cents FROM s1 WHERE key % 89 = 0
+        ),
+        d AS (
+            SELECT CASE
+                     WHEN s1.key IS NULL THEN 'added'
+                     WHEN s2.key IS NULL THEN 'removed'
+                     WHEN s1.cents != s2.cents THEN 'changed'
+                     ELSE 'unchanged'
+                   END AS status
+            FROM s1 FULL JOIN s2 ON s1.key = s2.key
+        )
+        SELECT status, CAST(count(*) AS BIGINT) AS n
+        FROM d GROUP BY status
+    """,
+    scale=(
+        "Snapshot diff — the audit between two published versions of a "
+        "table (yesterday's dim vs today's): ONE full-outer join on the "
+        "key classifies every row added/removed/changed/unchanged; at "
+        "100 TB both snapshots co-partition (bucketed by key) so the "
+        "diff is shuffle-free, and a partition-level content hash "
+        "short-circuits untouched partitions before any row compare. "
+        "The 4-row status histogram is the publish gate (e.g. refuse "
+        "when removed > 0.1% of rows)."
+    ),
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between a snapshot and its deterministic successor
+    (even keys changed, every-97th removed, every-89th cloned as added)."""
+    cust = load_table(spark, sf_dir, "customer")
+    s1 = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    changed = s1.where(F.col("key") % 97 != 0).select(
+        "key",
+        F.when(F.col("key") % 2 == 0, F.col("cents") + 1000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    added = s1.where(F.col("key") % 89 == 0).select(
+        (F.col("key") + 1000000).alias("key"), "cents"
+    )
+    s2 = changed.unionAll(added)
+    a = s1.alias("a")
+    b = s2.alias("b")
+    d = a.join(b, F.col("a.key") == F.col("b.key"), "full_outer").select(
+        F.when(F.col("a.key").isNull(), "added")
+        .when(F.col("b.key").isNull(), "removed")
+        .when(F.col("a.cents") != F.col("b.cents"), "changed")
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

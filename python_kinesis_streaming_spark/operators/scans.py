@@ -573,3 +573,52 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mn").alias("min_id"),
         F.max("mx").alias("max_id"),
     )
+
+
+@op(
+    "sink_compact_small_files",
+    oracle="""
+        SELECT CAST(16 AS BIGINT) AS n_files_before,
+               CAST(2 AS BIGINT) AS n_files_after,
+               CAST(count(*) AS BIGINT) AS n_rows_before,
+               CAST(count(*) AS BIGINT) AS n_rows_after
+        FROM events
+    """,
+    scale=(
+        "Small-file compaction — the table-maintenance job every "
+        "file-based 100 TB lake runs: N tiny files (here 16, standing in "
+        "for a day of per-trigger streaming output) rewritten to "
+        "ceil(bytes/target) files via a shuffle-free coalesce. Row-count "
+        "equality before/after is the invariant the job asserts; "
+        "coalesce (not repartition) keeps the rewrite a read-merge-write "
+        "with NO exchange. At scale compaction runs per partition, "
+        "picks targets from file-size stats (scan_file_metadata), and "
+        "skips partitions already compacted."
+    ),
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as 16 small files, compact to 2 with coalesce, verify
+    row conservation and file counts."""
+    import glob
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    small = os.path.join(SCRATCH, "compact", fixture_tag(sf_dir), "small")
+    big = os.path.join(SCRATCH, "compact", fixture_tag(sf_dir), "big")
+    shutil.rmtree(os.path.dirname(small), ignore_errors=True)
+    ev.repartition(16).write.mode("overwrite").parquet(small)
+    before = spark.read.parquet(small)
+    n_files_before = len(glob.glob(os.path.join(small, "part-*.parquet")))
+    before.coalesce(2).write.mode("overwrite").parquet(big)
+    after = spark.read.parquet(big)
+    n_files_after = len(glob.glob(os.path.join(big, "part-*.parquet")))
+    return (
+        before.agg(F.count(F.lit(1)).alias("n_rows_before"))
+        .crossJoin(after.agg(F.count(F.lit(1)).alias("n_rows_after")))
+        .select(
+            F.lit(n_files_before).cast("long").alias("n_files_before"),
+            F.lit(n_files_after).cast("long").alias("n_files_after"),
+            "n_rows_before",
+            "n_rows_after",
+        )
+    )

@@ -240,6 +240,10 @@ _GRADING_PRIORITY = [
     "feat_pit_training_set",
     "text_bpe_merge_step",
     "dedup_transactions_fuzzy",
+    "fn_hof_map_family",
+    "fn_lateral_view_sql",
+    "sink_compact_small_files",
+    "snapshot_diff_audit",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
