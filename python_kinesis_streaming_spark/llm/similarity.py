@@ -1294,3 +1294,70 @@ def emb_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hv").alias("n_overlap"),
         rnd(F.count("hv") / 10.0, 2).alias("recall_at_10"),
     )
+
+
+@op(
+    "emb_mips_transform",
+    oracle="""
+        WITH norms AS (
+            SELECT vec_id, label,
+                   sqrt(list_aggregate(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))
+                       AS nrm
+            FROM embeddings
+        ),
+        m AS (SELECT max(nrm) AS mx FROM norms),
+        aug AS (
+            SELECT label, nrm,
+                   sqrt(mx * mx - nrm * nrm) AS aug_dim,
+                   floor(sqrt(nrm * nrm + (mx * mx - nrm * nrm))
+                         * 10000.0 + 0.505) / 10000.0 AS aug_norm,
+                   floor(mx * 10000.0 + 0.505) / 10000.0 AS mx_r
+            FROM norms, m
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n,
+               floor(avg(aug_dim) * 10000.0 + 0.505) / 10000.0 AS avg_aug_dim,
+               CAST(count(*) FILTER (WHERE aug_norm = mx_r) AS BIGINT)
+                   AS n_norm_equalized
+        FROM aug GROUP BY label
+    """,
+    scale=(
+        "MIPS-to-cosine reduction (asymmetric augmentation): append one "
+        "dimension sqrt(M^2 - ||x||^2) so every corpus vector's norm "
+        "equals the global max M — after which maximum inner product "
+        "search IS cosine search and every cosine-ANN structure "
+        "(sim_ann_lsh, sim_pq_assign, emb_hamming_knn) applies "
+        "unchanged. M is a 1-row broadcast max; the augmentation is "
+        "map-only; the op audits that equalization holds (rounded) for "
+        "every vector. The standard index-prep step for recommender "
+        "retrieval at scale."
+    ),
+)
+def emb_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augment vectors with the MIPS dimension; audit per-label that all
+    augmented norms equal the global max norm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", "label", l2norm(F.col("embedding")).alias("nrm"))
+    m = norms.agg(F.max("nrm").alias("mx"))
+    aug = norms.crossJoin(F.broadcast(m)).select(
+        "label",
+        F.sqrt(F.col("mx") * F.col("mx") - F.col("nrm") * F.col("nrm")).alias(
+            "aug_dim"
+        ),
+        rnd(
+            F.sqrt(
+                F.col("nrm") * F.col("nrm")
+                + (F.col("mx") * F.col("mx") - F.col("nrm") * F.col("nrm"))
+            ),
+            4,
+        ).alias("aug_norm"),
+        rnd(F.col("mx"), 4).alias("mx_r"),
+    )
+    return aug.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.avg("aug_dim"), 4).alias("avg_aug_dim"),
+        F.count(F.when(F.col("aug_norm") == F.col("mx_r"), 1)).alias(
+            "n_norm_equalized"
+        ),
+    )

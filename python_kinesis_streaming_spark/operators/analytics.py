@@ -1671,3 +1671,73 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'l_discount', 'l_tax', c_disc_tax) AS (x, y, r)"
         )
     )
+
+
+@op(
+    "orders_abc_classification",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                        * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+        ranked AS (
+            SELECT l_partkey, cents,
+                   sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM rev
+        ),
+        classed AS (
+            SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                        WHEN cum * 100 <= total * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   cents
+            FROM ranked, tot
+        )
+        SELECT abc_class,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM classed GROUP BY abc_class
+    """,
+    scale=(
+        "ABC inventory classification — the 80/95 cumulative-revenue "
+        "cut: per-part revenue partial-aggs first (|parts| rows), one "
+        "ranked cumulative pass over the AGGREGATE (never the raw "
+        "lineitems), class boundaries tested in cross-multiplied "
+        "integer cents so the cut is engine-exact. The global cumsum "
+        "runs on |parts| rows — at 100 TB that is still millions, so "
+        "use the two-level range-partitioned prefix-sum "
+        "(events_peak_concurrency shape) if parts outgrow one stage."
+    ),
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B/C revenue classes for parts at 80% / 95% cumulative revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + 0.5
+            ).cast("long")
+        ).alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    w = (
+        Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select("l_partkey", "cents", F.sum("cents").over(w).alias("cum"))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

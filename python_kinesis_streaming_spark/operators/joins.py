@@ -858,3 +858,74 @@ def join_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionAll(stats)
     return out
+
+
+@op(
+    "join_cardinality_estimate",
+    oracle="""
+        WITH ok AS (
+            SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1
+        ),
+        lk AS (
+            SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+        ),
+        actual AS (
+            SELECT CAST(sum(ok.n * lk.n) AS BIGINT) AS actual_rows
+            FROM ok JOIN lk USING (k)
+        ),
+        est AS (
+            SELECT CAST(sum(ok.n * lk.n) * 10 AS BIGINT) AS est_rows
+            FROM ok JOIN lk USING (k)
+            WHERE CAST(('0x' || substring(md5('23:' || CAST(k AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 100 < 10
+        )
+        SELECT actual_rows, est_rows,
+               floor((est_rows - actual_rows) / CAST(actual_rows AS DOUBLE)
+                     * 10000.0 + 0.505) / 10000.0 AS rel_err
+        FROM actual, est
+    """,
+    scale=(
+        "Join-cardinality estimation audit — the CBO sanity check run "
+        "BEFORE a fact-fact join is scheduled: sum(n_left(k) * "
+        "n_right(k)) over a deterministic 10% md5 key sample, scaled, "
+        "vs the exact histogram product. Key-sampled (not row-sampled) "
+        "because join size is quadratic in per-key multiplicity — row "
+        "sampling underestimates hot keys exactly where it matters. "
+        "Histogram sides are partial aggs to |keys| rows; the estimate "
+        "costs a fraction of the join it prices. Feeds the "
+        "broadcast-vs-shuffle and salt-factor decisions "
+        "(join_skew_diagnose) with an expected output volume."
+    ),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated vs actual orders-lineitem join cardinality from a 10%
+    md5 key sample of the key histograms."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    lk = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    joined = ok.join(lk, "k").select(
+        "k", (F.col("n_o") * F.col("n_l")).alias("prod")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("23"), F.col("k").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    actual = joined.agg(F.sum("prod").cast("long").alias("actual_rows"))
+    est = joined.where(h % 100 < 10).agg(
+        (F.sum("prod") * 10).cast("long").alias("est_rows")
+    )
+    return actual.crossJoin(est).select(
+        "actual_rows",
+        "est_rows",
+        rnd(
+            (F.col("est_rows") - F.col("actual_rows"))
+            / F.col("actual_rows").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )

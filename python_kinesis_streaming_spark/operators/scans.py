@@ -622,3 +622,36 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows_after",
         )
     )
+
+
+@op(
+    "scan_union_by_name",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) * 2 AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_bal_nonnull,
+               CAST(count(*) AS BIGINT) AS n_seg_nonnull
+        FROM customer
+    """,
+    scale=(
+        "Schema-evolution union: two producer versions of a table (old "
+        "writer without c_mktsegment, new writer without c_acctbal) "
+        "combined with unionByName(allowMissingColumns=True) — columns "
+        "align BY NAME with null fill, never by position (the silent "
+        "column-swap bug positional union invites across schema "
+        "versions). Zero shuffle — union is plan concatenation; the "
+        "null-count audit is the check a reader runs before trusting a "
+        "mixed-version scan."
+    ),
+)
+def scan_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two schema versions by name with missing-column null fill;
+    audit row and non-null counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    v_old = cust.select("c_custkey", "c_acctbal")
+    v_new = cust.select("c_custkey", "c_mktsegment")
+    merged = v_old.unionByName(v_new, allowMissingColumns=True)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_acctbal").alias("n_bal_nonnull"),
+        F.count("c_mktsegment").alias("n_seg_nonnull"),
+    )

@@ -244,6 +244,10 @@ _GRADING_PRIORITY = [
     "fn_lateral_view_sql",
     "sink_compact_small_files",
     "snapshot_diff_audit",
+    "join_cardinality_estimate",
+    "orders_abc_classification",
+    "scan_union_by_name",
+    "emb_mips_transform",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

@@ -218,6 +218,9 @@ BNLJ_ALLOWED = {
     "text_bpe_merge_step",  # corpus × 1-row broadcast argmax merge pair
     "emb_quantization_recall",  # corpus × 5-row broadcast query panel
     "dedup_lsh_tuning",  # three 1-row pair-count × 1-row bucket-count aggs
+    "join_cardinality_estimate",  # 1-row actual × 1-row estimate
+    "orders_abc_classification",  # |parts| agg × 1-row grand total
+    "emb_mips_transform",  # norms × 1-row global-max broadcast
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
