@@ -1001,3 +1001,62 @@ def fn_lateral_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id
         """
     )
+
+
+@op(
+    "fn_sql_udf",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        g AS (
+            SELECT o_orderpriority, CAST(sum(cents) AS BIGINT) AS total_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM t GROUP BY o_orderpriority
+        )
+        SELECT g.o_orderpriority, g.total_cents, g.n,
+               CAST(b.i AS BIGINT) AS tier
+        FROM g, unnest(range(1, 4)) AS b(i)
+        WHERE CAST(ceil(g.n / 1000.0) AS BIGINT) >= b.i
+    """,
+    scale=(
+        "Spark 4 SQL-defined functions: a scalar UDF (CREATE TEMPORARY "
+        "FUNCTION ... RETURN <expr>) and a table UDF (RETURNS TABLE) "
+        "invoked from a query. Unlike Python UDFs these INLINE into the "
+        "plan at analysis time — the scalar body becomes a codegen "
+        "expression (no serialization boundary, full pushdown through "
+        "it), the table function becomes a correlated Generate. The "
+        "business-logic-reuse surface with zero runtime cost; the "
+        "oracle reproduces both bodies literally, proving the inlining "
+        "changed nothing semantically."
+    ),
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (money→cents) + SQL table UDF (tier expansion)
+    composed in one query."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("pkss_udf_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pkss_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pkss_tiers(n BIGINT) "
+        "RETURNS TABLE(tier BIGINT) "
+        "RETURN SELECT explode(sequence(1L, CAST(ceil(n / 1000.0) AS BIGINT)))"
+    )
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT o_orderpriority,
+                   sum(pkss_cents(o_totalprice)) AS total_cents,
+                   count(*) AS n
+            FROM pkss_udf_orders GROUP BY o_orderpriority
+        )
+        SELECT g.o_orderpriority, g.total_cents, g.n, t.tier
+        FROM g, LATERAL pkss_tiers(g.n) t
+        WHERE t.tier <= 3
+        """
+    )

@@ -767,3 +767,69 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_ratio"
         ),
     )
+
+
+@op(
+    "corpus_length_batching",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        w -> len(w) > 0)) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT n_tokens,
+                   CAST(power(2, ceil(log2(greatest(n_tokens, 1))))
+                        AS BIGINT) AS bucket_len
+            FROM toks
+        )
+        SELECT bucket_len,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+               CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+               floor((1 - sum(n_tokens) / CAST(count(*) * bucket_len
+                     AS DOUBLE)) * 10000.0 + 0.505) / 10000.0 AS pad_waste
+        FROM bucketed GROUP BY bucket_len
+    """,
+    scale=(
+        "Length-bucketed batching plan — the padding-efficiency lever "
+        "for training throughput: docs route to power-of-2 length "
+        "buckets (map-only CASE/log2), and the per-bucket manifest "
+        "(docs, real vs padded tokens, waste ratio) prices the padding "
+        "bill BEFORE any batch is built. At 100 TB the bucket id "
+        "becomes the shuffle/write partition key so same-length docs "
+        "co-locate for the loader; waste > ~20% in a bucket means "
+        "add a sub-bucket. Pure integer token math — engine-exact."
+    ),
+)
+def corpus_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-2 length-bucket manifest with padding-waste accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.size(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        )
+        .cast("long")
+        .alias("n_tokens")
+    )
+    bucketed = toks.select(
+        "n_tokens",
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest("n_tokens", F.lit(1)))))
+        .cast("long")
+        .alias("bucket_len"),
+    )
+    return bucketed.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket_len")).cast("long").alias(
+            "padded_tokens"
+        ),
+        rnd(
+            1
+            - F.sum("n_tokens")
+            / (F.count(F.lit(1)) * F.col("bucket_len")).cast("double"),
+            4,
+        ).alias("pad_waste"),
+    )

@@ -1741,3 +1741,85 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+@op(
+    "events_path_pattern_match",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   CAST(floor((epoch_us(CAST(ts AS TIMESTAMP))
+                        - 1704067200000000) / 1000.0) AS BIGINT) * 3500000
+                        + event_id AS ord,
+                   CASE event_type WHEN 'click' THEN 'C' WHEN 'view' THEN 'V'
+                        WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+                        ELSE 'E' END AS sym
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id,
+                   string_agg(sym, '' ORDER BY ord) AS path
+            FROM ordered GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(*) FILTER (WHERE regexp_matches(path, 'CC+P'))
+                    AS BIGINT) AS n_click_click_buy,
+               CAST(count(*) FILTER (WHERE regexp_matches(path, 'E{2,}'))
+                    AS BIGINT) AS n_error_bursts,
+               CAST(count(*) FILTER (WHERE regexp_matches(path, '^S'))
+                    AS BIGINT) AS n_signup_first
+        FROM paths
+    """,
+    scale=(
+        "MATCH_RECOGNIZE-lite sequence detection: each user's event "
+        "stream collapses to a 1-char-per-event symbol string (ONE "
+        "user_id shuffle, string length = per-user event count), then "
+        "behavioral patterns — consecutive clicks before purchase, "
+        "error bursts, signup-first — are regexes over that string, "
+        "evaluated map-side. Per-key sequences bounded (state = one "
+        "string per user); for unbounded streams the same symbols feed "
+        "the applyInPandasWithState sessionizer instead. Regex engines "
+        "agree because the alphabet is 5 fixed symbols."
+    ),
+)
+def events_path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count users whose event-symbol path matches behavioral regexes
+    (click-click-buy, error bursts, signup-first)."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    ordered = ev.select(
+        "user_id",
+        sym.alias("sym"),
+        (
+            F.floor(
+                (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(1000.0)
+            ).cast("long")
+            * F.lit(3500000)
+            + F.col("event_id")
+        ).alias("ord"),
+    )
+    paths = ordered.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "sym"))),
+                lambda s: s.getField("sym"),
+            ),
+        ).alias("path")
+    )
+    return paths.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("path").rlike("CC+P"), 1)).alias(
+            "n_click_click_buy"
+        ),
+        F.count(F.when(F.col("path").rlike("E{2,}"), 1)).alias(
+            "n_error_bursts"
+        ),
+        F.count(F.when(F.col("path").rlike("^S"), 1)).alias("n_signup_first"),
+    )

@@ -715,3 +715,77 @@ def ts_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents",
         )
     )
+
+
+@op(
+    "ts_seasonal_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        trended AS (
+            SELECT d, n,
+                   CASE WHEN count(*) OVER w = 7
+                        THEN floor(avg(n) OVER w * 10000.0 + 0.505) / 10000.0
+                   END AS trend,
+                   dayofweek(d) AS dow
+            FROM daily
+            WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        seasonal AS (
+            SELECT dow,
+                   floor(avg(n - trend) * 10000.0 + 0.505) / 10000.0
+                       AS s_dow
+            FROM trended WHERE trend IS NOT NULL GROUP BY dow
+        )
+        SELECT t.d, t.n, t.trend, s.s_dow AS seasonal,
+               CASE WHEN t.trend IS NOT NULL
+                    THEN floor((t.n - t.trend - s.s_dow) * 10000.0 + 0.505)
+                         / 10000.0
+               END AS residual
+        FROM trended t JOIN seasonal s USING (dow)
+    """,
+    scale=(
+        "Classical additive seasonal decomposition (moving-average "
+        "trend, day-of-week seasonal means, residual) — the STL-lite "
+        "every volume-anomaly monitor needs: run it on daily partials "
+        "(|days| rows after the first agg, trivially small at any input "
+        "size), so the centered 7-day window and the |dow|-row seasonal "
+        "broadcast never touch raw events. Edge days (incomplete "
+        "window) emit NULL trend rather than a biased average — pinned "
+        "by the count(*)-over-window guard on both engines."
+    ),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event volume split into trend (7d centered MA), day-of-week
+    seasonal, and residual components."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "n",
+        F.when(F.count(F.lit(1)).over(w) == 7, rnd(F.avg("n").over(w), 4)).alias(
+            "trend"
+        ),
+        F.dayofweek("d").alias("dow"),
+    )
+    seasonal = (
+        trended.where(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(rnd(F.avg(F.col("n") - F.col("trend")), 4).alias("seasonal"))
+    )
+    return trended.join(F.broadcast(seasonal), "dow").select(
+        F.col("d").cast("timestamp").alias("d"),
+        "n",
+        "trend",
+        "seasonal",
+        F.when(
+            F.col("trend").isNotNull(),
+            rnd(F.col("n") - F.col("trend") - F.col("seasonal"), 4),
+        ).alias("residual"),
+    )

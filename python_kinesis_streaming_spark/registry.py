@@ -248,6 +248,10 @@ _GRADING_PRIORITY = [
     "orders_abc_classification",
     "scan_union_by_name",
     "emb_mips_transform",
+    "fn_sql_udf",
+    "ts_seasonal_decompose",
+    "events_path_pattern_match",
+    "corpus_length_batching",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
