@@ -1087,3 +1087,91 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+@op(
+    "text_vocab_coverage",
+    oracle="""
+        WITH tok AS (
+            SELECT t.tok AS tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE len(t.tok) > 0
+        ),
+        freq AS (
+            SELECT tok, count(*) AS n FROM tok GROUP BY tok
+        ),
+        ranked AS (
+            SELECT n,
+                   row_number() OVER (ORDER BY n DESC, tok) AS rk,
+                   sum(n) OVER (ORDER BY n DESC, tok
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM freq
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS vocab FROM freq)
+        SELECT v.s AS vocab_size,
+               CAST(max(CASE WHEN rk <= v.s THEN cum ELSE 0 END) AS BIGINT)
+                   AS tokens_covered,
+               floor(max(CASE WHEN rk <= v.s THEN cum ELSE 0 END)
+                     / CAST(tot.total AS DOUBLE) * 10000.0 + 0.505)
+                   / 10000.0 AS coverage,
+               tot.vocab AS full_vocab
+        FROM ranked, tot, (VALUES (100), (1000), (5000)) v(s)
+        GROUP BY v.s, tot.vocab, tot.total
+    """,
+    scale=(
+        "Vocabulary-size coverage curve — the tokenizer-budget decision "
+        "input: what fraction of token OCCURRENCES the top-k types "
+        "cover, for candidate vocab sizes, from one ranked cumulative "
+        "pass over the |vocab|-row frequency table (never the token "
+        "stream). Heaps/Zipf ops model the curve; this measures the "
+        "exact points the budget decision needs. At 100 TB the "
+        "frequency table is the same one BPE training builds — shared "
+        "materialization, |vocab| ≪ corpus."
+    ),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage of the top-{100,1000,5000} vocabulary."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = doc_tokens(docs).groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.orderBy(F.desc("n"), F.asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = freq.select(
+        "n",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))).alias("rk"),
+        F.sum("n").over(w).alias("cum"),
+    )
+    tot = freq.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("full_vocab"),
+    )
+    sizes = F.explode(F.array(F.lit(100), F.lit(1000), F.lit(5000))).alias(
+        "vocab_size"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("*", sizes)
+        .groupBy("vocab_size", "full_vocab", "total")
+        .agg(
+            F.max(
+                F.when(F.col("rk") <= F.col("vocab_size"), F.col("cum")).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_covered"),
+            rnd(
+                F.max(
+                    F.when(F.col("rk") <= F.col("vocab_size"), F.col("cum")).otherwise(
+                        0
+                    )
+                )
+                / F.col("total").cast("double"),
+                4,
+            ).alias("coverage"),
+        )
+        .select("vocab_size", "tokens_covered", "coverage", "full_vocab")
+    )

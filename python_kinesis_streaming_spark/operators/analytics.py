@@ -1823,3 +1823,47 @@ def events_path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(F.col("path").rlike("^S"), 1)).alias("n_signup_first"),
     )
+
+
+@op(
+    "orders_fulfillment_latency",
+    oracle="""
+        WITH lat AS (
+            SELECT o.o_orderpriority,
+                   date_diff('day',
+                       CAST(CAST(o.o_orderdate AS TIMESTAMP) AS DATE),
+                       CAST(CAST(l.l_shipdate AS TIMESTAMP) AS DATE)) AS days
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               floor(avg(days) * 100.0 + 0.505) / 100.0 AS avg_days,
+               floor((quantile_cont(days, 0.95)) * 100.0 + 0.505) / 100.0
+                   AS p95_days,
+               CAST(max(days) AS BIGINT) AS max_days
+        FROM lat GROUP BY o_orderpriority
+    """,
+    scale=(
+        "Order-to-ship cycle time per priority class — the operations "
+        "KPI: one orderkey equi join (co-partitioned/bucketed at scale), "
+        "integer day deltas, then a 5-row distribution agg. avg over "
+        "integer days is a ratio of exact integer sums — "
+        "order-independent; p95 exact here, sketched at 100 TB."
+    ),
+)
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days from order to line shipment: avg/p95/max per order priority."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "days"
+        ),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        rnd(F.avg("days"), 2).alias("avg_days"),
+        rnd(F.expr("percentile(days, 0.95)"), 2).alias("p95_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )

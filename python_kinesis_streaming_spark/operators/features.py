@@ -725,3 +725,49 @@ def feat_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_value_cents_before"
         ),
     )
+
+
+@op(
+    "dq_daily_metrics",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(*) FILTER (WHERE event_type = 'error')
+                        AS BIGINT) AS n_errors
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(d AS TIMESTAMP) AS d, n_rows, n_users, n_errors,
+               CAST(n_rows - lag(n_rows) OVER (ORDER BY d) AS BIGINT)
+                   AS rows_dod_delta
+        FROM daily
+    """,
+    scale=(
+        "Data-quality metrics as a TIME SERIES (volume, reach, error "
+        "count per day) with day-over-day deltas — the trend view that "
+        "catches slow degradation a point-in-time gate misses. One "
+        "partial agg to |days| rows, one tiny lag window over the "
+        "aggregate; at 100 TB each day's row appends incrementally "
+        "(metrics are mergeable) and the DoD delta drives alerting "
+        "(events_error_rate_alert is the control-band consumer)."
+    ),
+)
+def dq_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day row/user/error counts with day-over-day row delta."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    w = Window.orderBy("d")
+    return daily.select(
+        F.col("d").cast("timestamp").alias("d"),
+        "n_rows",
+        "n_users",
+        "n_errors",
+        (F.col("n_rows") - F.lag("n_rows").over(w)).cast("long").alias(
+            "rows_dod_delta"
+        ),
+    )

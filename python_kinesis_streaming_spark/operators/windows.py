@@ -329,3 +329,62 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         rnd(F.expr("percentile(value, 0.5)").over(w), 4).alias("med5"),
     )
+
+
+@op(
+    "win_running_distinct",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id,
+                   CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+                        THEN 1 ELSE 0 END AS first_seen
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(sum(first_seen) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS distinct_types_so_far
+        FROM flagged
+    """,
+    scale=(
+        "Running COUNT(DISTINCT) — not expressible as a window aggregate "
+        "directly (distinct state isn't frame-shrinkable), so it "
+        "decomposes into the standard two-window trick: a first-"
+        "occurrence flag (row_number = 1 over (key, value)) followed by "
+        "a running sum of flags over (key). Two sorts over compatible "
+        "partitionings, bounded state, no per-row set materialization — "
+        "the shape that replaces the quadratic 'collect_set over "
+        "expanding frame' antipattern at any scale."
+    ),
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user, the running number of distinct event types seen so far."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias(
+            "distinct_types_so_far"
+        ),
+    )

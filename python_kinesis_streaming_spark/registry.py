@@ -252,6 +252,10 @@ _GRADING_PRIORITY = [
     "ts_seasonal_decompose",
     "events_path_pattern_match",
     "corpus_length_batching",
+    "win_running_distinct",
+    "text_vocab_coverage",
+    "orders_fulfillment_latency",
+    "dq_daily_metrics",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

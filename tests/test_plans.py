@@ -221,6 +221,7 @@ BNLJ_ALLOWED = {
     "join_cardinality_estimate",  # 1-row actual × 1-row estimate
     "orders_abc_classification",  # |parts| agg × 1-row grand total
     "emb_mips_transform",  # norms × 1-row global-max broadcast
+    "text_vocab_coverage",  # |vocab| ranked rows × 1-row totals broadcast
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
