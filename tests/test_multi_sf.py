@@ -40,6 +40,15 @@ REPRESENTATIVE = [
     "emb_gram_matrix",        # partial-gram merge over varying batch counts
     "emb_kmeans_one_iter",    # centroid broadcast over varying corpus sizes
     "events_time_to_convert", # latency buckets over varying event densities
+    # mid-round-4 ops with size-sensitive logic
+    "corpus_epoch_plan",      # token-budget epoch math at varying corpus sizes
+    "multimodal_phash_bands", # >=64-byte filter + reduceat block math
+    "dedup_lsh_tuning",       # banded self-joins at varying vocab densities
+    "join_bloom_prefilter",   # bitset saturation at sf0.1 key cardinality
+    "feat_pit_training_set",  # strictly-before frames at varying densities
+    "corpus_length_batching", # log2 bucket math over varying doc lengths
+    "text_ngram_novelty",     # >=3-token guard + first-occurrence join-back
+    "ts_seasonal_decompose",  # 7-day-window NULL guard at short spans
 ]
 
 

@@ -174,3 +174,76 @@ def test_scd2_matches_bruteforce(spark, evts):
     for r in out:
         per_key[r.k] = per_key.get(r.k, 0) + (1 if r.is_current else 0)
     assert all(v == 1 for v in per_key.values())
+
+
+@given(
+    tgt=st.lists(st.tuples(st.integers(0, 9), st.integers(-100, 100)),
+                 min_size=1, max_size=12, unique_by=lambda t: t[0]),
+    src=st.lists(st.tuples(st.integers(0, 14), st.integers(-100, 100)),
+                 min_size=0, max_size=12, unique_by=lambda t: t[0]),
+    thresh=st.integers(-50, 50),
+)
+@_SETTINGS
+def test_merge_upsert_matches_bruteforce(spark, tgt, src, thresh):
+    """api.merge_upsert == dict-based MERGE reference on random snapshots."""
+    t = spark.createDataFrame(tgt, "key long, bal long")
+    s = spark.createDataFrame(src or [(999, 0)], "key long, delta long")
+    if not src:
+        s = s.where(F.lit(False))
+    out = {
+        r["key"]: (r["action"], r["bal"])
+        for r in api.merge_upsert(
+            t, s, "key", "bal", "delta",
+            delete_cond=F.col("delta") >= thresh,
+        ).collect()
+    }
+    td, sd = dict(tgt), dict(src)
+    expected = {}
+    for k, v in td.items():
+        if k not in sd:
+            expected[k] = ("keep", v)
+        elif sd[k] >= thresh:
+            continue  # deleted
+        else:
+            expected[k] = ("update", v + sd[k])
+    for k, d in sd.items():
+        if k not in td:
+            # the delete condition only guards WHEN MATCHED; unmatched
+            # source rows always insert.
+            expected[k] = ("insert", d)
+    assert out == expected
+
+
+@given(xs=st.lists(st.floats(-100, 100, allow_nan=False, width=32),
+                   min_size=1, max_size=20))
+@_SETTINGS
+def test_holt_smooth_matches_python_fold(spark, xs):
+    """api.holt_smooth == the sequential Python recursion, bit-for-bit."""
+    rows = [(0, i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = api.holt_smooth(df, "k", "t", "v").collect()[0]
+    l, b = float(rows[0][2]), 0.0
+    for _, _, x in rows[1:]:
+        nl = 0.6 * x + 0.4 * (l + b)
+        b = 0.3 * (nl - l) + 0.7 * b
+        l = nl
+    assert got["n_events"] == len(xs)
+    assert got["level"] == l, (got["level"], l)
+    assert got["trend"] == b, (got["trend"], b)
+
+
+@given(keys=st.lists(st.integers(0, 10000), min_size=1, max_size=40,
+                     unique=True),
+       probes=st.lists(st.integers(0, 10000), min_size=1, max_size=60))
+@_SETTINGS
+def test_bloom_prefilter_never_false_negative(spark, keys, probes):
+    """Every probe whose key IS in the key set must pass the bloom."""
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probes)], "rid long, p long"
+    )
+    passed = {
+        r["rid"] for r in api.bloom_prefilter(pdf, "p", kdf, "k").collect()
+    }
+    member = {i for i, p in enumerate(probes) if p in set(keys)}
+    assert member <= passed, member - passed
