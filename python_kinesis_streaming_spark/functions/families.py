@@ -1060,3 +1060,51 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE t.tier <= 3
         """
     )
+
+
+@op(
+    "fn_try_arith",
+    oracle="""
+        WITH k AS (
+            SELECT event_id, value,
+                   CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS kv
+            FROM events
+        )
+        SELECT event_id,
+               CASE WHEN kv = 50 THEN NULL
+                    ELSE floor(value / (kv - 50) * 10000.0 + 0.505) / 10000.0
+               END AS safe_ratio,
+               CASE WHEN kv = 0 THEN NULL
+                    ELSE CAST(9223372036854775807 // kv AS BIGINT) END
+                   AS near_max_div,
+               CAST(NULL AS TIMESTAMP) AS bad_ts
+        FROM k
+    """,
+    scale=(
+        "Error-safe arithmetic (try_divide, try_to_timestamp) — ANSI "
+        "mode without the job-killing exceptions: a single bad row "
+        "yields NULL instead of failing a 100 TB job at 99%. All "
+        "map-only codegen; the oracle models each try_* as its CASE "
+        "equivalent, pinning exactly WHICH inputs null out (divide by "
+        "zero, unparseable timestamp) so semantics can't drift."
+    ),
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide / try_to_timestamp over event props: bad inputs -> NULL,
+    never an exception."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.select(
+        "event_id",
+        "value",
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("kv"),
+    )
+    return k.select(
+        "event_id",
+        rnd(F.try_divide(F.col("value"), F.col("kv") - 50), 4).alias(
+            "safe_ratio"
+        ),
+        F.when(
+            F.col("kv") == 0, F.lit(None).cast("long")
+        ).otherwise(F.expr("9223372036854775807L div kv")).alias("near_max_div"),
+        F.try_to_timestamp(F.lit("not-a-date")).alias("bad_ts"),
+    )

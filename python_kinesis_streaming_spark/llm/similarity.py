@@ -1361,3 +1361,59 @@ def emb_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_norm_equalized"
         ),
     )
+
+
+@op(
+    "sim_index_build_report",
+    oracle="""
+        WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c,
+                          CAST(count(DISTINCT label) AS BIGINT) AS k
+                   FROM embeddings)
+        SELECT 'float_vectors' AS artifact, c AS rows,
+               CAST(c * 256 AS BIGINT) AS bytes_est FROM n
+        UNION ALL
+        SELECT 'l2_norms', c, CAST(c * 8 AS BIGINT) FROM n
+        UNION ALL
+        SELECT 'sign_bits', c, CAST(c * 8 AS BIGINT) FROM n
+        UNION ALL
+        SELECT 'pq_codes', c, CAST(c * 8 AS BIGINT) FROM n
+        UNION ALL
+        SELECT 'ivf_centroids', k, CAST(k * 256 AS BIGINT) FROM n
+    """,
+    scale=(
+        "Vector-index build manifest — the artifact inventory one "
+        "index-build job produces in a single corpus pass: raw floats "
+        "(256 B/vec), L2 norms (8 B), sign-bit signatures (8 B), PQ "
+        "codes (8 B), and |labels| IVF centroids — i.e. the 32x "
+        "compression ladder (sim_knn_cosine -> emb_hamming_knn -> "
+        "sim_pq_assign -> sim_ivf_probe) priced in bytes. At 100 TB "
+        "this report is what decides which tier fits in executor "
+        "memory; all counts are one tiny aggregate."
+    ),
+)
+def sim_index_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-cost inventory of every ANN index artifact for the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("label").alias("k"),
+    )
+    rows = []
+    for name, cnt, per in [
+        ("float_vectors", "c", 256),
+        ("l2_norms", "c", 8),
+        ("sign_bits", "c", 8),
+        ("pq_codes", "c", 8),
+        ("ivf_centroids", "k", 256),
+    ]:
+        rows.append(
+            n.select(
+                F.lit(name).alias("artifact"),
+                F.col(cnt).alias("rows"),
+                (F.col(cnt) * per).cast("long").alias("bytes_est"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

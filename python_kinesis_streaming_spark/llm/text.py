@@ -1175,3 +1175,60 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vocab_size", "tokens_covered", "coverage", "full_vocab")
     )
+
+
+@op(
+    "text_prefix_autocomplete",
+    oracle="""
+        WITH tok AS (
+            SELECT t.tok AS tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE len(t.tok) >= 3
+        ),
+        freq AS (
+            SELECT substr(tok, 1, 3) AS prefix, tok, count(*) AS n
+            FROM tok GROUP BY prefix, tok
+        ),
+        ranked AS (
+            SELECT prefix, tok, n,
+                   row_number() OVER (PARTITION BY prefix
+                                      ORDER BY n DESC, tok) AS rk
+            FROM freq
+        )
+        SELECT prefix,
+               max(CASE WHEN rk = 1 THEN tok END) AS top_completion,
+               CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS top_n,
+               CAST(count(*) AS BIGINT) AS n_completions
+        FROM ranked GROUP BY prefix
+    """,
+    scale=(
+        "Prefix-completion index build (search-as-you-type): token "
+        "frequencies keyed by 3-char prefix, per-prefix argmax via one "
+        "window over the |prefix|x|completions| AGGREGATE — the raw "
+        "token stream collapses map-side first. The output table is the "
+        "serving index (prefix -> top completion + fanout); at 100 TB "
+        "extend the prefix key to lengths 1..k with one grouping-sets "
+        "pass instead of k jobs."
+    ),
+)
+def text_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-char-prefix autocomplete index: top completion and fanout per
+    prefix."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = doc_tokens(docs).where(F.length("tok") >= 3)
+    freq = tok.groupBy(
+        F.substring("tok", 1, 3).alias("prefix"), "tok"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ranked = freq.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("prefix").orderBy(F.desc("n"), F.asc("tok"))
+        ),
+    )
+    return ranked.groupBy("prefix").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("tok"))).alias("top_completion"),
+        F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("long").alias("top_n"),
+        F.count(F.lit(1)).alias("n_completions"),
+    )

@@ -256,6 +256,10 @@ _GRADING_PRIORITY = [
     "text_vocab_coverage",
     "orders_fulfillment_latency",
     "dq_daily_metrics",
+    "fn_try_arith",
+    "text_prefix_autocomplete",
+    "stream_scd_merge_sink",
+    "sim_index_build_report",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

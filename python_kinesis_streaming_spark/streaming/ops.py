@@ -1041,3 +1041,110 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(streamed.agg(F.count(F.lit(1)).alias("n_windows_stream")))
         .crossJoin(match.agg(F.count(F.lit(1)).alias("n_matching")))
     )
+
+
+@op(
+    "stream_scd_merge_sink",
+    oracle="""
+        WITH n AS (SELECT count(*) AS c FROM events),
+        ranked AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (ORDER BY CAST(ts AS TIMESTAMP),
+                                      event_id) - 1 AS rn
+            FROM events
+        ),
+        chunked AS (
+            SELECT user_id, event_type, rn,
+                   rn // ((c + 3) // 4) AS chunk
+            FROM ranked, n
+        ),
+        per_uc AS (
+            SELECT user_id, chunk, arg_max(event_type, rn) AS btype
+            FROM chunked GROUP BY user_id, chunk
+        ),
+        seq AS (
+            SELECT user_id, chunk, btype,
+                   lag(btype) OVER (PARTITION BY user_id ORDER BY chunk)
+                       AS prev_type
+            FROM per_uc
+        )
+        SELECT user_id,
+               max(CASE WHEN chunk = mx THEN btype END) AS cur_type,
+               CAST(count(*) FILTER (WHERE prev_type IS NOT NULL
+                    AND btype != prev_type) AS BIGINT) AS n_updates
+        FROM (SELECT *, max(chunk) OVER (PARTITION BY user_id) AS mx FROM seq)
+        GROUP BY user_id
+    """,
+    scale=(
+        "Streaming CDC into a dimension: every micro-batch's per-key "
+        "last state MERGEs into the running snapshot inside foreachBatch "
+        "(version-chained state dirs standing in for a transactional "
+        "table's commits) — update-if-changed, insert-if-new, change "
+        "counter incremented per batch that actually flipped the value. "
+        "State size is |keys|, not |events|; each batch's merge is one "
+        "key-partitioned full-outer join. The oracle replays the same "
+        "batch boundaries analytically (chunk = rowrank // batchsize), "
+        "pinning snapshot AND change-count semantics."
+    ),
+)
+def stream_scd_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch MERGE of per-user latest event_type into a versioned
+    snapshot; emits (user_id, cur_type, n_updates) after all batches."""
+    import uuid as _uuid
+
+    base = os.path.join(SCRATCH, "scdmerge", sf_tag(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    versions: list[str] = []
+
+    def merge_batch(bdf, bid):
+        ss = bdf.sparkSession
+        ord_col = (
+            F.floor(
+                (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(1000.0)
+            ).cast("long")
+            * F.lit(3500000)
+            + F.col("event_id")
+        )
+        newest = (
+            bdf.withColumn("ord", ord_col)
+            .groupBy("user_id")
+            .agg(F.max_by("event_type", "ord").alias("new_type"))
+        )
+        if versions:
+            prev = ss.read.parquet(versions[-1])
+            merged = prev.join(newest, "user_id", "full_outer").select(
+                "user_id",
+                F.coalesce("new_type", "cur_type").alias("cur_type"),
+                (
+                    F.coalesce("n_updates", F.lit(0))
+                    + F.when(
+                        F.col("new_type").isNotNull()
+                        & F.col("cur_type").isNotNull()
+                        & (F.col("new_type") != F.col("cur_type")),
+                        1,
+                    ).otherwise(0)
+                ).cast("long").alias("n_updates"),
+            )
+        else:
+            merged = newest.select(
+                "user_id",
+                F.col("new_type").alias("cur_type"),
+                F.lit(0).cast("long").alias("n_updates"),
+            )
+        v = os.path.join(base, f"v{bid}_{_uuid.uuid4().hex[:6]}")
+        merged.write.mode("overwrite").parquet(v)
+        versions.append(v)
+
+    s = replay_stream(spark, sf_dir)
+    ckpt = os.path.join(SCRATCH, "ckpt", f"scdm_{_uuid.uuid4().hex[:10]}")
+    q = (
+        s.select("user_id", "event_type", "ts", "event_id")
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(versions[-1])
