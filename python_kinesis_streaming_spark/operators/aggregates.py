@@ -663,3 +663,51 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("sv")).alias("sum_value"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
+
+
+@op(
+    "agg_quantile_sketch_audit",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               floor((quantile_cont(value, 0.5)) * 10000.0 + 0.505)
+                   / 10000.0 AS p50_exact,
+               floor((quantile_cont(value, 0.95)) * 10000.0 + 0.505)
+                   / 10000.0 AS p95_exact,
+               true AS p50_within_bound,
+               true AS p95_within_bound
+        FROM events GROUP BY event_type
+    """,
+    scale=(
+        "Sketch-accuracy audit: percentile_approx (the mergeable "
+        "GK/KLL-style sketch that replaces exact percentiles at 100 TB) "
+        "checked against the exact quantile with the sketch's own rank "
+        "guarantee — at accuracy=1000 the approx p-quantile must land within a 1%-rank window of the exact quantile (a conservative cover for merged-sketch error). The op "
+        "emits the exact values plus constant-true bound flags: the "
+        "sketch itself is partition-order-dependent so its raw output "
+        "is NOT hash-stable, but the guarantee IS — which is exactly "
+        "what the driver can verify (same pattern as "
+        "agg_approx_distinct's rsd contract)."
+    ),
+)
+def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx vs exact percentile, emitted as exact values plus
+    within-rank-bound flags (the sketch's contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+        rnd(F.expr("percentile(value, 0.95)"), 4).alias("p95_exact"),
+        (
+            (F.expr("percentile_approx(value, 0.5, 1000)")
+             >= F.expr("percentile(value, 0.49)"))
+            & (F.expr("percentile_approx(value, 0.5, 1000)")
+               <= F.expr("percentile(value, 0.51)"))
+        ).alias("p50_within_bound"),
+        (
+            (F.expr("percentile_approx(value, 0.95, 1000)")
+             >= F.expr("percentile(value, 0.94)"))
+            & (F.expr("percentile_approx(value, 0.95, 1000)")
+               <= F.expr("percentile(value, 0.96)"))
+        ).alias("p95_within_bound"),
+    )

@@ -1867,3 +1867,51 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.expr("percentile(days, 0.95)"), 2).alias("p95_days"),
         F.max("days").cast("long").alias("max_days"),
     )
+
+
+@op(
+    "orders_revenue_waterfall",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS gross_cents,
+               CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS discount_cents,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * l_tax
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS tax_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    - sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                          AS BIGINT))
+                    + sum(CAST(floor(l_extendedprice * (1 - l_discount) * l_tax
+                          * 100 + 0.5) AS BIGINT)) AS BIGINT) AS net_cents
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    scale=(
+        "Revenue waterfall (gross -> -discount -> +tax -> net) in ONE "
+        "scan: every step is a conditional sum sharing the same partial "
+        "agg, never one pass per step. Each money term is quantized to "
+        "integer cents BEFORE summation so the bridge reconciles "
+        "exactly (net = gross - discount + tax holds to the cent) — "
+        "the auditability property finance pipelines need, preserved "
+        "under any partial-agg order at any scale."
+    ),
+)
+def orders_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross/discount/tax/net cents bridge per return flag, one scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gross = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 100 + 0.5
+    ).cast("long")
+    tax = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax") * 100
+        + 0.5
+    ).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(gross).cast("long").alias("gross_cents"),
+        F.sum(disc).cast("long").alias("discount_cents"),
+        F.sum(tax).cast("long").alias("tax_cents"),
+        (F.sum(gross) - F.sum(disc) + F.sum(tax)).cast("long").alias(
+            "net_cents"
+        ),
+    )

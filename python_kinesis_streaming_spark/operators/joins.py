@@ -929,3 +929,58 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+@op(
+    "join_star_denormalize",
+    oracle="""
+        SELECT r.r_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_brands,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    scale=(
+        "'One Big Table' denormalization — the wide-fact "
+        "materialization feature stores and BI extracts run nightly: "
+        "the full 7-table star resolved in one plan where every "
+        "dimension is an explicit broadcast (zero fact-side shuffles "
+        "for dims; orders-lineitem is the only key exchange, bucketable "
+        "to zero). Aggregated per region here to keep the contract "
+        "output small; the same plan with .write is the OBT "
+        "materializer, and row-count/revenue conservation vs the "
+        "normalized source is its publish gate."
+    ),
+)
+def join_star_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully denormalized star join (7 tables) rolled up per region."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")}
+    wide = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return wide.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )

@@ -260,6 +260,9 @@ _GRADING_PRIORITY = [
     "text_prefix_autocomplete",
     "stream_scd_merge_sink",
     "sim_index_build_report",
+    "orders_revenue_waterfall",
+    "join_star_denormalize",
+    "agg_quantile_sketch_audit",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
