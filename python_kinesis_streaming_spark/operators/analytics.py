@@ -1915,3 +1915,123 @@ def orders_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "net_cents"
         ),
     )
+
+
+@op(
+    "orders_brand_rank_shift",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', CAST(o.o_orderdate AS TIMESTAMP)) AS m,
+                   p.p_brand,
+                   CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '2001-01-01'
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT m, p_brand, cents,
+                   CAST(row_number() OVER (PARTITION BY m
+                        ORDER BY cents DESC, p_brand) AS BIGINT) AS rk
+            FROM monthly
+        )
+        SELECT m, p_brand, cents, rk,
+               CAST(rk - lag(rk) OVER (PARTITION BY p_brand ORDER BY m)
+                    AS BIGINT) AS rank_shift
+        FROM ranked
+    """,
+    scale=(
+        "Month-over-month brand league table with rank deltas: the "
+        "fact stream aggregates to |months|x|brands| partials FIRST "
+        "(broadcast dims, one key shuffle), then two tiny windows over "
+        "the aggregate — rank within month, lag across months. The "
+        "rank-shift column is the trend signal BI alerts on; raw "
+        "revenue stays in integer cents so ranks are engine-exact."
+    ),
+)
+def orders_brand_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2001 monthly brand revenue ranks with month-over-month rank shifts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("m"), "p_brand"
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w_rank = Window.partitionBy("m").orderBy(F.desc("cents"), F.asc("p_brand"))
+    w_lag = Window.partitionBy("p_brand").orderBy("m")
+    ranked = monthly.withColumn(
+        "rk", F.row_number().over(w_rank).cast("long")
+    )
+    return ranked.withColumn(
+        "rank_shift", (F.col("rk") - F.lag("rk").over(w_lag)).cast("long")
+    )
+
+
+@op(
+    "events_error_after_purchase",
+    oracle="""
+        WITH scanned AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   lead(event_type) OVER w AS next_type,
+                   lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS next_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(count(*) FILTER (WHERE next_type = 'error'
+                    AND next_us - us <= 60000000) AS BIGINT)
+                   AS n_error_within_60s,
+               floor(count(*) FILTER (WHERE next_type = 'error'
+                    AND next_us - us <= 60000000)
+                    / CAST(count(*) AS DOUBLE) * 10000.0 + 0.505) / 10000.0
+                   AS error_follow_rate
+        FROM scanned WHERE event_type = 'purchase'
+    """,
+    scale=(
+        "Post-purchase failure probe — did the NEXT thing the user did "
+        "(within 60 s) fail? One lead() pass over the shared user_id "
+        "ordering classifies every purchase; the metric is the "
+        "checkout-reliability KPI. Same single-shuffle shape as every "
+        "window op on this table; at 100 TB the 60 s bound means the "
+        "state is one row of lookahead, which is also exactly the "
+        "streaming formulation's state."
+    ),
+)
+def events_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of purchases immediately followed (<=60s) by an error event."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    scanned = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    p = scanned.where(F.col("event_type") == "purchase")
+    hit = (F.col("next_type") == "error") & (
+        F.col("next_us") - F.col("us") <= 60000000
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count(F.when(hit, 1)).alias("n_error_within_60s"),
+        rnd(
+            F.count(F.when(hit, 1)) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("error_follow_rate"),
+    )

@@ -771,3 +771,49 @@ def dq_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_dod_delta"
         ),
     )
+
+
+@op(
+    "dq_observe_metrics",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+                   AS n_errors,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(max(event_id) AS BIGINT) AS max_id
+        FROM events
+    """,
+    scale=(
+        "The Observation API: metrics (row counts, error counts, sums) "
+        "collected DURING an existing action's execution — zero extra "
+        "scan, zero extra job. This is how a 100 TB pipeline gets its "
+        "per-run health metrics for free: attach observe() to the write "
+        "job and the aggregates ride the same pass as the data "
+        "(Spark's accumulator-backed CollectMetrics node). The op "
+        "returns the observed values as a 1-row frame; the oracle "
+        "recomputes them directly — identical by construction."
+    ),
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect row/error/sum/max metrics via df.observe() piggybacked on a
+    count() action; emit the observed values."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("dq")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.max("event_id").alias("max_id"),
+    )
+    observed.count()  # the host action the metrics piggyback on
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_errors"], m["sum_cents"], m["max_id"])],
+        "n_rows long, n_errors long, sum_cents long, max_id long",
+    )

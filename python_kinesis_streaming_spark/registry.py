@@ -263,6 +263,10 @@ _GRADING_PRIORITY = [
     "orders_revenue_waterfall",
     "join_star_denormalize",
     "agg_quantile_sketch_audit",
+    "dedup_exact_normalized",
+    "orders_brand_rank_shift",
+    "dq_observe_metrics",
+    "events_error_after_purchase",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
