@@ -1108,3 +1108,40 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.expr("9223372036854775807L div kv")).alias("near_max_div"),
         F.try_to_timestamp(F.lit("not-a-date")).alias("bad_ts"),
     )
+
+
+@op(
+    "fn_sql_params",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               floor(avg(c_acctbal) * 100.0 + 0.505) / 100.0 AS avg_bal
+        FROM customer
+        WHERE c_acctbal BETWEEN 1000 AND 8000
+          AND c_mktsegment != 'MACHINERY'
+        GROUP BY c_mktsegment
+    """,
+    scale=(
+        "Parameterized SQL (spark.sql(..., args={...})): values bind as "
+        "literal PARAMETERS, not string splices — no injection surface, "
+        "and repeated calls with different bindings share one parsed "
+        "template. The bound literals still constant-fold and push down "
+        "to the scan exactly like inline literals (same PushedFilters), "
+        "so safety costs zero plan quality."
+    ),
+)
+def fn_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL over customer balances."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("pkss_param_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n,
+               floor(avg(c_acctbal) * 100.0D + 0.505D) / 100.0D AS avg_bal
+        FROM pkss_param_customer
+        WHERE c_acctbal BETWEEN :lo AND :hi
+          AND c_mktsegment != :excluded
+        GROUP BY c_mktsegment
+        """,
+        args={"lo": 1000, "hi": 8000, "excluded": "MACHINERY"},
+    )

@@ -2035,3 +2035,73 @@ def events_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(hit, 1)) / F.count(F.lit(1)).cast("double"), 4
         ).alias("error_follow_rate"),
     )
+
+
+@op(
+    "events_weekend_lift",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CASE WHEN dayofweek(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                             IN (0, 6) THEN 1 ELSE 0 END AS is_weekend,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN is_weekend = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS wk_events,
+                   CAST(sum(CASE WHEN is_weekend = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS wd_events,
+                   CAST(sum(CASE WHEN is_weekend = 1 THEN cents ELSE 0 END)
+                        AS BIGINT) AS wk_cents,
+                   CAST(sum(CASE WHEN is_weekend = 0 THEN cents ELSE 0 END)
+                        AS BIGINT) AS wd_cents
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, wk_events, wd_events,
+               floor((wk_events / 8.0) / (wd_events / 22.0) * 10000.0
+                     + 0.505) / 10000.0 AS volume_lift,
+               floor((wk_cents / 8.0) / (wd_cents / 22.0) * 10000.0 + 0.505)
+                   / 10000.0 AS value_lift
+        FROM agg
+    """,
+    scale=(
+        "Weekend-vs-weekday lift per event type — per-day-normalized "
+        "rates (8 weekend days vs 22 weekdays in the fixture month) so "
+        "the lift compares like with like. One conditional partial agg "
+        "over the scan; calendar constants become a date-dim join at "
+        "100 TB. DuckDB dayofweek is 0-based Sunday and Spark's is "
+        "1-based — the oracle uses (0,6) where Spark tests (1,7), "
+        "pinning the off-by-one that silently flips weekend metrics."
+    ),
+)
+def events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type weekend/weekday volume and value lifts (rate-normalized)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_wk = F.dayofweek("ts").isin(1, 7).cast("int")
+    agg = ev.select(
+        "event_type",
+        is_wk.alias("is_weekend"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    ).groupBy("event_type").agg(
+        F.sum("is_weekend").cast("long").alias("wk_events"),
+        F.sum(1 - F.col("is_weekend")).cast("long").alias("wd_events"),
+        F.sum(F.when(F.col("is_weekend") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("wk_cents"),
+        F.sum(F.when(F.col("is_weekend") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("wd_cents"),
+    )
+    return agg.select(
+        "event_type",
+        "wk_events",
+        "wd_events",
+        rnd((F.col("wk_events") / 8.0) / (F.col("wd_events") / 22.0), 4).alias(
+            "volume_lift"
+        ),
+        rnd((F.col("wk_cents") / 8.0) / (F.col("wd_cents") / 22.0), 4).alias(
+            "value_lift"
+        ),
+    )

@@ -390,3 +390,66 @@ def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         wmedian(F.col("value"), F.col("w")).alias("wmedian")
     )
+
+
+@op(
+    "udtf_dynamic_schema",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS q1_cents,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 2
+                    AS BIGINT) AS q2_cents
+        FROM events GROUP BY event_type
+    """,
+    scale=(
+        "Polymorphic Python UDTF (Spark 4): the static analyze() hook "
+        "computes the OUTPUT SCHEMA from the call-site arguments at plan "
+        "time — one registered function serves any column fan-out "
+        "(here: n quarter columns from a literal), the schema is fixed "
+        "before execution so Catalyst prunes/optimizes through it, and "
+        "eval() streams rows per input partition. The extension point "
+        "for config-driven wide-table generators where a static "
+        "returnType would need one UDTF per shape."
+    ),
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF whose column count comes from analyze(): expand per-type cents
+    into k scaled 'quarter' columns (k=2 at the call site)."""
+    from pyspark.sql.functions import udtf as _udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @_udtf
+    class ScaleOut:
+        # Nested class: cloudpickled by value (bare-session rule).
+        @staticmethod
+        def analyze(
+            et: AnalyzeArgument, cents: AnalyzeArgument, k: AnalyzeArgument
+        ) -> AnalyzeResult:
+            fields = [
+                StructField("event_type", StringType()),
+                StructField("q_cents_base", LongType()),
+            ]
+            for i in range(1, k.value + 1):
+                fields.append(StructField(f"q{i}_cents", LongType()))
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, et: str, cents: int, k: int):
+            yield (et, cents, *[cents * i for i in range(1, k + 1)])
+
+    spark.udtf.register("pkss_scale_out", ScaleOut)
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+    )
+    per_type.createOrReplaceTempView("pkss_udtf_pertype")
+    return spark.sql(
+        """
+        SELECT s.event_type, p.n, s.q1_cents, s.q2_cents
+        FROM pkss_udtf_pertype p,
+             LATERAL pkss_scale_out(p.event_type, p.cents, 2) s
+        """
+    ).select("event_type", F.col("n").cast("long").alias("n"), "q1_cents", "q2_cents")

@@ -267,6 +267,9 @@ _GRADING_PRIORITY = [
     "orders_brand_rank_shift",
     "dq_observe_metrics",
     "events_error_after_purchase",
+    "udtf_dynamic_schema",
+    "fn_sql_params",
+    "events_weekend_lift",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
