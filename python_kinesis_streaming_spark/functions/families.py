@@ -1145,3 +1145,40 @@ def fn_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"lo": 1000, "hi": 8000, "excluded": "MACHINERY"},
     )
+
+
+@op(
+    "fn_xpath",
+    oracle="""
+        SELECT event_id,
+               CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_int,
+               event_type AS tag_text,
+               CAST(2 AS INTEGER) AS n_nodes
+        FROM events
+    """,
+    scale=(
+        "XPath extraction (xpath_long / xpath_string / xpath over a "
+        "generated XML payload) — the legacy-feed ingestion surface: "
+        "all JVM codegen expressions on the scan, no Python. The oracle "
+        "derives the same values from the source fields directly "
+        "(value equivalence), since the XML is a deterministic "
+        "projection of them — which is exactly the invariant a feed "
+        "migration asserts when replacing XML hops with columnar reads."
+    ),
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xpath_* extraction over a synthesized XML rendering of each event."""
+    ev = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<ev><k>"),
+        F.regexp_extract("props", "[0-9]+", 0),
+        F.lit("</k><t>"),
+        F.col("event_type"),
+        F.lit("</t></ev>"),
+    )
+    return ev.select("event_id", xml.alias("x")).select(
+        "event_id",
+        F.expr("xpath_long(x, '/ev/k/text()')").alias("k_int"),
+        F.expr("xpath_string(x, '/ev/t/text()')").alias("tag_text"),
+        F.expr("size(xpath(x, '/ev/*'))").cast("int").alias("n_nodes"),
+    )

@@ -711,3 +711,71 @@ def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                <= F.expr("percentile(value, 0.96)"))
         ).alias("p95_within_bound"),
     )
+
+
+@op(
+    "agg_geometric_mean",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               floor(exp(avg(ln(value))) * 10000.0 + 0.505) / 10000.0
+                   AS geo_mean,
+               floor(avg(value) * 10000.0 + 0.505) / 10000.0 AS arith_mean
+        FROM events WHERE value > 0 GROUP BY event_type
+    """,
+    scale=(
+        "Geometric mean via the log-sum identity exp(avg(ln x)) — the "
+        "only distributable formulation: a raw product overflows double "
+        "after ~300 values, while Σ ln(x) is a plain mergeable sum. The "
+        "right average for multiplicative quantities (growth rates, "
+        "latency ratios); rounded at 4 dp to absorb 1-ulp ln/exp "
+        "divergence between JVM and libm. Shown beside the arithmetic "
+        "mean — the gap is the skew indicator."
+    ),
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type geometric vs arithmetic mean of event values."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.exp(F.avg(F.log("value"))), 4).alias("geo_mean"),
+        rnd(F.avg("value"), 4).alias("arith_mean"),
+    )
+
+
+@op(
+    "agg_bitmap_native",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS bitmap_distinct
+        FROM events GROUP BY event_type
+    """,
+    scale=(
+        "Spark 4 native bitmap aggregates (bitmap_bit_position -> "
+        "bitmap_construct_agg -> bitmap_count): EXACT distinct counting "
+        "with a mergeable fixed-width bitmap state (4 KB per 32k-id "
+        "bucket) instead of a hash set — the middle ground between "
+        "approx_count_distinct (small but approximate) and "
+        "count(distinct) (exact but expand-based). At 100 TB compose "
+        "with bitmap_or_agg over per-bucket partials "
+        "(agg_bitmap_distinct builds the same thing by hand); ids must "
+        "pre-bucket by bitmap_bucket_number when they exceed one "
+        "bucket's range. The oracle pins bitmap_count == exact."
+    ),
+)
+def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native bitmap exact-distinct per event type, checked against
+    count(distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        # +1: bitmap_bit_position is 1-based — id 0 would map to position
+        # -1 and silently drop from the bitmap (verified: 149 vs 150).
+        F.expr(
+            "bitmap_count(bitmap_construct_agg("
+            "bitmap_bit_position(user_id + 1)))"
+        )
+        .cast("long")
+        .alias("bitmap_distinct"),
+    )

@@ -270,6 +270,9 @@ _GRADING_PRIORITY = [
     "udtf_dynamic_schema",
     "fn_sql_params",
     "events_weekend_lift",
+    "fn_xpath",
+    "agg_geometric_mean",
+    "agg_bitmap_native",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
