@@ -1182,3 +1182,48 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("xpath_string(x, '/ev/t/text()')").alias("tag_text"),
         F.expr("size(xpath(x, '/ev/*'))").cast("int").alias("n_nodes"),
     )
+
+
+@op(
+    "fn_aes_roundtrip",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+                   AS n_distinct_cipher
+        FROM customer
+    """,
+    scale=(
+        "Column-level encryption (aes_encrypt/aes_decrypt, ECB for "
+        "deterministic ciphertext) — the PII-at-rest surface: encrypt "
+        "on write, decrypt on authorized read, with DETERMINISTIC mode "
+        "chosen deliberately so equality predicates and group-bys still "
+        "work on ciphertext (the classic determinism-vs-leakage "
+        "trade-off, pinned by n_distinct_cipher == n_distinct_plain). "
+        "Map-only codegen; the oracle checks the roundtrip invariants "
+        "rather than ciphertext bytes (DuckDB has no AES)."
+    ),
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aes_encrypt/decrypt roundtrip over customer segments: all rows must
+    decrypt to the original; deterministic ECB preserves groupability."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = "0123456789abcdef"
+    enc = F.expr(
+        f"aes_encrypt(c_mktsegment, '{key}', 'ECB')"
+    )
+    crypted = cust.select(
+        "c_mktsegment",
+        enc.alias("cipher"),
+        F.expr(
+            f"CAST(aes_decrypt(aes_encrypt(c_mktsegment, '{key}', 'ECB'),"
+            f" '{key}', 'ECB') AS STRING)"
+        ).alias("plain_again"),
+    )
+    return crypted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(
+            F.when(F.col("plain_again") == F.col("c_mktsegment"), 1)
+        ).alias("n_roundtrip_ok"),
+        F.countDistinct("cipher").alias("n_distinct_cipher"),
+    )

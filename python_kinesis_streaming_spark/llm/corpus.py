@@ -833,3 +833,90 @@ def corpus_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pad_waste"),
     )
+
+
+@op(
+    "corpus_quality_report",
+    oracle="""
+        WITH feats AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> len(w) > 0)
+                       AS ws
+            FROM documents
+        ),
+        stats AS (
+            SELECT doc_id,
+                   len(ws) AS n_tokens,
+                   list_aggregate(list_transform(ws, w -> len(w)), 'sum')
+                       / CAST(len(ws) AS DOUBLE) AS avg_wlen,
+                   len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)
+                       AS distinct_frac
+            FROM feats
+        )
+        SELECT 'min_tokens_50' AS rule,
+               CAST(count(*) FILTER (WHERE n_tokens < 50) AS BIGINT)
+                   AS n_fail,
+               floor(count(*) FILTER (WHERE n_tokens < 50)
+                     / CAST(count(*) AS DOUBLE) * 10000.0 + 0.505) / 10000.0
+                   AS fail_rate
+        FROM stats
+        UNION ALL
+        SELECT 'avg_word_len_3_10',
+               CAST(count(*) FILTER (WHERE avg_wlen < 3 OR avg_wlen > 10)
+                    AS BIGINT),
+               floor(count(*) FILTER (WHERE avg_wlen < 3 OR avg_wlen > 10)
+                     / CAST(count(*) AS DOUBLE) * 10000.0 + 0.505) / 10000.0
+        FROM stats
+        UNION ALL
+        SELECT 'distinct_frac_30',
+               CAST(count(*) FILTER (WHERE distinct_frac < 0.3) AS BIGINT),
+               floor(count(*) FILTER (WHERE distinct_frac < 0.3)
+                     / CAST(count(*) AS DOUBLE) * 10000.0 + 0.505) / 10000.0
+        FROM stats
+    """,
+    scale=(
+        "Gopher-style quality-rule battery as ONE report: every rule's "
+        "per-doc features come from a single in-row HOF pass (no "
+        "explode, no shuffle), and all rule counts are conditional aggs "
+        "over that one pass — k rules never cost k scans. This is the "
+        "corpus gate's audit artifact: fail RATES per rule (not just a "
+        "keep/drop bit) so threshold drift is reviewable before the "
+        "drop pass runs. text_repetition/text_quality are the per-doc "
+        "consumers of the same features."
+    ),
+)
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule fail counts/rates for the corpus quality battery."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    stats = docs.select(
+        F.size(ws).alias("n_tokens"),
+        (
+            F.aggregate(
+                F.transform(ws, lambda w: F.length(w).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            / F.size(ws).cast("double")
+        ).alias("avg_wlen"),
+        (F.size(F.array_distinct(ws)) / F.size(ws).cast("double")).alias(
+            "distinct_frac"
+        ),
+    )
+
+    def rule(name, cond):
+        return stats.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.when(cond, 1)).alias("n_fail"),
+            rnd(
+                F.count(F.when(cond, 1)) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("fail_rate"),
+        )
+
+    r1 = rule("min_tokens_50", F.col("n_tokens") < 50)
+    r2 = rule(
+        "avg_word_len_3_10",
+        (F.col("avg_wlen") < 3) | (F.col("avg_wlen") > 10),
+    )
+    r3 = rule("distinct_frac_30", F.col("distinct_frac") < 0.3)
+    return r1.unionAll(r2).unionAll(r3)

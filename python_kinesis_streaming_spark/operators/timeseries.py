@@ -789,3 +789,105 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("n") - F.col("trend") - F.col("seasonal"), 4),
         ).alias("residual"),
     )
+
+
+@op(
+    "ts_campaign_overlap",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                             - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                                 PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                             > 1800000000
+                             OR lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                                 PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                                IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id,
+                   min(us) AS s_start, max(us) AS s_end
+            FROM (SELECT user_id, us,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS sid
+                  FROM gaps)
+            GROUP BY user_id, sid
+        ),
+        campaigns AS (
+            SELECT c.i AS campaign_id,
+                   epoch_us(TIMESTAMP '2024-01-01')
+                       + c.i * 864000000000 AS c_start,
+                   epoch_us(TIMESTAMP '2024-01-01')
+                       + c.i * 864000000000 + 172800000000 AS c_end
+            FROM unnest(range(3)) AS c(i)
+        )
+        SELECT campaign_id,
+               CAST(count(*) FILTER (WHERE least(s_end, c_end)
+                    > greatest(s_start, c_start)) AS BIGINT)
+                   AS n_overlapping_sessions,
+               CAST(sum(greatest(0, least(s_end, c_end)
+                    - greatest(s_start, c_start)) // 1000000) AS BIGINT)
+                   AS overlap_seconds
+        FROM sess, campaigns
+        GROUP BY campaign_id
+    """,
+    scale=(
+        "Interval-overlap duration join: sessionized user intervals "
+        "against a tiny broadcast campaign-window table, overlap length "
+        "= max(0, min(ends) - max(starts)) — closed-form, no "
+        "event-level expansion. Session build is one lag-gap pass "
+        "(shared user_id shuffle); the campaign side is |campaigns| "
+        "rows so the interval join is a broadcast fan-out of 3, never "
+        "an interval self-join. Integer-µs arithmetic throughout — the "
+        "attribution-by-exposure-time primitive."
+    ),
+)
+def ts_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seconds of user-session time overlapping each of 3 fixed 2-day
+    campaign windows (10-day cadence)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.when(
+            (us - F.lag(us).over(w) > 1800000000)
+            | F.lag(us).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        gaps.withColumn("sid", F.sum("new_s").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end"))
+    )
+    base = 1704067200000000
+    campaigns = spark.range(3).select(
+        F.col("id").cast("long").alias("campaign_id"),
+        (F.lit(base) + F.col("id") * 864000000000).alias("c_start"),
+        (F.lit(base) + F.col("id") * 864000000000 + 172800000000).alias(
+            "c_end"
+        ),
+    )
+    joined = sess.crossJoin(F.broadcast(campaigns))
+    ov = F.least("s_end", "c_end") - F.greatest("s_start", "c_start")
+    return joined.groupBy("campaign_id").agg(
+        F.count(F.when(ov > 0, 1)).alias("n_overlapping_sessions"),
+        F.sum(F.floor(F.greatest(ov, F.lit(0)) / 1000000)).cast("long").alias(
+            "overlap_seconds"
+        ),
+    )

@@ -273,6 +273,9 @@ _GRADING_PRIORITY = [
     "fn_xpath",
     "agg_geometric_mean",
     "agg_bitmap_native",
+    "ts_campaign_overlap",
+    "corpus_quality_report",
+    "fn_aes_roundtrip",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

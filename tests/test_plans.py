@@ -222,6 +222,7 @@ BNLJ_ALLOWED = {
     "orders_abc_classification",  # |parts| agg × 1-row grand total
     "emb_mips_transform",  # norms × 1-row global-max broadcast
     "text_vocab_coverage",  # |vocab| ranked rows × 1-row totals broadcast
+    "ts_campaign_overlap",  # sessions × 3-row broadcast campaign windows
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
@@ -389,3 +390,12 @@ def test_pq_codebook_broadcast(spark, sf_dir, no_table_cache):
     p = plan_of(Q["sim_pq_assign"](spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_rank_filter_uses_window_group_limit(spark, sf_dir, no_table_cache):
+    """win_rank_topn (rank <= k) must trigger Spark's WindowGroupLimit
+    pushdown — each partition keeps a k-sized heap BEFORE the full window
+    sort, the difference between sorting all rows and sorting k per group
+    at 100 TB."""
+    p = plan_of(Q["win_rank_topn"](spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in p
