@@ -1227,3 +1227,37 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_roundtrip_ok"),
         F.countDistinct("cipher").alias("n_distinct_cipher"),
     )
+
+
+@op(
+    "fn_inline_structs",
+    oracle="""
+        SELECT o_orderkey, 'base' AS component,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'fee',
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 50
+        FROM orders
+    """,
+    scale=(
+        "The inline() generator: an array<struct> column explodes to "
+        "rows AND columns in one Generate node — the idiomatic way to "
+        "normalize a nested line-items array without explode + "
+        "getField chains. Map-side fan-out (x2 here), partial-agg "
+        "friendly downstream; the denormalized charge-component rows "
+        "are what a billing pipeline feeds to per-component rollups."
+    ),
+)
+def fn_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode an array-of-structs charge breakdown via inline()."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    charges = F.array(
+        F.struct(F.lit("base").alias("component"), cents.alias("cents")),
+        F.struct(
+            F.lit("fee").alias("component"),
+            F.floor(cents / 50).cast("long").alias("cents"),
+        ),
+    )
+    return o.select("o_orderkey", F.inline(charges))

@@ -1232,3 +1232,78 @@ def text_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("long").alias("top_n"),
         F.count(F.lit(1)).alias("n_completions"),
     )
+
+
+@op(
+    "text_hash_embedding_pool",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t.tok AS tok
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE len(t.tok) > 0
+        ),
+        dims AS (
+            SELECT doc_id, tok, d.d AS d,
+                   (CAST(('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':'
+                        || tok), 1, 15)) AS BIGINT) % 1000000) / 1000000.0
+                       - 0.5 AS w
+            FROM tok, unnest(range(4)) AS d(d)
+        ),
+        pooled AS (
+            SELECT doc_id, d,
+                   sum(w) / count(*) AS v
+            FROM dims GROUP BY doc_id, d
+        )
+        SELECT doc_id,
+               floor(max(CASE WHEN d = 0 THEN v END) * 10000.0 + 0.505)
+                   / 10000.0 AS v0,
+               floor(max(CASE WHEN d = 1 THEN v END) * 10000.0 + 0.505)
+                   / 10000.0 AS v1,
+               floor(sqrt(sum(v * v)) * 10000.0 + 0.505) / 10000.0
+                   AS pool_norm
+        FROM pooled GROUP BY doc_id
+    """,
+    scale=(
+        "Hash-embedding average pooling — the zero-model text embedding "
+        "baseline: each token's vector is a deterministic md5-derived "
+        "point in [-0.5, 0.5)^d (no embedding table, no lookup shuffle "
+        "— the hashing-trick applied to dense vectors), mean-pooled per "
+        "doc. Everything is explode + partial agg on (doc, dim); at "
+        "100 TB d rides as the small fan-out and the pooled vectors "
+        "feed the same ANN stack as learned embeddings. Float sums "
+        "cross partials here are per-(doc,dim) groups with bounded "
+        "cardinality; pooled values rounded at 4 dp for parity."
+    ),
+)
+def text_hash_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-dim md5 hash embeddings mean-pooled per doc (first 2 dims + norm)."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = doc_tokens(docs)
+    dims = tok.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("d"),
+        "tok",
+    ).select(
+        "doc_id",
+        "d",
+        (
+            (
+                md5_hash64(
+                    F.concat_ws(":", F.col("d").cast("string"), F.col("tok"))
+                )
+                % 1000000
+            )
+            / 1000000.0
+            - 0.5
+        ).alias("w"),
+    )
+    pooled = dims.groupBy("doc_id", "d").agg(
+        (F.sum("w") / F.count(F.lit(1))).alias("v")
+    )
+    return pooled.groupBy("doc_id").agg(
+        rnd(F.max(F.when(F.col("d") == 0, F.col("v"))), 4).alias("v0"),
+        rnd(F.max(F.when(F.col("d") == 1, F.col("v"))), 4).alias("v1"),
+        rnd(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("pool_norm"),
+    )

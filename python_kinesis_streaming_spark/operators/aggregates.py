@@ -779,3 +779,46 @@ def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bitmap_distinct"),
     )
+
+
+@op(
+    "agg_percentile_disc",
+    oracle="""
+        SELECT event_type,
+               quantile_disc(value, 0.5) AS p50_disc,
+               quantile_disc(value, 0.95) AS p95_disc,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    scale=(
+        "DISCRETE percentiles — an actual observed value, not an "
+        "interpolation (what you need when the value is an id, a "
+        "latency bucket, or anything where 'halfway between two rows' "
+        "is meaningless). Spark lacks percentile_disc; the exact "
+        "equivalent is the element at rank ceil(p*n) from one window "
+        "pass per group. Emitted values are raw doubles UNTOUCHED by "
+        "arithmetic, so parity needs no rounding — both engines pick "
+        "the identical source row."
+    ),
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (observed-value) p50/p95 per event type via rank selection."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rk") == F.ceil(F.col("n") * 0.5), F.col("value"))
+        ).alias("p50_disc"),
+        F.max(
+            F.when(F.col("rk") == F.ceil(F.col("n") * 0.95), F.col("value"))
+        ).alias("p95_disc"),
+        F.max("n").cast("long").alias("n"),
+    )

@@ -276,6 +276,9 @@ _GRADING_PRIORITY = [
     "ts_campaign_overlap",
     "corpus_quality_report",
     "fn_aes_roundtrip",
+    "text_hash_embedding_pool",
+    "agg_percentile_disc",
+    "fn_inline_structs",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
