@@ -1261,3 +1261,37 @@ def fn_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return o.select("o_orderkey", F.inline(charges))
+
+
+@op(
+    "fn_sql_identifier",
+    oracle="""
+        SELECT o_orderpriority AS dim_value,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderpriority
+    """,
+    scale=(
+        "The IDENTIFIER(:param) clause: table and column NAMES bound as "
+        "parameters — the safe form of templated SQL (metric-store "
+        "queries that pivot over config-chosen dimensions) that "
+        "string-concatenation SQL generation gets wrong. The identifier "
+        "resolves at analysis time, so the plan is identical to the "
+        "hard-coded query: full pushdown, no late binding cost."
+    ),
+)
+def fn_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic dimension rollup via IDENTIFIER-bound table and column names."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("pkss_ident_orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:dim) AS dim_value, count(*) AS n,
+               sum(CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT))
+                   AS cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:dim)
+        """,
+        args={"tbl": "pkss_ident_orders", "dim": "o_orderpriority"},
+    )

@@ -375,3 +375,64 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard"
         ),
     )
+
+
+@op(
+    "multimodal_magic_detect",
+    oracle="""
+        WITH payloads AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'PNG13' || text
+                        WHEN doc_id % 3 = 1 THEN 'JFIF0' || text
+                        ELSE text END AS payload
+            FROM documents
+        ),
+        routed AS (
+            SELECT doc_id,
+                   CASE WHEN substr(payload, 1, 5) = 'PNG13' THEN 'image/png'
+                        WHEN substr(payload, 1, 5) = 'JFIF0' THEN 'image/jpeg'
+                        ELSE 'text/plain' END AS modality,
+                   octet_length(encode(payload)) AS n_bytes
+            FROM payloads
+        )
+        SELECT modality,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(min(doc_id) AS BIGINT) AS sample_doc
+        FROM routed GROUP BY modality
+    """,
+    scale=(
+        "Magic-byte modality routing — the dispatch step BEFORE any "
+        "decode: sniff the payload header (here deterministic "
+        "stand-in magics; real PNG/JPEG/RIFF signatures are the same "
+        "substring test on binary), route each blob to its decoder "
+        "family, and account bytes per route. Map-only on a prefix of "
+        "the payload (column pruning note: readers that support "
+        "lazy/partial blob materialization only fetch the header "
+        "here); the per-modality byte totals size the decode fleet's "
+        "(modality, size-bucket) partitions."
+    ),
+)
+def multimodal_magic_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect payload modality from header magic bytes; per-route counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("PNG13"), F.col("text"))
+    ).when(
+        F.col("doc_id") % 3 == 1, F.concat(F.lit("JFIF0"), F.col("text"))
+    ).otherwise(F.col("text"))
+    routed = docs.select(
+        "doc_id",
+        F.when(F.substring(payload, 1, 5) == "PNG13", "image/png")
+        .when(F.substring(payload, 1, 5) == "JFIF0", "image/jpeg")
+        .otherwise("text/plain")
+        .alias("modality"),
+        F.octet_length(F.encode(payload, "utf-8")).cast("long").alias(
+            "n_bytes"
+        ),
+    )
+    return routed.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.min("doc_id").alias("sample_doc"),
+    )

@@ -279,6 +279,8 @@ _GRADING_PRIORITY = [
     "text_hash_embedding_pool",
     "agg_percentile_disc",
     "fn_inline_structs",
+    "fn_sql_identifier",
+    "multimodal_magic_detect",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
