@@ -822,3 +822,64 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95_disc"),
         F.max("n").cast("long").alias("n"),
     )
+
+
+@op(
+    "agg_weighted_percentile_sql",
+    oracle="""
+        WITH w AS (
+            SELECT l_returnflag, l_extendedprice AS x,
+                   CAST(l_quantity AS BIGINT) AS wt
+            FROM lineitem
+        ),
+        ranked AS (
+            SELECT l_returnflag, x, wt,
+                   sum(wt) OVER (PARTITION BY l_returnflag
+                       ORDER BY x, wt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   sum(wt) OVER (PARTITION BY l_returnflag) AS total
+            FROM w
+        )
+        SELECT l_returnflag,
+               min(CASE WHEN cum * 2 >= total THEN x END) AS weighted_p50,
+               CAST(max(total) AS BIGINT) AS total_weight
+        FROM ranked GROUP BY l_returnflag
+    """,
+    scale=(
+        "Weighted median in PURE SQL (vs the pandas-UDAF twin "
+        "udaf_weighted_median): cumulative-weight window over the "
+        "sorted group, first value whose cum*2 >= total — the "
+        "cross-multiplied integer test avoids any float threshold. One "
+        "sort per group partition, no Python worker round-trip — this "
+        "is the production path; the UDAF exists to pin the §2.10 "
+        "surface. Emits the source value untouched, so parity needs no "
+        "rounding."
+    ),
+)
+def agg_weighted_percentile_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag, windows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("x", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    ranked = w.select(
+        "l_returnflag",
+        "x",
+        F.sum("wt").over(w_cum).alias("cum"),
+        F.sum("wt").over(w_tot).alias("total"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("total"), F.col("x"))
+        ).alias("weighted_p50"),
+        F.max("total").cast("long").alias("total_weight"),
+    )

@@ -2105,3 +2105,127 @@ def events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_lift"
         ),
     )
+
+
+@op(
+    "skyline_pareto_frontier",
+    oracle="""
+        WITH pts AS (
+            SELECT o.o_orderkey,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents,
+                   CAST(min(date_diff('day',
+                        CAST(CAST(o.o_orderdate AS TIMESTAMP) AS DATE),
+                        CAST(CAST(l.l_shipdate AS TIMESTAMP) AS DATE)))
+                        AS BIGINT) AS days
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_totalprice
+        ),
+        scanned AS (
+            SELECT o_orderkey, price_cents, days,
+                   min(days) OVER (ORDER BY price_cents, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS best_days_cheaper
+            FROM pts
+        )
+        SELECT o_orderkey, price_cents, days
+        FROM scanned
+        WHERE best_days_cheaper IS NULL OR days < best_days_cheaper
+    """,
+    scale=(
+        "2-D skyline (Pareto frontier): orders not dominated on (price, "
+        "ship latency) — the classic 'no cheaper order also shipped "
+        "faster' set. The O(n^2) dominance join collapses to ONE sorted "
+        "window pass: sort by price, keep rows beating the running-min "
+        "latency of everything cheaper. At 100 TB: range-partition by "
+        "price, local skylines per partition, then one tiny merge pass "
+        "over partition frontiers (frontier size << n). Total "
+        "tie-break (price, orderkey) makes the frontier engine-exact."
+    ),
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal orders on (total price, fastest line shipment)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.min(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            )
+            .cast("long")
+            .alias("days")
+        )
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+                "price_cents"
+            ),
+            "days",
+        )
+    )
+    w = (
+        Window.orderBy("price_cents", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = pts.withColumn("best_days_cheaper", F.min("days").over(w))
+    return scanned.where(
+        F.col("best_days_cheaper").isNull()
+        | (F.col("days") < F.col("best_days_cheaper"))
+    ).select("o_orderkey", "price_cents", "days")
+
+
+@op(
+    "events_power_user_sweep",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, count(*) AS n_events,
+                   count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                       AS n_days
+            FROM events GROUP BY user_id
+        )
+        SELECT t.t AS min_events_threshold,
+               CAST(count(*) FILTER (WHERE n_events >= t.t) AS BIGINT)
+                   AS n_power_users,
+               floor(count(*) FILTER (WHERE n_events >= t.t)
+                     / CAST(count(*) AS DOUBLE) * 10000.0 + 0.505) / 10000.0
+                   AS share,
+               CAST(sum(n_days) FILTER (WHERE n_events >= t.t) AS BIGINT)
+                   AS active_days_covered
+        FROM per_user, (VALUES (20), (50), (80), (100)) t(t)
+        GROUP BY t.t
+    """,
+    scale=(
+        "Definition-threshold sweep for 'power user': all candidate "
+        "cutoffs evaluated as conditional aggregates over ONE per-user "
+        "aggregate — the same one-pass sweep shape as "
+        "sim_threshold_sweep, applied to the segmentation decision "
+        "(pick the cutoff where share stabilizes). The per-user rollup "
+        "is the only event-scale work; the sweep runs on |users| rows."
+    ),
+)
+def events_power_user_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user counts/shares at four activity thresholds, one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+    thresholds = F.explode(
+        F.array(*[F.lit(t) for t in (20, 50, 80, 100)])
+    ).alias("min_events_threshold")
+    hit = F.col("n_events") >= F.col("min_events_threshold")
+    return (
+        per_user.select("*", thresholds)
+        .groupBy("min_events_threshold")
+        .agg(
+            F.count(F.when(hit, 1)).alias("n_power_users"),
+            rnd(
+                F.count(F.when(hit, 1)) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("share"),
+            F.sum(F.when(hit, F.col("n_days"))).cast("long").alias(
+                "active_days_covered"
+            ),
+        )
+    )

@@ -281,6 +281,9 @@ _GRADING_PRIORITY = [
     "fn_inline_structs",
     "fn_sql_identifier",
     "multimodal_magic_detect",
+    "skyline_pareto_frontier",
+    "agg_weighted_percentile_sql",
+    "events_power_user_sweep",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
