@@ -2229,3 +2229,66 @@ def events_power_user_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@op(
+    "events_audience_overlap",
+    oracle="""
+        WITH masks AS (
+            SELECT user_id,
+                   bit_or(1::BIGINT << CASE event_type
+                       WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                       WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                       ELSE 4 END) AS mask
+            FROM events GROUP BY user_id
+        ),
+        pairs AS (
+            SELECT a.i AS ta, b.i AS tb
+            FROM unnest(range(5)) a(i), unnest(range(5)) b(i)
+            WHERE a.i < b.i
+        )
+        SELECT CAST(ta AS BIGINT) AS type_a, CAST(tb AS BIGINT) AS type_b,
+               CAST(count(*) FILTER (WHERE (mask >> ta) % 2 = 1
+                    AND (mask >> tb) % 2 = 1) AS BIGINT) AS n_both,
+               CAST(count(*) FILTER (WHERE (mask >> ta) % 2 = 1
+                    OR (mask >> tb) % 2 = 1) AS BIGINT) AS n_either
+        FROM masks, pairs
+        GROUP BY ta, tb
+    """,
+    scale=(
+        "Audience-overlap matrix: each user collapses to ONE 5-bit "
+        "segment bitmask (bit_or partial agg — mergeable, 8 bytes of "
+        "state per user), then every pairwise intersection/union count "
+        "is a bit test over the |users|-row mask table crossed with the "
+        "10-row pair spine — never a per-pair self-join of the event "
+        "stream. The same mask trick scales to 64 segments per word; "
+        "beyond that, per-segment bitmaps (agg_bitmap_native) with "
+        "bitmap_and counts."
+    ),
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise user-audience intersection/union counts across the 5 event
+    types, from one bitmask aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    idx_sql = (
+        "CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 "
+        "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END"
+    )
+    masks = ev.groupBy("user_id").agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), {idx_sql}))"
+        ).alias("mask")
+    )
+    pairs = [(a, b) for a in range(5) for b in range(5) if a < b]
+    spine = spark.createDataFrame(pairs, "type_a long, type_b long")
+    joined = masks.crossJoin(F.broadcast(spine))
+    has_a = F.expr(
+        "shiftrightunsigned(mask, CAST(type_a AS INT)) % 2 = 1"
+    )
+    has_b = F.expr(
+        "shiftrightunsigned(mask, CAST(type_b AS INT)) % 2 = 1"
+    )
+    return joined.groupBy("type_a", "type_b").agg(
+        F.count(F.when(has_a & has_b, 1)).alias("n_both"),
+        F.count(F.when(has_a | has_b, 1)).alias("n_either"),
+    )

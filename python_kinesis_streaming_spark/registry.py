@@ -284,6 +284,7 @@ _GRADING_PRIORITY = [
     "skyline_pareto_frontier",
     "agg_weighted_percentile_sql",
     "events_power_user_sweep",
+    "events_audience_overlap",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

@@ -223,6 +223,7 @@ BNLJ_ALLOWED = {
     "emb_mips_transform",  # norms × 1-row global-max broadcast
     "text_vocab_coverage",  # |vocab| ranked rows × 1-row totals broadcast
     "ts_campaign_overlap",  # sessions × 3-row broadcast campaign windows
+    "events_audience_overlap",  # |users| masks × 10-row broadcast pair spine
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
@@ -399,3 +400,15 @@ def test_rank_filter_uses_window_group_limit(spark, sf_dir, no_table_cache):
     at 100 TB."""
     p = plan_of(Q["win_rank_topn"](spark, sf_dir), "simple")
     assert "WindowGroupLimit" in p
+
+
+def test_in_and_like_predicates_push_down(spark, sf_dir, no_table_cache):
+    """filter_in_like's IN-list and LIKE ('%widget%') predicates must reach
+    the parquet scan as PushedFilters (In / StringContains inside the OR) —
+    dictionary-encoded columns prune row groups on both, and a full-scan
+    regression here is silent and expensive at 100 TB."""
+    p = plan_of(Q["filter_in_like"](spark, sf_dir))
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: ")[1].splitlines()[0]
+    assert "In(" in pushed, pushed
+    assert "StringContains" in pushed, pushed
