@@ -2292,3 +2292,73 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(has_a & has_b, 1)).alias("n_both"),
         F.count(F.when(has_a | has_b, 1)).alias("n_either"),
     )
+
+
+@op(
+    "events_bot_score",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, time_bucket(INTERVAL '1 hour',
+                   CAST(ts AS TIMESTAMP)) AS h, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        rate AS (
+            SELECT user_id, CAST(max(n) AS BIGINT) AS max_per_hour
+            FROM hourly GROUP BY user_id
+        ),
+        mix AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        ent AS (
+            SELECT user_id,
+                   floor((-sum((n / CAST(tot AS DOUBLE))
+                         * ln(n / CAST(tot AS DOUBLE)))) * 10000.0 + 0.505)
+                       / 10000.0 AS type_entropy
+            FROM (SELECT user_id, n,
+                         sum(n) OVER (PARTITION BY user_id) AS tot FROM mix)
+            GROUP BY user_id
+        )
+        SELECT r.user_id, r.max_per_hour, e.type_entropy,
+               (r.max_per_hour >= 5 AND e.type_entropy < 1.55) AS flagged
+        FROM rate r JOIN ent e USING (user_id)
+    """,
+    scale=(
+        "Bot/abuse heuristic score: burst rate (max events in any hour) "
+        "plus behavioral-mix entropy — bots burst AND repeat one "
+        "action. Both features are two-level partial aggs sharing the "
+        "user_id key; the flag thresholds are the audit knobs "
+        "(events_power_user_sweep is the tool that calibrates them). "
+        "Entropy rounded before the threshold so the flag set is "
+        "engine-exact; at 100 TB the hourly grid is the only "
+        "intermediate bigger than |users| and it partial-aggregates "
+        "map-side."
+    ),
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burst rate + type entropy with a combined bot flag."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.window("ts", "1 hour").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rate = hourly.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("max_per_hour")
+    )
+    mix = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("user_id")
+    p = F.col("n") / F.sum("n").over(tot).cast("double")
+    ent = (
+        mix.select("user_id", (-p * F.log(p)).alias("term"))
+        .groupBy("user_id")
+        .agg(rnd(F.sum("term"), 4).alias("type_entropy"))
+    )
+    return rate.join(ent, "user_id").select(
+        "user_id",
+        "max_per_hour",
+        "type_entropy",
+        (
+            (F.col("max_per_hour") >= 5) & (F.col("type_entropy") < 1.55)
+        ).alias("flagged"),
+    )

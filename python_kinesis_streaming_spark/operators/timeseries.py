@@ -891,3 +891,38 @@ def ts_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_seconds"
         ),
     )
+
+
+@op(
+    "ts_tumbling_offset",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP),
+                           TIMESTAMP '2024-01-01 00:30:00') AS window_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
+    """,
+    scale=(
+        "Offset-aligned tumbling windows — window(ts, '1 hour', "
+        "startTime='30 minutes') shifts bucket boundaries to :30 (the "
+        "business-day / non-UTC-midnight alignment every reporting "
+        "pipeline eventually needs) WITHOUT changing the plan: still "
+        "one map-side bucket assignment + partial agg. The oracle's "
+        "time_bucket origin parameter pins the identical alignment "
+        "arithmetic; misaligned engines shift every boundary row into "
+        "the wrong bucket, which the hash check catches wholesale."
+    ),
+)
+def ts_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling counts with bucket boundaries offset to :30."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "1 hour", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )

@@ -285,6 +285,8 @@ _GRADING_PRIORITY = [
     "agg_weighted_percentile_sql",
     "events_power_user_sweep",
     "events_audience_overlap",
+    "events_bot_score",
+    "ts_tumbling_offset",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
