@@ -1307,3 +1307,102 @@ def text_hash_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.max(F.when(F.col("d") == 1, F.col("v"))), 4).alias("v1"),
         rnd(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("pool_norm"),
     )
+
+
+@op(
+    "text_df_drift",
+    oracle="""
+        WITH halves AS (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id * 2 < (SELECT max(doc_id) + 1
+                                           FROM documents)
+                        THEN 0 ELSE 1 END AS half
+            FROM documents
+        ),
+        df AS (
+            SELECT tok, half, count(DISTINCT doc_id) AS df
+            FROM (SELECT h.doc_id, h.half, t.tok AS tok
+                  FROM halves h, unnest(string_split(h.text, ' ')) AS t(tok)
+                  WHERE len(t.tok) > 0)
+            GROUP BY tok, half
+        ),
+        wide AS (
+            SELECT tok,
+                   sum(CASE WHEN half = 0 THEN df ELSE 0 END) AS df0,
+                   sum(CASE WHEN half = 1 THEN df ELSE 0 END) AS df1
+            FROM df GROUP BY tok
+            HAVING sum(CASE WHEN half = 0 THEN df ELSE 0 END) >= 5
+               AND sum(CASE WHEN half = 1 THEN df ELSE 0 END) >= 5
+        ),
+        scored AS (
+            SELECT tok, CAST(df0 AS BIGINT) AS df0, CAST(df1 AS BIGINT) AS df1,
+                   floor(ln(df1 / CAST(df0 AS DOUBLE)) * 10000.0 + 0.505)
+                       / 10000.0 AS log_ratio
+            FROM wide
+        )
+        SELECT tok, df0, df1, log_ratio FROM (
+            SELECT *, row_number() OVER (ORDER BY abs(log_ratio) DESC, tok)
+                       AS rk
+            FROM scored
+        ) WHERE rk <= 20
+    """,
+    scale=(
+        "Token document-frequency drift between corpus halves — PSI's "
+        "text-native sibling: per-half doc frequencies (explode + "
+        "distinct partial agg), min-support gate (df >= 5 both halves "
+        "kills noise risers), top-20 movers by |log ratio| with total "
+        "tie-break. The vocabulary drift report is what flags a crawl "
+        "source going stale or a scraper breaking mid-corpus — BEFORE "
+        "the model trains on it. Shuffle keys are tokens; the mover "
+        "ranking runs on the |vocab|-row aggregate."
+    ),
+)
+def text_df_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document-frequency movers between the two corpus halves."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("n"))
+    halves = docs.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") * 2 < F.col("n"), 0).otherwise(1).alias("half"),
+    )
+    tok = halves.select(
+        "doc_id",
+        "half",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    df = tok.groupBy("tok", "half").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    wide = (
+        df.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("df")).otherwise(0)).alias(
+                "df0"
+            ),
+            F.sum(F.when(F.col("half") == 1, F.col("df")).otherwise(0)).alias(
+                "df1"
+            ),
+        )
+        .where((F.col("df0") >= 5) & (F.col("df1") >= 5))
+    )
+    scored = wide.select(
+        "tok",
+        F.col("df0").cast("long").alias("df0"),
+        F.col("df1").cast("long").alias("df1"),
+        rnd(F.log(F.col("df1") / F.col("df0").cast("double")), 4).alias(
+            "log_ratio"
+        ),
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.abs(F.col("log_ratio")).desc(), F.asc("tok"))
+            ),
+        )
+        .where(F.col("rk") <= 20)
+        .drop("rk")
+    )

@@ -2362,3 +2362,58 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_per_hour") >= 5) & (F.col("type_entropy") < 1.55)
         ).alias("flagged"),
     )
+
+
+@op(
+    "events_longest_error_streak",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY
+                       CAST(ts AS TIMESTAMP), event_id) AS rn
+            FROM events
+        ),
+        errs AS (
+            SELECT user_id, rn,
+                   rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+                       AS island
+            FROM ordered WHERE event_type = 'error'
+        ),
+        streaks AS (
+            SELECT user_id, island, count(*) AS len
+            FROM errs GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(max(len) AS BIGINT) AS longest_error_streak,
+               CAST(count(*) AS BIGINT) AS n_streaks
+        FROM streaks GROUP BY user_id
+    """,
+    scale=(
+        "Longest consecutive-failure run per key — the gaps-islands "
+        "trick applied to reliability: position-in-stream minus "
+        "position-among-errors is constant within a run, so streaks "
+        "fall out of two row_numbers and one agg over the SAME user "
+        "partitioning (one shuffle). The all-events row_number is the "
+        "only full-stream pass; the island arithmetic runs on the "
+        "error subset. max-streak > SLA is the paging condition."
+    ),
+)
+def events_longest_error_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user longest run of consecutive error events + streak count."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w_all).alias("rn")
+    )
+    w_err = Window.partitionBy("user_id").orderBy("rn")
+    errs = ordered.where(F.col("event_type") == "error").select(
+        "user_id",
+        (F.col("rn") - F.row_number().over(w_err)).alias("island"),
+    )
+    streaks = errs.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_error_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

@@ -287,6 +287,8 @@ _GRADING_PRIORITY = [
     "events_audience_overlap",
     "events_bot_score",
     "ts_tumbling_offset",
+    "events_longest_error_streak",
+    "text_df_drift",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

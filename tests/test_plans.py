@@ -224,6 +224,7 @@ BNLJ_ALLOWED = {
     "text_vocab_coverage",  # |vocab| ranked rows × 1-row totals broadcast
     "ts_campaign_overlap",  # sessions × 3-row broadcast campaign windows
     "events_audience_overlap",  # |users| masks × 10-row broadcast pair spine
+    "text_df_drift",  # docs × 1-row max-doc-id broadcast (half split point)
 }
 
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
