@@ -1295,3 +1295,64 @@ def fn_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "pkss_ident_orders", "dim": "o_orderpriority"},
     )
+
+
+@op(
+    "fn_sql_recursive_cte",
+    oracle="""
+        WITH RECURSIVE walk AS (
+            SELECT n_nationkey, n_nationkey AS cur,
+                   CAST(0 AS INTEGER) AS depth,
+                   CAST(n_nationkey AS VARCHAR) AS path
+            FROM nation
+            UNION ALL
+            SELECT n_nationkey, (cur - 1) // 2 AS cur, depth + 1,
+                   path || '>' || CAST((cur - 1) // 2 AS VARCHAR)
+            FROM walk WHERE cur > 0
+        )
+        SELECT w.n_nationkey,
+               n.n_name,
+               CAST(max(w.depth) AS INTEGER) AS depth,
+               max(CASE WHEN w.cur = 0 THEN w.path END) AS root_path
+        FROM walk w JOIN nation n ON n.n_nationkey = w.n_nationkey
+        GROUP BY w.n_nationkey, n.n_name
+    """,
+    scale=(
+        "Spark 4 recursive CTE (SPARK-24497): the ancestor walk over a "
+        "synthetic binary hierarchy (parent = (k-1)/2) runs as iterative "
+        "union-all steps inside the engine — each iteration is a "
+        "distributed join/filter, state never lands on the driver, and "
+        "the recursion depth is O(log n) for balanced hierarchies. The "
+        "same shape covers org charts, BOM explosion, and thread-reply "
+        "chains; for deep/cyclic graphs the dedup_clusters-style "
+        "convergence loop with persist-per-round replaces it."
+    ),
+)
+def fn_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE ancestor walk (depth + path to root) over nations."""
+    nation = load_table(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("pkss_rec_nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+            SELECT n_nationkey, n_nationkey AS cur,
+                   CAST(0 AS INT) AS depth,
+                   CAST(n_nationkey AS STRING) AS path
+            FROM pkss_rec_nation
+            UNION ALL
+            SELECT n_nationkey,
+                   CAST(floor((cur - 1) / 2) AS INT) AS cur,
+                   depth + 1,
+                   concat(path, '>',
+                          CAST(CAST(floor((cur - 1) / 2) AS INT) AS STRING))
+            FROM walk WHERE cur > 0
+        )
+        SELECT w.n_nationkey,
+               n.n_name,
+               CAST(max(w.depth) AS INT) AS depth,
+               max(CASE WHEN w.cur = 0 THEN w.path END) AS root_path
+        FROM walk w JOIN pkss_rec_nation n
+          ON n.n_nationkey = w.n_nationkey
+        GROUP BY w.n_nationkey, n.n_name
+        """
+    )

@@ -1417,3 +1417,81 @@ def sim_index_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+@op(
+    "emb_knn_graph",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
+                   floor((list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]))
+                         * 10000.0 + 0.505) / 10000.0 AS sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        knn AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY src ORDER BY sim DESC, dst) AS rn
+                FROM pairs
+            ) WHERE rn <= 3
+        )
+        SELECT k1.label, k1.src AS vec_a, k1.dst AS vec_b, k1.sim
+        FROM knn k1 JOIN knn k2
+          ON k1.src = k2.dst AND k1.dst = k2.src
+        WHERE k1.src < k1.dst
+    """,
+    scale=(
+        "Mutual-kNN graph (the edge set behind kNN-graph clustering and "
+        "agglomerative dedup): candidate pairs come from the label block "
+        "(stand-in for an LSH/IVF bucket), per-source top-3 is a window "
+        "over the block, and mutuality is an equi-self-join on the "
+        "directed edge list — which is k·n rows, NOT n², so the join "
+        "after the window is linear in corpus size. Rounding happens "
+        "BEFORE ranking so tie order is engine-identical. At 100 TB the "
+        "block join is the only quadratic term and is bounded by bucket "
+        "size, same ladder as sim_pairwise_topk."
+    ),
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual top-3 cosine-neighbor edges within each label block."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        rnd(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    k1 = knn.alias("k1")
+    k2 = knn.alias("k2")
+    return (
+        k1.join(
+            k2,
+            (F.col("k1.src") == F.col("k2.dst"))
+            & (F.col("k1.dst") == F.col("k2.src")),
+        )
+        .where(F.col("k1.src") < F.col("k1.dst"))
+        .select(
+            F.col("k1.label").alias("label"),
+            F.col("k1.src").alias("vec_a"),
+            F.col("k1.dst").alias("vec_b"),
+            F.col("k1.sim").alias("sim"),
+        )
+    )

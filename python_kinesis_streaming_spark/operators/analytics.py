@@ -2417,3 +2417,325 @@ def events_longest_error_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_error_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@op(
+    "orders_backlog_aging",
+    oracle="""
+        WITH open_orders AS (
+            SELECT o_orderstatus,
+                   date_diff('day', CAST(o_orderdate AS TIMESTAMP),
+                             TIMESTAMP '2001-08-02') AS age_days,
+                   o_totalprice, o_orderdate
+            FROM orders WHERE o_orderstatus IN ('O', 'P')
+        )
+        SELECT o_orderstatus,
+               CASE WHEN age_days < 90 THEN '0-89d'
+                    WHEN age_days < 365 THEN '90-364d'
+                    WHEN age_days < 730 THEN '365-729d'
+                    ELSE '730d+' END AS age_bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.505) AS BIGINT))
+                    AS BIGINT) AS backlog_cents,
+               CAST(min(o_orderdate) AS TIMESTAMP) AS oldest_order
+        FROM open_orders
+        GROUP BY o_orderstatus, age_bucket
+    """,
+    scale=(
+        "Open-order backlog aged into buckets at a fixed as-of date: "
+        "status filter pushes to the parquet scan (O/P is ~half the "
+        "table), bucketing is a per-row CASE (codegen), and the agg is a "
+        "low-cardinality partial-agg groupBy — map-side combine reduces "
+        "each task to <=8 rows before the shuffle. Integer cents keep "
+        "the money sum exact and HUGEINT-proof. The as-of date is a "
+        "literal so the whole age expression constant-folds against the "
+        "scan's min/max stats for rough partition pruning on date-"
+        "partitioned layouts."
+    ),
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging report of open (O/P) orders bucketed by days outstanding."""
+    od = load_table(spark, sf_dir, "orders")
+    age = F.datediff(F.lit("2001-08-02").cast("date"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age < 90, "0-89d")
+        .when(age < 365, "90-364d")
+        .when(age < 730, "365-729d")
+        .otherwise("730d+")
+    )
+    return (
+        od.where(F.col("o_orderstatus").isin("O", "P"))
+        .groupBy("o_orderstatus", bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.505)).cast(
+                    "long"
+                )
+            ).alias("backlog_cents"),
+            F.min("o_orderdate").alias("oldest_order"),
+        )
+    )
+
+
+@op(
+    "events_new_vs_returning",
+    oracle="""
+        WITH firstday AS (
+            SELECT user_id,
+                   min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS d0
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+            FROM events
+        )
+        SELECT CAST(d AS TIMESTAMP) AS day,
+               CAST(sum(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_users,
+               CAST(sum(CASE WHEN d > d0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS returning_users
+        FROM daily JOIN firstday USING (user_id)
+        GROUP BY d
+    """,
+    scale=(
+        "Daily new-vs-returning split: both inputs reduce BEFORE the join "
+        "— first-seen day is a per-user min (partial agg), active days a "
+        "per-(user, day) distinct — so the join carries |users| x "
+        "|active days| rows, not raw events, and both sides already share "
+        "the user_id partitioning (one shuffle each, co-partitioned "
+        "join, no re-exchange). The classic growth-accounting query; at "
+        "100 TB the firstday table is the thing to materialize "
+        "incrementally rather than recompute (min is monotone under "
+        "append — a streaming-friendly accumulator)."
+    ),
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: users active for the first time ever vs returning users."""
+    ev = load_table(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0")
+    )
+    daily = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    return (
+        daily.join(firstday, "user_id")
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("d0"), 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(F.when(F.col("d") > F.col("d0"), 1).otherwise(0)).alias(
+                "returning_users"
+            ),
+        )
+    )
+
+
+@op(
+    "orders_priority_mix_shift",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS m,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(m AS TIMESTAMP) AS month,
+               n_orders, n_urgent,
+               floor((CAST(n_urgent AS DOUBLE) / n_orders) * 10000.0
+                     + 0.505) / 10000.0 AS urgent_share,
+               floor((CAST(n_urgent AS DOUBLE) / n_orders
+                      - lag(CAST(n_urgent AS DOUBLE) / n_orders)
+                        OVER (ORDER BY m)) * 10000.0 + 0.505) / 10000.0
+                   AS mom_delta
+        FROM monthly
+    """,
+    scale=(
+        "Mix-shift monitor: the raw fact collapses to a months x 1 grid "
+        "in one partial-agg pass, then the MoM delta is a lag over ~80 "
+        "rows — the window cost is independent of input volume, the "
+        "standard guard against computing lag over the raw table. The "
+        "share division happens AFTER aggregation (sum-of-flags / count, "
+        "not avg-of-ratios), so the result is exact and re-mergeable "
+        "across backfills."
+    ),
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly URGENT-priority share of orders with month-over-month delta."""
+    od = load_table(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("n_urgent"),
+    )
+    share = F.col("n_urgent").cast("double") / F.col("n_orders")
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "n_orders",
+        "n_urgent",
+        rnd(share, 4).alias("urgent_share"),
+        rnd(share - F.lag(share).over(w), 4).alias("mom_delta"),
+    )
+
+
+@op(
+    "li_discount_uplift",
+    oracle="""
+        WITH bucketed AS (
+            SELECT CAST(floor(l_discount * 100 + 0.5) AS INTEGER)
+                       AS discount_pct,
+                   l_quantity, l_extendedprice
+            FROM lineitem
+        ),
+        base AS (
+            SELECT avg(l_quantity) AS q0 FROM bucketed WHERE discount_pct = 0
+        )
+        SELECT discount_pct,
+               CAST(count(*) AS BIGINT) AS n_items,
+               floor(avg(l_quantity) * 10000.0 + 0.505) / 10000.0
+                   AS avg_qty,
+               floor((avg(l_quantity) / (SELECT q0 FROM base)) * 10000.0
+                     + 0.505) / 10000.0 AS qty_uplift_vs_no_discount
+        FROM bucketed GROUP BY discount_pct
+    """,
+    scale=(
+        "Discount-elasticity read: one partial-agg groupBy onto an 11-row "
+        "bucket grid; the zero-discount baseline is a scalar subquery "
+        "Catalyst executes once and broadcasts into the projection — no "
+        "second scan of the fact (the bucketed CTE feeds both, and "
+        "avg(qty) per bucket reuses the same partials). Uplift is a "
+        "post-agg division on 11 rows. avg is sum/count — exact partials, "
+        "deterministic merge order irrelevant at double precision here "
+        "because the sums are exact small-integer totals."
+    ),
+)
+def li_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average order quantity per discount bucket vs the no-discount base."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucketed = li.select(
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("int")
+        .alias("discount_pct"),
+        "l_quantity",
+    )
+    agg = bucketed.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.avg("l_quantity").alias("avg_qty_raw"),
+    )
+    base = (
+        bucketed.where(F.col("discount_pct") == 0)
+        .agg(F.avg("l_quantity").alias("q0"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(base))
+        .select(
+            "discount_pct",
+            "n_items",
+            rnd(F.col("avg_qty_raw"), 4).alias("avg_qty"),
+            rnd(F.col("avg_qty_raw") / F.col("q0"), 4).alias(
+                "qty_uplift_vs_no_discount"
+            ),
+        )
+    )
+
+
+@op(
+    "events_markov_accuracy",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS prev_type,
+                   lead(event_type) OVER w AS next_type,
+                   lead(CAST(ts AS TIMESTAMP)) OVER w AS next_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        ),
+        pairs AS (SELECT * FROM seq WHERE next_type IS NOT NULL),
+        train AS (
+            SELECT prev_type, next_type, count(*) AS n
+            FROM pairs WHERE next_ts < TIMESTAMP '2024-01-24'
+            GROUP BY prev_type, next_type
+        ),
+        model AS (
+            SELECT prev_type, next_type AS pred_type FROM (
+                SELECT *, row_number() OVER (PARTITION BY prev_type
+                    ORDER BY n DESC, next_type) AS rn
+                FROM train
+            ) WHERE rn = 1
+        )
+        SELECT p.prev_type, m.pred_type,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN p.next_type = m.pred_type
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               floor((CAST(sum(CASE WHEN p.next_type = m.pred_type
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*)) * 10000.0 + 0.505) / 10000.0 AS accuracy
+        FROM pairs p JOIN model m USING (prev_type)
+        WHERE p.next_ts >= TIMESTAMP '2024-01-24'
+        GROUP BY p.prev_type, m.pred_type
+    """,
+    scale=(
+        "A full train/eval loop without leaving the engine: next-event "
+        "bigram counts on the pre-cutoff window (one user-partitioned "
+        "lead + partial-agg groupBy), an argmax model of |types| rows, "
+        "and a broadcast join of that model onto held-out pairs. The "
+        "temporal split is a filter on the SAME lead pass — train and "
+        "test never scan the stream twice. The 5x5 transition state "
+        "makes the model table broadcast-trivial at any corpus size; "
+        "this is the baseline-model harness pattern (fit tiny, score "
+        "wide) that any 100 TB feature pipeline reuses."
+    ),
+)
+def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a next-event argmax bigram model pre-cutoff; score accuracy after."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+        .where(F.col("next_type").isNotNull())
+    )
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    train = (
+        pairs.where(F.col("next_ts") < cutoff)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("prev_type").orderBy(
+        F.desc("n"), F.asc("next_type")
+    )
+    model = (
+        train.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("pred_type"))
+    )
+    test = pairs.where(F.col("next_ts") >= cutoff)
+    hit = F.when(F.col("next_type") == F.col("pred_type"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(model), "prev_type")
+        .groupBy("prev_type", "pred_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(hit).alias("n_correct"),
+        )
+        .select(
+            "prev_type",
+            "pred_type",
+            "n_test",
+            "n_correct",
+            rnd(
+                F.col("n_correct").cast("double") / F.col("n_test"), 4
+            ).alias("accuracy"),
+        )
+    )

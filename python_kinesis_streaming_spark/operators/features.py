@@ -817,3 +817,113 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_errors"], m["sum_cents"], m["max_id"])],
         "n_rows long, n_errors long, sum_cents long, max_id long",
     )
+
+
+@op(
+    "feat_velocity_multi_horizon",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_1h,
+               CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_6h,
+               CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_24h
+        FROM e
+    """,
+    scale=(
+        "Multi-horizon velocity features (the fraud/abuse staple): three "
+        "trailing range-frame counts share ONE shuffle + ONE sort — all "
+        "frames are over the identical (user_id, epoch-us) window spec, "
+        "so Spark evaluates them in a single Window operator with three "
+        "sliding accumulators, never re-sorting. Range frames on integer "
+        "microseconds (not intervals) keep frame membership bit-"
+        "comparable with the oracle and make the frame bounds codegen-"
+        "friendly. At 100 TB this is the feature-backfill shape: one "
+        "pass, bounded per-key state, output co-partitioned with the "
+        "fact for the downstream training-set join."
+    ),
+)
+def feat_velocity_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: same-user event counts in the trailing 1h / 6h / 24h."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+
+    def trailing(hours: int):
+        return (
+            Window.partitionBy("user_id")
+            .orderBy("us")
+            .rangeBetween(-hours * 3_600_000_000, Window.currentRow)
+        )
+
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(trailing(1)).alias("n_1h"),
+        F.count(F.lit(1)).over(trailing(6)).alias("n_6h"),
+        F.count(F.lit(1)).over(trailing(24)).alias("n_24h"),
+    )
+
+
+_PK_COLUMNS = [
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+
+@op(
+    "dq_pk_uniqueness",
+    oracle="""
+        """
+    + "\n        UNION ALL\n".join(
+        f"""SELECT '{t}' AS tbl, '{c}' AS pk_col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               count(*) = count(DISTINCT {c}) AS pk_ok
+        FROM {t}"""
+        for t, c in _PK_COLUMNS
+    ),
+    scale=(
+        "Primary-key uniqueness audit across every keyed table: each leg "
+        "is a two-aggregate scan (count + count distinct) that reduces "
+        "to ONE row before the union, so the combined result is "
+        "|tables| rows regardless of data volume. count(DISTINCT pk) "
+        "is the exact form; at 100 TB the drop-in is "
+        "approx_count_distinct with a tolerance band (the HLL partials "
+        "merge map-side, converting the global distinct into a "
+        "single-pass sketch) — the report schema stays identical. The "
+        "per-table legs are independent jobs Spark schedules "
+        "concurrently; none shares a shuffle with another."
+    ),
+)
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n_rows vs n_distinct(pk) per keyed table — the PK contract check."""
+    out = None
+    for t, c in _PK_COLUMNS:
+        leg = load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("tbl"),
+            F.lit(c).alias("pk_col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+        ).select(
+            "tbl",
+            "pk_col",
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") == F.col("n_distinct")).alias("pk_ok"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

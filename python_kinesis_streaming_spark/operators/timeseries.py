@@ -926,3 +926,57 @@ def ts_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
     )
+
+
+@op(
+    "ts_rolling_corr",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS clicks,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS views
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(h AS TIMESTAMP) AS hour,
+               floor(corr(clicks, views) OVER (
+                   ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+                   * 10000.0 + 0.505) / 10000.0 AS click_view_corr_24h,
+               CAST(count(*) OVER (
+                   ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS frame_n
+        FROM hourly
+    """,
+    scale=(
+        "Rolling cross-metric correlation: the raw stream collapses to an "
+        "hourly grid FIRST (partial-agg shuffle, ~720 rows/month "
+        "regardless of input volume), then corr runs as a bounded-frame "
+        "window over the tiny grid — the window never touches raw events, "
+        "so a 100 TB month still does its corr pass over hours, not rows. "
+        "The single unpartitioned window is safe precisely because the "
+        "grid is calendar-bounded; for per-entity correlation add the "
+        "entity to both the groupBy and the window partition."
+    ),
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h correlation between hourly click and view counts."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("double").alias("clicks"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).cast("double").alias("views"),
+    )
+    w = Window.orderBy("hour").rowsBetween(-23, Window.currentRow)
+    return hourly.select(
+        "hour",
+        rnd(F.corr("clicks", "views").over(w), 4).alias(
+            "click_view_corr_24h"
+        ),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )

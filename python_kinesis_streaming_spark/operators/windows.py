@@ -388,3 +388,58 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_types_so_far"
         ),
     )
+
+
+@op(
+    "win_nth_value",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, value,
+                   CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+                   nth_value(event_type, 2) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS second_type,
+                   nth_value(event_type, 3) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS third_type,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events
+        )
+        SELECT user_id, second_type, third_type,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM seq WHERE rn = 1
+    """,
+    scale=(
+        "nth_value over the full partition frame: one shuffle on user_id "
+        "+ local sort, then a constant-per-partition lookup; the rn = 1 "
+        "projection collapses to one row per key without a second "
+        "aggregation pass (same sort serves both windows). The "
+        "unbounded-following frame forces full-partition buffering — "
+        "bounded because user partitions are bounded; for unbounded keys "
+        "the min_by/max_by aggregate form replaces it."
+    ),
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the 2nd and 3rd event type in time order, via nth_value."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.nth_value("event_type", 2).over(wf).alias("second_type"),
+            F.nth_value("event_type", 3).over(wf).alias("third_type"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("user_id")
+            ).alias("n_events"),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "second_type", "third_type", "n_events")
+    )

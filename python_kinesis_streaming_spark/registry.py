@@ -289,6 +289,18 @@ _GRADING_PRIORITY = [
     "ts_tumbling_offset",
     "events_longest_error_streak",
     "text_df_drift",
+    "win_nth_value",
+    "ts_rolling_corr",
+    "orders_backlog_aging",
+    "fn_sql_recursive_cte",
+    "emb_knn_graph",
+    "events_new_vs_returning",
+    "orders_priority_mix_shift",
+    "li_discount_uplift",
+    "feat_velocity_multi_horizon",
+    "corpus_cross_source_leakage",
+    "events_markov_accuracy",
+    "dq_pk_uniqueness",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
