@@ -207,6 +207,7 @@ BNLJ_ALLOWED = {
     "events_ab_test_lift",  # 1-row variant-A summary × 1-row variant-B summary
     "events_error_rate_alert",  # |hours| rows × 1-row control-band stats
     "q11_important_stock",  # |parts| rows × 1-row broadcast threshold scalar
+    "li_discount_uplift",  # 11 bucket rows × 1-row zero-discount baseline
     "agg_chi_square",  # 1-row statistic × 1-row degrees-of-freedom
     "emb_hamming_knn",  # corpus × 1-row broadcast query signature
     "corpus_sample_weighted",  # |sources| rate rows × 1-row grand total
@@ -413,3 +414,37 @@ def test_in_and_like_predicates_push_down(spark, sf_dir, no_table_cache):
     pushed = p.split("PushedFilters: ")[1].splitlines()[0]
     assert "In(" in pushed, pushed
     assert "StringContains" in pushed, pushed
+
+
+def test_velocity_multi_horizon_single_window(spark, sf_dir, no_table_cache):
+    """All three trailing range frames share one window spec — Spark must
+    fuse them into a single Window operator over a single user_id exchange
+    (three sorts here would triple the dominant cost at scale)."""
+    import re
+
+    p = plan_of(Q["feat_velocity_multi_horizon"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_markov_model_join_is_broadcast(spark, sf_dir, no_table_cache):
+    """The 5-row argmax model must broadcast onto held-out pairs — a
+    shuffled model join would re-exchange the full pair stream."""
+    p = plan_of(Q["events_markov_accuracy"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_knn_graph_all_joins_are_equi(spark, sf_dir, no_table_cache):
+    """Mutual-kNN builds from a label-blocked equi-join plus an edge-list
+    self-join — nothing here may degrade to a nested-loop/cartesian."""
+    p = plan_of(Q["emb_knn_graph"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_recursive_cte_runs_as_union_loop(spark, sf_dir, no_table_cache):
+    """fn_sql_recursive_cte must execute via Spark 4's iterative UnionLoop
+    node (engine-side recursion), not via any driver-side expansion."""
+    p = plan_of(Q["fn_sql_recursive_cte"](spark, sf_dir))
+    assert "UnionLoop" in p, p
