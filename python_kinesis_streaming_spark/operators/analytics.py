@@ -2739,3 +2739,137 @@ def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+@op(
+    "orders_repurchase_cycle",
+    oracle=f"""
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       lag(CAST(o_orderdate AS TIMESTAMP)) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY CAST(o_orderdate AS TIMESTAMP),
+                                    o_orderkey),
+                       CAST(o_orderdate AS TIMESTAMP)) AS gap_days
+            FROM orders
+        ),
+        g AS (SELECT o_custkey, CAST(gap_days AS DOUBLE) AS gap_days
+              FROM gaps WHERE gap_days IS NOT NULL)
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               {sql_rnd("avg(g.gap_days)", 4)} AS avg_days,
+               {sql_rnd("quantile_cont(g.gap_days, 0.5)", 4)} AS p50_days,
+               {sql_rnd("quantile_cont(g.gap_days, 0.9)", 4)} AS p90_days
+        FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    scale=(
+        "Repurchase-cycle profile: consecutive-order gaps come from ONE "
+        "lag window on the customer partitioning (orders are already the "
+        "right grain — no self-join), then segment attribution is a "
+        "broadcast-sized dim join and the distribution reduces per "
+        "segment. Exact quantile_cont/percentile here is a per-group "
+        "sorted collect — fine for 5 segments; at 100 TB swap in "
+        "approx_percentile's mergeable sketch per the agg_percentile "
+        "ladder while keeping the identical report schema."
+    ),
+)
+def orders_repurchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer, profiled by segment."""
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = od.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("double").alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            gaps.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            rnd(F.avg("gap_days"), 4).alias("avg_days"),
+            rnd(F.expr("percentile(gap_days, 0.5)"), 4).alias("p50_days"),
+            rnd(F.expr("percentile(gap_days, 0.9)"), 4).alias("p90_days"),
+        )
+    )
+
+
+@op(
+    "events_alert_debounce",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS err_rate
+            FROM events GROUP BY 1
+        ),
+        flagged AS (
+            SELECT h, err_rate,
+                   epoch(h) // 3600
+                       - row_number() OVER (ORDER BY h) AS island
+            FROM hourly WHERE err_rate > 0.3
+        ),
+        runs AS (
+            SELECT island, min(h) AS alert_start, max(h) AS alert_end,
+                   count(*) AS n_hours, max(err_rate) AS peak
+            FROM flagged GROUP BY island
+        )
+        SELECT CAST(alert_start AS TIMESTAMP) AS alert_start,
+               CAST(alert_end AS TIMESTAMP) AS alert_end,
+               CAST(n_hours AS BIGINT) AS n_hours,
+               floor(peak * 10000.0 + 0.505) / 10000.0 AS peak_err_rate
+        FROM runs WHERE n_hours >= 3
+    """,
+    scale=(
+        "Debounced alerting (fire only after >=3 consecutive breached "
+        "hours): raw events reduce to the hourly grid first, the "
+        "hour-index-minus-row-number island trick groups consecutive "
+        "breaches WITHOUT a self-join or per-hour lag chain, and the "
+        "debounce is a HAVING on island length. Missing hours break "
+        "islands naturally (the hour index jumps but row_number "
+        "doesn't). The whole pipeline past the first agg runs on "
+        "hundreds of rows — the paging decision costs the same at "
+        "100 TB as at 10 MB, and the identical island logic runs "
+        "incrementally inside stream_* via session windows."
+    ),
+)
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert windows where the hourly error rate stays >30% for >=3 hours."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("err_rate"),
+    )
+    w = Window.orderBy("h")
+    flagged = hourly.where(F.col("err_rate") > 0.3).select(
+        "h",
+        "err_rate",
+        (
+            F.floor(F.unix_micros("h") / F.lit(3_600_000_000))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    return (
+        flagged.groupBy("island")
+        .agg(
+            F.min("h").alias("alert_start"),
+            F.max("h").alias("alert_end"),
+            F.count(F.lit(1)).alias("n_hours"),
+            rnd(F.max("err_rate"), 4).alias("peak_err_rate"),
+        )
+        .where(F.col("n_hours") >= 3)
+        .select("alert_start", "alert_end", "n_hours", "peak_err_rate")
+    )

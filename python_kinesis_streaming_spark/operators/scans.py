@@ -655,3 +655,36 @@ def scan_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_acctbal").alias("n_bal_nonnull"),
         F.count("c_mktsegment").alias("n_seg_nonnull"),
     )
+
+
+@op(
+    "scan_text_format",
+    oracle="SELECT doc_id, source, text FROM documents",
+    scale=(
+        "Plain-text format leg: one line per record, fields joined by tab "
+        "on write and re-split with a bounded split(_, tab, 3) on read — "
+        "the 3-way bound keeps tabs inside the payload column intact, "
+        "which is the only lossless framing text files can promise. "
+        "line-per-record text is splittable by newline, so the read "
+        "parallelizes like CSV; schema lives entirely in the reader "
+        "(schema-on-read), making this the raw-log ingestion shape: at "
+        "100 TB the parse projection runs codegen-side and the parsed "
+        "relation should be checkpointed to parquet once, not re-parsed "
+        "per query."
+    ),
+)
+def scan_text_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as tab-framed text lines; read + re-parse losslessly."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(SCRATCH, f"text_docs_{fixture_tag(sf_dir)}")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id"), F.col("source"), F.col("text"))
+        .alias("value")
+    ).write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parts = F.split(F.col("value"), "\t", 3)
+    return back.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("source"),
+        parts.getItem(2).alias("text"),
+    )

@@ -301,6 +301,10 @@ _GRADING_PRIORITY = [
     "corpus_cross_source_leakage",
     "events_markov_accuracy",
     "dq_pk_uniqueness",
+    "scan_text_format",
+    "agg_minhash_jaccard",
+    "orders_repurchase_cycle",
+    "events_alert_debounce",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
