@@ -305,6 +305,8 @@ _GRADING_PRIORITY = [
     "agg_minhash_jaccard",
     "orders_repurchase_cycle",
     "events_alert_debounce",
+    "dedup_eval_precision_recall",
+    "events_user_lifecycle_states",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

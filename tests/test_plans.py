@@ -209,6 +209,7 @@ BNLJ_ALLOWED = {
     "q11_important_stock",  # |parts| rows × 1-row broadcast threshold scalar
     "li_discount_uplift",  # 11 bucket rows × 1-row zero-discount baseline
     "agg_minhash_jaccard",  # 5-row signature table × itself (type_a < type_b)
+    "dedup_eval_precision_recall",  # three 1-row count aggregates joined
     "agg_chi_square",  # 1-row statistic × 1-row degrees-of-freedom
     "emb_hamming_knn",  # corpus × 1-row broadcast query signature
     "corpus_sample_weighted",  # |sources| rate rows × 1-row grand total

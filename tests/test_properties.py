@@ -247,3 +247,83 @@ def test_bloom_prefilter_never_false_negative(spark, keys, probes):
     }
     member = {i for i, p in enumerate(probes) if p in set(keys)}
     assert member <= passed, member - passed
+
+
+def test_velocity_horizons_are_nested(spark, sf_dir):
+    """Trailing counts must be monotone in the horizon: 1h <= 6h <= 24h."""
+    from python_kinesis_streaming_spark.registry import all_queries
+
+    df = all_queries()["feat_velocity_multi_horizon"](spark, sf_dir)
+    bad = df.where(
+        (df.n_1h > df.n_6h) | (df.n_6h > df.n_24h) | (df.n_1h < 1)
+    ).count()
+    assert bad == 0
+
+
+def test_markov_accuracy_bounded(spark, sf_dir):
+    from python_kinesis_streaming_spark.registry import all_queries
+
+    rows = all_queries()["events_markov_accuracy"](spark, sf_dir).collect()
+    assert rows, "model must cover every prev_type present in test"
+    for r in rows:
+        assert 0.0 <= r.accuracy <= 1.0
+        assert r.n_correct <= r.n_test
+
+
+def test_knn_graph_edges_are_mutual_and_canonical(spark, sf_dir):
+    """Every edge appears once, vec_a < vec_b, within a single label."""
+    from python_kinesis_streaming_spark.registry import all_queries
+
+    rows = all_queries()["emb_knn_graph"](spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert (r.vec_a, r.vec_b) not in seen
+        seen.add((r.vec_a, r.vec_b))
+        assert -1.0001 <= r.sim <= 1.0001
+
+
+def test_dedup_eval_recall_is_high(spark, sf_dir):
+    """16-perm/8-band LSH must recover nearly all injected near-dups —
+    the recall floor that makes the banding parameters defensible."""
+    from python_kinesis_streaming_spark.registry import all_queries
+
+    row = all_queries()["dedup_eval_precision_recall"](spark, sf_dir).collect()[0]
+    assert row.recall_ >= 0.9, row
+    assert 0.0 <= row.precision_ <= 1.0
+
+
+def test_lifecycle_states_partition_weekly_actives(spark, sf_dir):
+    """Per week, sum of state counts == distinct active users that week;
+    week 0 must be all 'new'."""
+    from pyspark.sql import functions as F
+
+    from python_kinesis_streaming_spark.registry import all_queries
+    from python_kinesis_streaming_spark.sources.tables import load_table
+
+    df = all_queries()["events_user_lifecycle_states"](spark, sf_dir)
+    per_wk = {
+        r.wk: r.total
+        for r in df.groupBy("wk").agg(F.sum("n_users").alias("total")).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    actual = {
+        r.wk: r.n
+        for r in ev.select(
+            F.floor(
+                F.datediff(
+                    F.date_trunc("day", "ts"),
+                    F.lit("2024-01-01").cast("timestamp"),
+                )
+                / 7
+            ).cast("int").alias("wk"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_wk == actual
+    wk0_states = {r.state for r in df.where(df.wk == 0).collect()}
+    assert wk0_states == {"new"}
