@@ -1495,3 +1495,110 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k1.sim").alias("sim"),
         )
     )
+
+
+@op(
+    "emb_centroid_confusion",
+    oracle="""
+        WITH c AS (
+            SELECT label AS clabel, i.i AS pos,
+                   floor((avg(embedding[i.i])) * 1000000.0 + 0.505)
+                       / 1000000.0 AS cval
+            FROM embeddings, range(1, 65) i(i)
+            GROUP BY 1, 2
+        ),
+        cn AS (SELECT clabel, sqrt(sum(cval * cval)) AS cnorm
+               FROM c GROUP BY clabel),
+        v AS (
+            SELECT vec_id, label AS tlabel, i.i AS pos,
+                   CAST(embedding[i.i] AS DOUBLE) AS val
+            FROM embeddings, range(1, 65) i(i)
+        ),
+        vn AS (SELECT vec_id, sqrt(sum(val * val)) AS vnorm
+               FROM v GROUP BY vec_id),
+        dots AS (
+            SELECT v.vec_id, v.tlabel, c.clabel,
+                   sum(v.val * c.cval) AS d
+            FROM v JOIN c USING (pos) GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT vec_id, tlabel, clabel,
+                   floor((d / (vnorm * cnorm)) * 1000000.0 + 0.505)
+                       / 1000000.0 AS cos
+            FROM dots JOIN vn USING (vec_id) JOIN cn USING (clabel)
+        ),
+        assigned AS (
+            SELECT tlabel, clabel FROM (
+                SELECT tlabel, clabel, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT tlabel AS true_label, clabel AS assigned_label,
+               CAST(count(*) AS BIGINT) AS n
+        FROM assigned GROUP BY 1, 2
+    """,
+    scale=(
+        "Nearest-centroid confusion matrix — the cluster-quality eval "
+        "behind every IVF/k-means index decision. Centroids reduce to "
+        "|labels| x dims rows (partial agg), both norm tables are "
+        "grouped sums, and the score join fans each vector out only "
+        "k=|labels| ways (posexplode join on pos, re-agg per (vec, "
+        "centroid)) — linear in corpus x k, never corpus x corpus. "
+        "Centroid values round to 1e-6 BEFORE the dot so the argmax "
+        "ordering is bit-stable across engines and partition orders. "
+        "The confusion aggregate is k x k rows; at 100 TB this whole "
+        "eval is one pass over the vectors plus broadcast-sized side "
+        "tables."
+    ),
+)
+def emb_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of true label vs nearest-centroid assignment."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("label").alias("tlabel"),
+        F.posexplode("embedding").alias("p", "raw"),
+    ).select(
+        "vec_id",
+        "tlabel",
+        (F.col("p") + 1).alias("pos"),
+        F.col("raw").cast("double").alias("val"),
+    )
+    c = v.groupBy(
+        F.col("tlabel").alias("clabel"), "pos"
+    ).agg(rnd(F.avg("val"), 6).alias("cval"))
+    cn = c.groupBy("clabel").agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cnorm")
+    )
+    vn = v.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vnorm")
+    )
+    dots = (
+        v.join(F.broadcast(c), "pos")
+        .groupBy("vec_id", "tlabel", "clabel")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("d"))
+    )
+    scored = (
+        dots.join(vn, "vec_id")
+        .join(F.broadcast(cn), "clabel")
+        .select(
+            "vec_id",
+            "tlabel",
+            "clabel",
+            rnd(F.col("d") / (F.col("vnorm") * F.col("cnorm")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return assigned.groupBy(
+        F.col("tlabel").alias("true_label"),
+        F.col("clabel").alias("assigned_label"),
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -688,3 +688,32 @@ def scan_text_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(1).alias("source"),
         parts.getItem(2).alias("text"),
     )
+
+
+@op(
+    "sink_orc_roundtrip",
+    oracle="""
+        SELECT event_id, user_id, event_type, value,
+               CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    """,
+    scale=(
+        "ORC format leg: columnar binary like parquet (stripe stats, "
+        "predicate pushdown, type fidelity), so — unlike the CSV/text "
+        "legs — doubles and timestamps round-trip bit-exactly, which the "
+        "oracle hash proves. ORC is the interchange surface for "
+        "Hive-ecosystem consumers; the writer inherits the session's "
+        "micro-precision timestamp handling. Splittable stripes keep "
+        "reads parallel at any file size; at 100 TB the same statement "
+        "holds as for parquet: write once, size stripes to the reader's "
+        "partition budget."
+    ),
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events to ORC and read back — full-fidelity columnar roundtrip."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    out = os.path.join(SCRATCH, f"sink_orc_{fixture_tag(sf_dir)}")
+    ev.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

@@ -307,6 +307,8 @@ _GRADING_PRIORITY = [
     "events_alert_debounce",
     "dedup_eval_precision_recall",
     "events_user_lifecycle_states",
+    "sink_orc_roundtrip",
+    "emb_centroid_confusion",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
