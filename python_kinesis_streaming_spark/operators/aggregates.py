@@ -883,3 +883,43 @@ def agg_weighted_percentile_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weighted_p50"),
         F.max("total").cast("long").alias("total_weight"),
     )
+
+
+@op(
+    "agg_hll_datasketches",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS within_5pct
+        FROM events GROUP BY event_type
+    """,
+    scale=(
+        "Apache DataSketches HLL via Spark 4's hll_sketch_agg: unlike "
+        "approx_count_distinct's internal HLL++, the sketch here is a "
+        "FIRST-CLASS binary column — storable, re-mergeable later with "
+        "hll_union_agg across days/partitions without touching raw data, "
+        "which is the 100 TB nightly-rollup contract (store per-day "
+        "sketches, union on demand for any date range). The estimate is "
+        "engine-specific, so the oracle checks the exact count plus a "
+        "5% relative-error envelope (lgConfigK=12 → ~1.6% RSE) rather "
+        "than hashing the estimate itself — same audit pattern as "
+        "agg_approx_distinct."
+    ),
+)
+def agg_hll_datasketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches-HLL distinct users per type, audited against exact."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+        ).alias("est"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    return sk.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )

@@ -309,6 +309,8 @@ _GRADING_PRIORITY = [
     "events_user_lifecycle_states",
     "sink_orc_roundtrip",
     "emb_centroid_confusion",
+    "agg_hll_datasketches",
+    "trade_flow_matrix",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
