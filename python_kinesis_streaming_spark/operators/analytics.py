@@ -2959,3 +2959,60 @@ def events_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("churns_after").alias("n_churning_after"),
         )
     )
+
+
+@op(
+    "orders_exists_flags",
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderstatus,
+               EXISTS(SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R') AS has_return,
+               EXISTS(SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 45) AS has_bulk_item,
+               EXISTS(SELECT 1 FROM lineitem l JOIN part p
+                        ON l.l_partkey = p.p_partkey
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND p.p_type = 'PROMO') AS has_promo_part
+        FROM orders o
+    """,
+    scale=(
+        "Three correlated EXISTS probes rewritten as ONE aggregation "
+        "pass: naively each EXISTS is its own semi-join (three shuffles "
+        "of the fact); instead the lineitem scan computes all three "
+        "boolean flags as max(CASE...) partials in a single groupBy "
+        "on l_orderkey (the promo probe folds in as a broadcast part "
+        "join feeding the flag column), then joins orders once on the "
+        "shared key. The oracle keeps the EXISTS phrasing — equality "
+        "proves the rewrite. The N-flags-one-pass shape is THE fix for "
+        "dashboard queries that stack existence predicates at 100 TB."
+    ),
+)
+def orders_exists_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order existence flags (return / bulk item / promo part), one pass."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    promo = part.select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    flags = (
+        li.select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity")
+        .join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("r"),
+            F.max((F.col("l_quantity") >= 45).cast("int")).alias("b"),
+            F.max(F.col("is_promo").cast("int")).alias("p"),
+        )
+    )
+    return od.select("o_orderkey", "o_orderstatus").join(
+        flags, od.o_orderkey == flags.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.coalesce(F.col("r"), F.lit(0)) == 1).alias("has_return"),
+        (F.coalesce(F.col("b"), F.lit(0)) == 1).alias("has_bulk_item"),
+        (F.coalesce(F.col("p"), F.lit(0)) == 1).alias("has_promo_part"),
+    )

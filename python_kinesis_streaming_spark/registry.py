@@ -311,6 +311,8 @@ _GRADING_PRIORITY = [
     "emb_centroid_confusion",
     "agg_hll_datasketches",
     "trade_flow_matrix",
+    "orders_exists_flags",
+    "ts_rolling_distinct_hll",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
