@@ -313,6 +313,7 @@ _GRADING_PRIORITY = [
     "trade_flow_matrix",
     "orders_exists_flags",
     "ts_rolling_distinct_hll",
+    "stream_fsm_pattern_alert",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

@@ -1148,3 +1148,85 @@ def stream_scd_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(versions[-1])
+
+
+@op(
+    "stream_fsm_pattern_alert",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS last_p_us
+            FROM events
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_incidents
+        FROM seq
+        WHERE event_type = 'error' AND last_p_us IS NOT NULL
+          AND us - last_p_us <= 1800000000
+        GROUP BY user_id
+    """,
+    scale=(
+        "Per-key finite-state pattern detection (purchase -> error within "
+        "30 min) as custom streaming state — the CEP shape neither "
+        "session_window nor stream-stream joins express (the join form "
+        "would buffer BOTH full streams within the interval; the FSM "
+        "keeps ONE timestamp per key). State is a single last-purchase "
+        "micro-ts; each Arrow batch evaluates the pattern vectorized "
+        "(exclusive running-max of purchase times, numpy, no per-row "
+        "Python). The batch oracle is the same logic as a window "
+        "running-max — hash equality proves the incremental FSM == the "
+        "batch semantics. At 100 TB: RocksDB-backed 8-byte state per "
+        "key, event-time timeout GCs idle users."
+    ),
+)
+def stream_fsm_pattern_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incidents of an error within 30 min after a purchase, per user,
+    detected incrementally with one-timestamp-per-key streaming state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    GAP_NS = 1_800_000_000_000  # 30 min in pandas int64 ns
+
+    def detect(key, pdfs, state):
+        # Nested: cloudpickled by value (driver workers can't import us).
+        import numpy as np
+        import pandas as pd
+
+        last_p, n_inc = state.get if state.exists else (-1, 0)
+        pdf = pd.concat([p[["ts", "event_id", "event_type"]] for p in pdfs])
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts = pdf["ts"].astype("int64").to_numpy()
+        if len(ts):
+            is_p = (pdf["event_type"] == "purchase").to_numpy()
+            is_e = (pdf["event_type"] == "error").to_numpy()
+            p_ts = np.where(is_p, ts, np.int64(-1))
+            # Exclusive prefix max: last purchase strictly earlier in the
+            # per-key sequence (carried state seeds position 0).
+            acc = np.maximum.accumulate(
+                np.concatenate(([np.int64(last_p)], p_ts))
+            )[:-1]
+            hits = is_e & (acc >= 0) & (ts - acc <= GAP_NS)
+            n_inc += int(hits.sum())
+            last_p = int(max(last_p, p_ts.max()))
+        state.update((last_p, n_inc))
+        yield pd.DataFrame({"user_id": [key[0]], "n_incidents": [n_inc]})
+
+    s = replay_stream(spark, sf_dir)
+    updates = s.groupBy("user_id").applyInPandasWithState(
+        detect,
+        outputStructType="user_id long, n_incidents long",
+        stateStructType="last_p long, n_inc long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(updates, "update")
+    # Final snapshot per key (monotone counter), incident users only.
+    return (
+        mem.groupBy("user_id")
+        .agg(F.max("n_incidents").alias("n_incidents"))
+        .where(F.col("n_incidents") > 0)
+    )

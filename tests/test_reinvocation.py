@@ -24,6 +24,9 @@ STATEFUL_ON_DISK = [
     "scan_schema_evolution",
     "stream_dedup",
     "stream_stateful_sessionizer",
+    "stream_fsm_pattern_alert",
+    "sink_orc_roundtrip",
+    "scan_text_format",
 ]
 
 
