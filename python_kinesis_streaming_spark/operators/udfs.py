@@ -453,3 +453,88 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL pkss_scale_out(p.event_type, p.cents, 2) s
         """
     ).select("event_type", F.col("n").cast("long").alias("n"), "q1_cents", "q2_cents")
+
+
+@op(
+    "udaf_numpy_regression",
+    oracle="""
+        WITH x AS (
+            SELECT event_type,
+                   (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                       / 3600000000.0 AS xh,
+                   value
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, count(*) AS n,
+                   sum(xh) AS sx, sum(value) AS sy,
+                   sum(xh * xh) AS sxx, sum(xh * value) AS sxy
+            FROM x GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               floor(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                     * 10000.0 + 0.505) / 10000.0 AS slope_per_hour,
+               floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                      / n) * 10000.0 + 0.505) / 10000.0 AS intercept
+        FROM s
+    """,
+    scale=(
+        "Per-group OLS via applyInPandas: the whole group arrives as ONE "
+        "Arrow batch and the slope comes from four numpy column "
+        "reductions (closed-form normal equations — no np.polyfit/SVD, "
+        "so the arithmetic is the same formula the SQL oracle runs and "
+        "rounds identically). This is the Arrow-UDF contract op for "
+        "grouped model fitting; the oracle twin doubles as the proof "
+        "that Spark's built-in regr_slope-style partial aggs could "
+        "replace it — which is exactly what you do at 100 TB when a "
+        "group no longer fits one batch (sums are mergeable, the "
+        "grouped-map form is the escape hatch for genuinely "
+        "non-decomposable kernels)."
+    ),
+)
+def udaf_numpy_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS value-vs-time slope per event type, fit in numpy per Arrow group."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.lit(1_704_067_200_000_000))
+            / F.lit(3_600_000_000.0)
+        ).alias("xh"),
+        "value",
+    )
+
+    def fit(pdf):
+        # Nested: cloudpickled by value (driver workers can't import us).
+        import numpy as np
+        import pandas as pd
+
+        x = pdf["xh"].to_numpy(dtype="float64")
+        y = pdf["value"].to_numpy(dtype="float64")
+        n = float(len(x))
+        sx, sy = float(x.sum()), float(y.sum())
+        sxx, sxy = float((x * x).sum()), float((x * y).sum())
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+
+        def rnd4(v):
+            import math
+
+            return math.floor(v * 10000.0 + 0.505) / 10000.0
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(x)],
+                "slope_per_hour": [rnd4(slope)],
+                "intercept": [rnd4(intercept)],
+            }
+        )
+
+    return base.groupBy("event_type").applyInPandas(
+        fit,
+        schema=(
+            "event_type string, n long, slope_per_hour double, "
+            "intercept double"
+        ),
+    )

@@ -314,6 +314,7 @@ _GRADING_PRIORITY = [
     "orders_exists_flags",
     "ts_rolling_distinct_hll",
     "stream_fsm_pattern_alert",
+    "udaf_numpy_regression",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
