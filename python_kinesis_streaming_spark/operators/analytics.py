@@ -3016,3 +3016,93 @@ def orders_exists_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("b"), F.lit(0)) == 1).alias("has_bulk_item"),
         (F.coalesce(F.col("p"), F.lit(0)) == 1).alias("has_promo_part"),
     )
+
+
+@op(
+    "events_attribution_time_decay",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS pid, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS pus, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, event_id AS cid,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS cus,
+                   CAST(ts AS TIMESTAMP) AS cts
+            FROM events WHERE event_type = 'click'
+        ),
+        pairs AS (
+            SELECT p.pid, p.value, c.cts,
+                   power(0.5, CAST((p.pus - c.cus) // 86400000000
+                                   AS INTEGER)) AS w
+            FROM p JOIN c
+              ON p.user_id = c.user_id
+             AND c.cus < p.pus
+             AND p.pus - c.cus <= 604800000000
+        ),
+        norm AS (
+            SELECT *, w / sum(w) OVER (PARTITION BY pid) AS share
+            FROM pairs
+        )
+        SELECT CAST(date_trunc('day', cts) AS TIMESTAMP) AS click_day,
+               CAST(count(*) AS BIGINT) AS n_credited_touches,
+               floor(sum(value * share) * 100.0 + 0.505) / 100.0
+                   AS attributed_value
+        FROM norm GROUP BY 1
+    """,
+    scale=(
+        "Multi-touch time-decay attribution: each conversion joins its "
+        "preceding clicks within a 7-day lookback on the user key — a "
+        "per-user interval join whose fan-out is bounded by the lookback "
+        "(at 100 TB, bucket both sides by (user, day) so a click joins "
+        "at most 8 day-buckets; same ladder as join_range_bucketed). "
+        "Decay weights are exact powers of two (0.5^whole-days), so the "
+        "weight arithmetic is bit-identical across engines; per-"
+        "conversion normalization is one window sum on the pair set, "
+        "and the final rollup collapses to |days| rows. The credit "
+        "column is what marketing-mix jobs feed directly."
+    ),
+)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed click credit for each purchase, rolled up by click day."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pus"),
+        "value",
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("cus"),
+        F.date_trunc("day", "ts").alias("click_day"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cus") < F.col("pus"))
+        & (F.col("pus") - F.col("cus") <= 604_800_000_000),
+    ).select(
+        "pid",
+        "value",
+        "click_day",
+        F.pow(
+            F.lit(0.5),
+            F.floor((F.col("pus") - F.col("cus")) / 86_400_000_000).cast(
+                "int"
+            ),
+        ).alias("w"),
+    )
+    wp = Window.partitionBy("pid")
+    norm = pairs.select(
+        "click_day",
+        "value",
+        (F.col("w") / F.sum("w").over(wp)).alias("share"),
+    )
+    return norm.groupBy("click_day").agg(
+        F.count(F.lit(1)).alias("n_credited_touches"),
+        rnd(F.sum(F.col("value") * F.col("share")), 2).alias(
+            "attributed_value"
+        ),
+    )

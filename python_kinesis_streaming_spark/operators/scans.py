@@ -717,3 +717,56 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(SCRATCH, f"sink_orc_{fixture_tag(sf_dir)}")
     ev.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@op(
+    "gen_date_dimension",
+    oracle="""
+        SELECT CAST(d AS TIMESTAMP) AS d,
+               CAST(year(d) AS INTEGER) AS yr,
+               CAST(quarter(d) AS INTEGER) AS qtr,
+               CAST(month(d) AS INTEGER) AS mo,
+               CAST(isodow(d) AS INTEGER) AS iso_dow,
+               isodow(d) >= 6 AS is_weekend,
+               CAST(strftime(d, '%Y-%m') AS VARCHAR) AS month_key,
+               CAST(date_trunc('week', d) AS TIMESTAMP) AS week_start
+        FROM generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                             INTERVAL 1 DAY) t(d)
+    """,
+    scale=(
+        "Generated date dimension (the standard warehouse utility "
+        "table): sequence() produces the spine executor-side — no "
+        "driver loop, no input scan — and every calendar attribute is "
+        "a codegen expression over it. ISO day-of-week is derived "
+        "portably as (epoch_days + 3) % 7 + 1 (1970-01-01 was a "
+        "Thursday) because engines disagree on weekday numbering — "
+        "the cross-engine hash proves the convention. A year is 366 "
+        "rows; broadcast it everywhere and calendar logic never "
+        "touches the fact tables again."
+    ),
+)
+def gen_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 2024 date-dimension table generated entirely from expressions."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("dd")
+    )
+    iso_dow = (
+        (F.datediff(F.col("dd"), F.lit("1970-01-01").cast("date")) + 3) % 7
+        + 1
+    ).cast("int")
+    return spine.select(
+        F.col("dd").cast("timestamp").alias("d"),
+        F.year("dd").cast("int").alias("yr"),
+        F.quarter("dd").cast("int").alias("qtr"),
+        F.month("dd").cast("int").alias("mo"),
+        iso_dow.alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.date_format("dd", "yyyy-MM").alias("month_key"),
+        F.date_trunc("week", "dd").alias("week_start"),
+    )

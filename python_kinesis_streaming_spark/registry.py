@@ -315,6 +315,8 @@ _GRADING_PRIORITY = [
     "ts_rolling_distinct_hll",
     "stream_fsm_pattern_alert",
     "udaf_numpy_regression",
+    "gen_date_dimension",
+    "events_attribution_time_decay",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
