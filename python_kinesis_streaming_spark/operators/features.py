@@ -927,3 +927,67 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+@op(
+    "dq_unit_price_consistency",
+    oracle="""
+        WITH u AS (
+            SELECT l_partkey, l_extendedprice / l_quantity AS unit
+            FROM lineitem
+        ),
+        s AS (
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_sales,
+                   avg(unit) AS mean_u,
+                   stddev_samp(unit) AS sd_u,
+                   min(unit) AS min_u,
+                   max(unit) AS max_u
+            FROM u GROUP BY l_partkey HAVING count(*) >= 5
+        )
+        SELECT l_partkey, n_sales,
+               floor(mean_u * 100.0 + 0.505) / 100.0 AS mean_unit_price,
+               floor((sd_u / mean_u) * 10000.0 + 0.505) / 10000.0 AS cv,
+               floor((max_u / min_u) * 10000.0 + 0.505) / 10000.0
+                   AS max_min_ratio,
+               sd_u / mean_u > 0.25 AS inconsistent
+        FROM s
+    """,
+    scale=(
+        "Pricing-integrity audit: per-part unit-price dispersion "
+        "(coefficient of variation + max/min ratio) from one partial-agg "
+        "groupBy — count/sum/sumsq/min/max all merge map-side, so the "
+        "audit costs one shuffle of |parts| skinny rows however large "
+        "the fact is. The HAVING floor keeps noise groups out; the CV "
+        "threshold is the quarantine predicate a dq pipeline would "
+        "route rows on (compose with dq_row_quarantine). stddev_samp "
+        "is Welford-mergeable in both engines; the ratio rounds at 1e-4 "
+        "for cross-engine stability."
+    ),
+)
+def dq_unit_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part unit-price dispersion audit (CV, range ratio, flag)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        "l_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    s = (
+        u.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            F.avg("unit").alias("mean_u"),
+            F.stddev_samp("unit").alias("sd_u"),
+            F.min("unit").alias("min_u"),
+            F.max("unit").alias("max_u"),
+        )
+        .where(F.col("n_sales") >= 5)
+    )
+    return s.select(
+        "l_partkey",
+        "n_sales",
+        rnd(F.col("mean_u"), 2).alias("mean_unit_price"),
+        rnd(F.col("sd_u") / F.col("mean_u"), 4).alias("cv"),
+        rnd(F.col("max_u") / F.col("min_u"), 4).alias("max_min_ratio"),
+        (F.col("sd_u") / F.col("mean_u") > 0.25).alias("inconsistent"),
+    )

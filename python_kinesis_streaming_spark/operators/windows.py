@@ -443,3 +443,52 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "second_type", "third_type", "n_events")
     )
+
+
+@op(
+    "win_leave_one_out",
+    oracle="""
+        WITH s AS (
+            SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+                   count(*) OVER (PARTITION BY l_partkey) AS n,
+                   sum(l_extendedprice) OVER (PARTITION BY l_partkey) AS tot
+            FROM lineitem
+        )
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               floor(((tot - l_extendedprice) / (n - 1)) * 100.0 + 0.505)
+                   / 100.0 AS loo_avg_price,
+               floor((l_extendedprice - (tot - l_extendedprice) / (n - 1))
+                     * 100.0 + 0.505) / 100.0 AS deviation
+        FROM s WHERE n > 1
+    """,
+    scale=(
+        "Leave-one-out mean without the frame-exclusion feature neither "
+        "engine's ROWS/RANGE syntax gives you cleanly: (group_sum - x) / "
+        "(group_n - 1) from two whole-partition window aggregates — one "
+        "shuffle on the group key, no sort even (unbounded frames need "
+        "no ordering), no self-join. The LOO deviation is the standard "
+        "leakage-free way to score an item against its peers (same "
+        "reason feat_target_encode subtracts self); at 100 TB this is "
+        "two partial-agg columns riding the same exchange."
+    ),
+)
+def win_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each lineitem vs the average price of OTHER items of its part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    s = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("l_extendedprice").over(w).alias("tot"),
+    ).where(F.col("n") > 1)
+    loo = (F.col("tot") - F.col("l_extendedprice")) / (F.col("n") - 1)
+    return s.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        rnd(loo, 2).alias("loo_avg_price"),
+        rnd(F.col("l_extendedprice") - loo, 2).alias("deviation"),
+    )

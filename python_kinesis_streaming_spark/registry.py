@@ -317,6 +317,8 @@ _GRADING_PRIORITY = [
     "udaf_numpy_regression",
     "gen_date_dimension",
     "events_attribution_time_decay",
+    "win_leave_one_out",
+    "dq_unit_price_consistency",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
