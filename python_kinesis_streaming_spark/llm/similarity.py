@@ -1602,3 +1602,135 @@ def emb_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tlabel").alias("true_label"),
         F.col("clabel").alias("assigned_label"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _rp_sign_sql() -> str:
+    h = (
+        "CAST(('0x' || substring(md5(CAST(i.i AS VARCHAR) || ':' "
+        "|| CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+        SELECT i.i AS i, j.j AS j,
+               CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+        FROM range(1, 65) i(i), range(1, 17) j(j)
+    """
+
+
+@op(
+    "emb_random_projection",
+    oracle=f"""
+        WITH sel AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e
+            FROM embeddings WHERE vec_id < 20
+        ),
+        dims AS (
+            SELECT vec_id, i.i AS i, e[i.i] AS v
+            FROM sel, range(1, 65) i(i)
+        ),
+        signs AS ({_rp_sign_sql()}),
+        proj AS (
+            SELECT d.vec_id, s.j, sum(d.v * s.s) / 4.0 AS p
+            FROM dims d JOIN signs s USING (i) GROUP BY 1, 2
+        ),
+        d_orig AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   sqrt(sum((a.v - b.v) * (a.v - b.v))) AS dd
+            FROM dims a JOIN dims b
+              ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        d_proj AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   sqrt(sum((a.p - b.p) * (a.p - b.p))) AS dp
+            FROM proj a JOIN proj b
+              ON a.j = b.j AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT o.vec_a, o.vec_b,
+               floor(o.dd * 10000.0 + 0.505) / 10000.0 AS dist_64d,
+               floor(p.dp * 10000.0 + 0.505) / 10000.0 AS dist_16d,
+               floor((p.dp / o.dd) * 10000.0 + 0.505) / 10000.0
+                   AS distortion
+        FROM d_orig o JOIN d_proj p USING (vec_a, vec_b)
+    """,
+    scale=(
+        "Johnson-Lindenstrauss random projection 64d -> 16d entirely as "
+        "relational ops: the sign matrix is DERIVED (md5 parity of "
+        "(i, j) — no stored state, any executor regenerates any tile "
+        "deterministically, which is how a projection matrix ships to "
+        "1000 executors for free), the projection is an explode-join-"
+        "reagg per vector (linear, mergeable partials), and the audit "
+        "joins projected vs original pairwise distances on a bounded "
+        "panel. Distortion hovering near 1.0 is the JL guarantee the "
+        "16d index relies on; this op IS that certification. At 100 TB "
+        "project once at ingest, search in 16d, re-rank survivors in "
+        "64d (sim_rerank_two_stage)."
+    ),
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-project a vector panel 64d->16d and audit pairwise distortion."""
+    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.where(F.col("vec_id") < 20)
+        .select("vec_id", F.posexplode("embedding").alias("p", "raw"))
+        .select(
+            "vec_id",
+            (F.col("p") + 1).alias("i"),
+            F.col("raw").cast("double").alias("v"),
+        )
+    )
+    signs = (
+        spark.range(1, 65)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(
+            spark.range(1, 17).select(F.col("id").cast("int").alias("j"))
+        )
+        .select(
+            "i",
+            "j",
+            F.when(
+                md5_hash64(F.concat_ws(":", F.col("i"), F.col("j"))) % 2
+                == 0,
+                1.0,
+            ).otherwise(-1.0).alias("s"),
+        )
+    )
+    proj = (
+        dims.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg((F.sum(F.col("v") * F.col("s")) / 4.0).alias("p"))
+    )
+
+    def pair_dist(df, key, val):
+        a, b = df.alias("a"), df.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .groupBy(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+            .agg(
+                F.sqrt(
+                    F.sum(
+                        (F.col(f"a.{val}") - F.col(f"b.{val}"))
+                        * (F.col(f"a.{val}") - F.col(f"b.{val}"))
+                    )
+                ).alias("d")
+            )
+        )
+
+    d_orig = pair_dist(dims, "i", "v").withColumnRenamed("d", "dd")
+    d_proj = pair_dist(proj, "j", "p").withColumnRenamed("d", "dp")
+    return d_orig.join(d_proj, ["vec_a", "vec_b"]).select(
+        "vec_a",
+        "vec_b",
+        rnd(F.col("dd"), 4).alias("dist_64d"),
+        rnd(F.col("dp"), 4).alias("dist_16d"),
+        rnd(F.col("dp") / F.col("dd"), 4).alias("distortion"),
+    )

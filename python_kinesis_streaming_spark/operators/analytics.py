@@ -3106,3 +3106,80 @@ def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame
             "attributed_value"
         ),
     )
+
+
+@op(
+    "events_score_decile_lift",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS n_errors
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT *, CAST(ntile(10) OVER (
+                       ORDER BY n_events DESC, user_id) AS INTEGER)
+                   AS decile
+            FROM per_user
+        ),
+        overall AS (
+            SELECT CAST(sum(n_errors) AS DOUBLE) / sum(n_events) AS base
+            FROM per_user
+        )
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(sum(n_errors) AS BIGINT) AS n_errors,
+               floor((CAST(sum(n_errors) AS DOUBLE) / sum(n_events))
+                     * 10000.0 + 0.505) / 10000.0 AS err_rate,
+               floor(((CAST(sum(n_errors) AS DOUBLE) / sum(n_events))
+                      / (SELECT base FROM overall)) * 10000.0 + 0.505)
+                   / 10000.0 AS lift
+        FROM ranked GROUP BY decile
+    """,
+    scale=(
+        "Gain/lift-curve evaluation by score decile: user summaries are "
+        "one partial-agg pass, the decile cut is ntile over the "
+        "|users|-row summary (NOT the raw stream — ntile needs a global "
+        "sort, so you rank the reduced relation; at 100 TB users swap "
+        "the exact ntile for approx-percentile cut points and a "
+        "broadcast range lookup, same report schema), and the lift "
+        "denominator is a scalar subquery broadcast into the 10-row "
+        "projection. The monotone-lift readout is the standard sanity "
+        "check for any ranking model's top-decile value."
+    ),
+)
+def events_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate lift by activity decile (lift-curve model eval shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    ranked = per_user.withColumn(
+        "decile", F.ntile(10).over(w).cast("int")
+    )
+    overall = per_user.agg(
+        (
+            F.sum("n_errors").cast("double") / F.sum("n_events")
+        ).alias("base")
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_errors").alias("n_errors"),
+    )
+    rate = F.col("n_errors").cast("double") / F.col("n_events")
+    return agg.crossJoin(F.broadcast(overall)).select(
+        "decile",
+        "n_users",
+        "n_events",
+        "n_errors",
+        rnd(rate, 4).alias("err_rate"),
+        rnd(rate / F.col("base"), 4).alias("lift"),
+    )

@@ -319,6 +319,8 @@ _GRADING_PRIORITY = [
     "events_attribution_time_decay",
     "win_leave_one_out",
     "dq_unit_price_consistency",
+    "emb_random_projection",
+    "events_score_decile_lift",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

@@ -210,6 +210,9 @@ BNLJ_ALLOWED = {
     "li_discount_uplift",  # 11 bucket rows × 1-row zero-discount baseline
     "agg_minhash_jaccard",  # 5-row signature table × itself (type_a < type_b)
     "dedup_eval_precision_recall",  # three 1-row count aggregates joined
+    "ts_rolling_distinct_hll",  # exact-audit leg: ~30-row day spine range join
+    "emb_random_projection",  # 64x16 literal sign-matrix range cross
+    "events_score_decile_lift",  # 10 decile rows × 1-row overall base rate
     "agg_chi_square",  # 1-row statistic × 1-row degrees-of-freedom
     "emb_hamming_knn",  # corpus × 1-row broadcast query signature
     "corpus_sample_weighted",  # |sources| rate rows × 1-row grand total
