@@ -923,3 +923,60 @@ def agg_hll_datasketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_distinct")
         ).alias("within_5pct"),
     )
+
+
+_ECDF_GRID = [1.0, 5.0, 10.0, 50.0, 100.0, 250.0]
+
+
+@op(
+    "agg_ecdf_grid",
+    oracle="""
+        SELECT event_type, g.x AS x,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value <= g.x THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_le,
+               floor((CAST(sum(CASE WHEN value <= g.x THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*)) * 10000.0 + 0.505)
+                   / 10000.0 AS ecdf
+        FROM events, (VALUES (1.0), (5.0), (10.0), (50.0), (100.0),
+                             (250.0)) g(x)
+        GROUP BY event_type, g.x
+    """,
+    scale=(
+        "Empirical CDF evaluated on a fixed grid: the literal grid "
+        "cross-joins onto the stream (6x row fan-out BEFORE the partial "
+        "agg — at wider grids flip to one conditional-sum column per "
+        "point, zero fan-out, same result), then everything collapses "
+        "map-side to |types| x |grid| rows. Fixed-grid ECDFs are the "
+        "mergeable alternative to quantile sketches when the question "
+        "is 'what fraction clears threshold X' — thresholds are known, "
+        "so exact answers cost one pass and the output is join-ready "
+        "for SLA dashboards."
+    ),
+)
+def agg_ecdf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(value <= x) per event type on a fixed threshold grid."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = spark.createDataFrame(
+        [(x,) for x in _ECDF_GRID], "x double"
+    )
+    return (
+        ev.select("event_type", "value")
+        .crossJoin(F.broadcast(grid))
+        .groupBy("event_type", "x")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") <= F.col("x"), 1).otherwise(0)
+            ).alias("n_le"),
+        )
+        .select(
+            "event_type",
+            "x",
+            "n",
+            "n_le",
+            rnd(F.col("n_le").cast("double") / F.col("n"), 4).alias(
+                "ecdf"
+            ),
+        )
+    )

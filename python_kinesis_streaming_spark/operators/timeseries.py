@@ -1045,3 +1045,62 @@ def ts_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_7d")
         ).alias("within_5pct"),
     )
+
+
+@op(
+    "ts_time_weighted_avg",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS next_us
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id, value, (next_us - us) AS dur_us
+            FROM seq WHERE next_us IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               floor((sum(value * dur_us) / sum(dur_us)) * 10000.0
+                     + 0.505) / 10000.0 AS twa_value,
+               floor(avg(value) * 10000.0 + 0.505) / 10000.0
+                   AS naive_avg
+        FROM seg GROUP BY user_id
+    """,
+    scale=(
+        "Time-weighted average (the TWAP/telemetry-gauge aggregation): "
+        "each observation holds until the next one, so its weight is its "
+        "holding duration — one lead() on the user partitioning turns "
+        "the point stream into segments, and the TWA is two mergeable "
+        "sums (value x dur, dur). The naive average ships alongside "
+        "because the GAP between them is the sampling-bias diagnostic. "
+        "One shuffle, one sort, partial-agg finish; duration arithmetic "
+        "in integer micros keeps both engines bit-identical. At 100 TB "
+        "the segment relation is also what ts_campaign_overlap-style "
+        "interval accounting consumes."
+    ),
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted vs naive average of the value gauge."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    seg = seq.select(
+        "user_id", "value", (F.col("next_us") - F.col("us")).alias("dur_us")
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        rnd(
+            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+        ).alias("twa_value"),
+        rnd(F.avg("value"), 4).alias("naive_avg"),
+    )

@@ -321,6 +321,8 @@ _GRADING_PRIORITY = [
     "dq_unit_price_consistency",
     "emb_random_projection",
     "events_score_decile_lift",
+    "ts_time_weighted_avg",
+    "agg_ecdf_grid",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
