@@ -1104,3 +1104,141 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa_value"),
         rnd(F.avg("value"), 4).alias("naive_avg"),
     )
+
+
+@op(
+    "ts_linear_interpolate",
+    oracle="""
+        WITH pts AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CAST(value AS DOUBLE) AS v,
+                   0 AS is_spine
+            FROM events
+        ),
+        bounds AS (
+            SELECT user_id,
+                   date_trunc('hour', CAST(min(ts) AS TIMESTAMP))
+                       + INTERVAL 1 HOUR AS h0,
+                   date_trunc('hour', CAST(max(ts) AS TIMESTAMP)) AS h1
+            FROM events GROUP BY user_id
+        ),
+        hours AS (
+            SELECT g.h FROM generate_series(
+                TIMESTAMP '2024-01-01 00:00:00',
+                TIMESTAMP '2024-02-01 00:00:00',
+                INTERVAL 1 HOUR) g(h)
+        ),
+        spine AS (
+            SELECT b.user_id, epoch_us(g.h) AS us,
+                   CAST(NULL AS DOUBLE) AS v, 1 AS is_spine
+            FROM bounds b JOIN hours g ON g.h BETWEEN b.h0 AND b.h1
+        ),
+        u AS (
+            SELECT * FROM pts UNION ALL SELECT * FROM spine
+        ),
+        ctx AS (
+            SELECT user_id, us, is_spine,
+                   last_value(v IGNORE NULLS) OVER w_prev AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN us END
+                              IGNORE NULLS) OVER w_prev AS pus,
+                   first_value(v IGNORE NULLS) OVER w_next AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN us END
+                               IGNORE NULLS) OVER w_next AS nus
+            FROM u
+            WINDOW
+              w_prev AS (PARTITION BY user_id ORDER BY us, is_spine
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW),
+              w_next AS (PARTITION BY user_id ORDER BY us, is_spine
+                         ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id,
+               CAST(to_timestamp(us / 1000000) AS TIMESTAMP) AS hour,
+               floor((CASE WHEN nus = pus THEN pv
+                           ELSE pv + (nv - pv) * (us - pus)
+                                / (nus - pus) END) * 10000.0 + 0.505)
+                   / 10000.0 AS interp_value
+        FROM ctx
+        WHERE is_spine = 1 AND pv IS NOT NULL AND nv IS NOT NULL
+    """,
+    scale=(
+        "Linear interpolation of an irregular gauge onto an hourly grid "
+        "— the mark-to-grid op financial and sensor pipelines run "
+        "before any cross-series math. The union-spine trick does it "
+        "with ZERO joins: observations and grid marks interleave in one "
+        "per-user sort, bracketing neighbors come from IGNORE NULLS "
+        "last/first over the two half-frames, and the interpolation is "
+        "a per-row expression. Spine size is bounded by each user's "
+        "active span (generated executor-side, inherits the user "
+        "partitioning). One shuffle, one sort — compare ts_gap_fill "
+        "(step-fill) which this generalizes with a second directional "
+        "window."
+    ),
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's value gauge linearly interpolated at hourly marks."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("double").alias("v"),
+        F.lit(0).alias("is_spine"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        (
+            F.date_trunc("hour", F.min("ts")) + F.expr("INTERVAL 1 HOUR")
+        ).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    ).select(
+        "user_id",
+        F.unix_micros("h").alias("us"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_spine"),
+    )
+    u = pts.unionByName(spine)
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_spine")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_spine")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    point_us = F.when(F.col("v").isNotNull(), F.col("us"))
+    ctx = u.select(
+        "user_id",
+        "us",
+        "is_spine",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(point_us, ignorenulls=True).over(w_prev).alias("pus"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(point_us, ignorenulls=True).over(w_next).alias("nus"),
+    )
+    interp = F.when(F.col("nus") == F.col("pus"), F.col("pv")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("us") - F.col("pus"))
+        / (F.col("nus") - F.col("pus"))
+    )
+    return (
+        ctx.where(
+            (F.col("is_spine") == 1)
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("us")).alias("hour"),
+            rnd(interp, 4).alias("interp_value"),
+        )
+    )

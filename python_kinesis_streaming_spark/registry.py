@@ -323,6 +323,7 @@ _GRADING_PRIORITY = [
     "events_score_decile_lift",
     "ts_time_weighted_avg",
     "agg_ecdf_grid",
+    "ts_linear_interpolate",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
