@@ -3183,3 +3183,158 @@ def events_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(rate, 4).alias("err_rate"),
         rnd(rate / F.col("base"), 4).alias("lift"),
     )
+
+
+@op(
+    "funnel_three_step_windowed",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_signup
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        c AS (
+            SELECT s.user_id, s.t_signup,
+                   min(CAST(e.ts AS TIMESTAMP)) AS t_click
+            FROM s JOIN events e
+              ON e.user_id = s.user_id AND e.event_type = 'click'
+             AND CAST(e.ts AS TIMESTAMP) > s.t_signup
+             AND CAST(e.ts AS TIMESTAMP) <= s.t_signup + INTERVAL 7 DAY
+            GROUP BY s.user_id, s.t_signup
+        ),
+        p AS (
+            SELECT c.user_id, c.t_signup, c.t_click,
+                   min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+            FROM c JOIN events e
+              ON e.user_id = c.user_id AND e.event_type = 'purchase'
+             AND CAST(e.ts AS TIMESTAMP) > c.t_click
+             AND CAST(e.ts AS TIMESTAMP) <= c.t_click + INTERVAL 7 DAY
+            GROUP BY c.user_id, c.t_signup, c.t_click
+        )
+        SELECT
+            CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+            CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_7d,
+            CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_7d,
+            floor((CAST((SELECT count(*) FROM c) AS DOUBLE)
+                   / (SELECT count(*) FROM s)) * 10000.0 + 0.505)
+                / 10000.0 AS step1_rate,
+            floor((CAST((SELECT count(*) FROM p) AS DOUBLE)
+                   / (SELECT count(*) FROM c)) * 10000.0 + 0.505)
+                / 10000.0 AS step2_rate
+    """,
+    scale=(
+        "Strict-order three-step funnel with per-step 7-day windows "
+        "(signup -> click -> purchase): each step is a min-after-within "
+        "aggregation joined on user_id — per-user state stays at k "
+        "timestamps, the event table is scanned once per step with the "
+        "step's type filter pushed down, and no step materializes event "
+        "pairs. The per-step conversion-rate scalars are what funnels "
+        "report; the windowed constraint (<= 7 days) is the piece "
+        "events_time_to_convert's unbounded form doesn't enforce. At "
+        "100 TB funnels run exactly this shape with the type filters "
+        "as partition prunes."
+    ),
+)
+def funnel_three_step_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> click(<=7d) -> purchase(<=7d) strict funnel with rates."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t_signup")
+    )
+    c = (
+        s.join(
+            ev.where(F.col("event_type") == "click").select(
+                F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+            ),
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") > F.col("t_signup"))
+            & (F.col("cts") <= F.col("t_signup") + week),
+        )
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("cts").alias("t_click"))
+    )
+    p = (
+        c.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+            ),
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") > F.col("t_click"))
+            & (F.col("pts") <= F.col("t_click") + week),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t_purchase"))
+    )
+    ns = s.agg(F.count(F.lit(1)).alias("n_signup"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_7d"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_7d"))
+    return (
+        ns.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_signup",
+            "n_click_7d",
+            "n_purchase_7d",
+            rnd(
+                F.col("n_click_7d").cast("double") / F.col("n_signup"), 4
+            ).alias("step1_rate"),
+            rnd(
+                F.col("n_purchase_7d").cast("double")
+                / F.col("n_click_7d"),
+                4,
+            ).alias("step2_rate"),
+        )
+    )
+
+
+@op(
+    "events_transition_dwell",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER w AS next_type,
+                   (lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                    - epoch_us(CAST(ts AS TIMESTAMP))) / 1000000.0
+                       AS dwell_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        )
+        SELECT event_type, next_type,
+               CAST(count(*) AS BIGINT) AS n,
+               floor(avg(dwell_s) * 100.0 + 0.505) / 100.0
+                   AS avg_dwell_s,
+               floor(quantile_cont(dwell_s, 0.5) * 100.0 + 0.505)
+                   / 100.0 AS p50_dwell_s
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+    scale=(
+        "Time-in-state per transition edge: one lead() pass produces "
+        "(from, to, dwell) and the 5x5 edge aggregate collapses "
+        "map-side — this is events_path_transitions' count matrix "
+        "upgraded with the dwell distribution that makes it a Markov "
+        "chain WITH holding times (semi-Markov), the input to "
+        "queueing/abandonment models. Integer-micro subtraction before "
+        "the float divide keeps both engines bit-identical; exact "
+        "median per edge is 25 tiny groups, with approx_percentile as "
+        "the documented swap at scale."
+    ),
+)
+def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time distribution per event-type transition edge."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+            / 1_000_000.0
+        ).alias("dwell_s"),
+    ).where(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.avg("dwell_s"), 2).alias("avg_dwell_s"),
+        rnd(F.expr("percentile(dwell_s, 0.5)"), 2).alias("p50_dwell_s"),
+    )

@@ -324,6 +324,8 @@ _GRADING_PRIORITY = [
     "ts_time_weighted_avg",
     "agg_ecdf_grid",
     "ts_linear_interpolate",
+    "funnel_three_step_windowed",
+    "events_transition_dwell",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
