@@ -991,3 +991,79 @@ def dq_unit_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("max_u") / F.col("min_u"), 4).alias("max_min_ratio"),
         (F.col("sd_u") / F.col("mean_u") > 0.25).alias("inconsistent"),
     )
+
+
+@op(
+    "dq_order_total_reconciliation",
+    oracle="""
+        WITH li AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(floor(l_extendedprice
+                                       * (1 - l_discount) * (1 + l_tax)
+                                       * 100 + 0.505) AS BIGINT))
+                        AS BIGINT) AS items_cents
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+            SELECT o.o_orderkey,
+                   CAST(floor(o.o_totalprice * 100 + 0.505) AS BIGINT)
+                       AS header_cents,
+                   li.items_cents
+            FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+        )
+        SELECT
+            CAST(count(*) AS BIGINT) AS n_orders,
+            CAST(sum(CASE WHEN abs(header_cents - items_cents) <= 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+            CAST(sum(CASE WHEN header_cents < items_cents - 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+            CAST(sum(CASE WHEN header_cents > items_cents + 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+            CAST(max(abs(header_cents - items_cents)) AS BIGINT)
+                AS max_abs_diff_cents
+        FROM j
+    """,
+    scale=(
+        "Cross-table financial reconciliation (header total vs computed "
+        "item total): the item side reduces to |orders| rows BEFORE the "
+        "join (partial agg on the fact's own key — co-partitioned with "
+        "orders, one shuffle each), the comparison is integer cents "
+        "with a 1-cent rounding tolerance, and the verdict collapses to "
+        "one summary row. This is the ledger-integrity job every "
+        "billing pipeline schedules; at 100 TB both sides bucket by "
+        "orderkey and the join is exchange-free. (On this synthetic "
+        "fixture the headers do NOT reconcile — the op is the detector, "
+        "and the mismatch distribution is the finding.)"
+    ),
+)
+def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header o_totalprice vs recomputed lineitem totals, cent-exact."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+                + F.lit(0.505)
+            ).cast("long")
+        ).alias("items_cents")
+    )
+    j = od.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.505))
+        .cast("long")
+        .alias("header_cents"),
+    ).join(items, F.col("o_orderkey") == F.col("l_orderkey"))
+    diff = F.col("header_cents") - F.col("items_cents")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.abs(diff) <= 1, 1).otherwise(0)).alias(
+            "n_reconciled"
+        ),
+        F.sum(F.when(diff < -1, 1).otherwise(0)).alias("n_under"),
+        F.sum(F.when(diff > 1, 1).otherwise(0)).alias("n_over"),
+        F.max(F.abs(diff)).alias("max_abs_diff_cents"),
+    )

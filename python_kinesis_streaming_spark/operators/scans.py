@@ -770,3 +770,62 @@ def gen_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("dd", "yyyy-MM").alias("month_key"),
         F.date_trunc("week", "dd").alias("week_start"),
     )
+
+
+@op(
+    "scan_csv_malformed",
+    oracle="""
+        SELECT
+            CAST((SELECT count(*) FROM documents) + 20 AS BIGINT)
+                AS n_lines,
+            CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_good,
+            CAST(20 AS BIGINT) AS n_corrupt
+    """,
+    scale=(
+        "PERMISSIVE CSV parsing: 20 deliberately malformed lines (wrong "
+        "arity, unparseable ints) are appended to a well-formed export; "
+        "the reader takes an explicit schema + columnNameOfCorruptRecord "
+        "so bad rows land in the corrupt column instead of killing the "
+        "job — THE ingestion contract for raw vendor drops, where "
+        "DROPMALFORMED silently losing rows is the failure mode this op "
+        "guards against. The good/corrupt split is one conditional "
+        "aggregate; corrupt rows ride along for quarantine "
+        "(dq_row_quarantine composes downstream). Parsing is per-row "
+        "codegen; the count audit is scan-parallel at any size."
+    ),
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a CSV with injected malformed lines permissively; audit counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(SCRATCH, f"csv_malformed_{fixture_tag(sf_dir)}")
+    good = docs.select(
+        F.concat_ws(",", F.col("doc_id"), F.col("lang"), F.col("n_chars"))
+        .alias("value")
+    )
+    bad = spark.range(20).select(
+        F.concat(
+            F.lit("corrupt_row_"), F.col("id"), F.lit(",too,many,fields,x")
+        ).alias("value")
+    )
+    good.unionByName(bad).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    # Spark refuses queries that reference ONLY the corrupt column
+    # (it would skip parsing the rest; see the raiseError in
+    # CSVFileFormat) — so the audit keys off the null-parse signal while
+    # the _corrupt payload stays selectable for quarantine flows.
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("doc_id").isNotNull(), 1).otherwise(0)
+        ).alias("n_good"),
+        F.sum(
+            F.when(F.col("doc_id").isNull(), 1).otherwise(0)
+        ).alias("n_corrupt"),
+    )

@@ -326,6 +326,8 @@ _GRADING_PRIORITY = [
     "ts_linear_interpolate",
     "funnel_three_step_windowed",
     "events_transition_dwell",
+    "scan_csv_malformed",
+    "dq_order_total_reconciliation",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

@@ -27,6 +27,7 @@ STATEFUL_ON_DISK = [
     "stream_fsm_pattern_alert",
     "sink_orc_roundtrip",
     "scan_text_format",
+    "scan_csv_malformed",
 ]
 
 
