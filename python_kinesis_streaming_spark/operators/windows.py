@@ -492,3 +492,70 @@ def win_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(loo, 2).alias("loo_avg_price"),
         rnd(F.col("l_extendedprice") - loo, 2).alias("deviation"),
     )
+
+
+@op(
+    "win_resetting_accumulator",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type, value,
+                   CAST(ts AS TIMESTAMP) AS ts,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS seg
+            FROM events
+        )
+        SELECT user_id, event_id,
+               floor(sum(CASE WHEN event_type <> 'error' THEN value
+                              ELSE 0 END)
+                     OVER (PARTITION BY user_id, seg
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+                     * 10000.0 + 0.505) / 10000.0
+                   AS points_since_error
+        FROM seq
+    """,
+    scale=(
+        "A running accumulator that RESETS on a trigger event (loyalty "
+        "points zeroed by an error): no procedural loop — a running "
+        "count of triggers defines the segment id, and the accumulator "
+        "is a running sum within (key, segment). Both windows sort the "
+        "SAME (user, time) order, so Spark executes them over one "
+        "exchange + one sort; the reset event itself contributes zero "
+        "and advances the segment. This windows-composition pattern "
+        "replaces the UDAF people reach for, keeping the whole thing "
+        "codegen-side and mergeable at 100 TB."
+    ),
+)
+def win_resetting_accumulator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running value total per user that resets to zero at each error."""
+    ev = load_table(spark, sf_dir, "events")
+    w_seg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value"))
+        .otherwise(0.0)
+        .alias("pts"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).over(w_seg).alias("seg"),
+    )
+    w_run = (
+        Window.partitionBy("user_id", "seg")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seq.select(
+        "user_id",
+        "event_id",
+        rnd(F.sum("pts").over(w_run), 4).alias("points_since_error"),
+    )

@@ -328,6 +328,8 @@ _GRADING_PRIORITY = [
     "events_transition_dwell",
     "scan_csv_malformed",
     "dq_order_total_reconciliation",
+    "win_resetting_accumulator",
+    "stream_window_approx_distinct",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
