@@ -330,6 +330,8 @@ _GRADING_PRIORITY = [
     "dq_order_total_reconciliation",
     "win_resetting_accumulator",
     "stream_window_approx_distinct",
+    "part_assortment_gaps",
+    "li_return_rate_price_band",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

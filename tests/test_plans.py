@@ -215,6 +215,7 @@ BNLJ_ALLOWED = {
     "events_score_decile_lift",  # 10 decile rows × 1-row overall base rate
     "agg_ecdf_grid",  # stream × 6-row literal threshold grid (pre-agg fan-out)
     "funnel_three_step_windowed",  # three 1-row step-count scalars joined
+    "part_assortment_gaps",  # 25-brand × 50-size dim grid + 1-row size count
     "agg_chi_square",  # 1-row statistic × 1-row degrees-of-freedom
     "emb_hamming_knn",  # corpus × 1-row broadcast query signature
     "corpus_sample_weighted",  # |sources| rate rows × 1-row grand total

@@ -327,3 +327,43 @@ def test_lifecycle_states_partition_weekly_actives(spark, sf_dir):
     assert per_wk == actual
     wk0_states = {r.state for r in df.where(df.wk == 0).collect()}
     assert wk0_states == {"new"}
+
+
+def test_rounding_helper_cross_engine_parity(spark):
+    """Property: rnd (Spark) and sql_rnd (DuckDB) agree bit-for-bit on a
+    hypothesis-generated float panel — the foundation every hash-matched
+    float column rests on."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
+
+    con = duckdb.connect()
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        st.integers(min_value=0, max_value=6),
+    )
+    def check(xs, scale):
+        sdf = spark.createDataFrame([(x,) for x in xs], "x double")
+        got = [r.r for r in sdf.select(rnd(F.col("x"), scale).alias("r")).collect()]
+        expr = sql_rnd("x", scale)
+        want = [
+            con.execute(f"SELECT {expr} FROM (SELECT ? AS x)", [x]).fetchone()[0]
+            for x in xs
+        ]
+        assert got == want, (xs, scale, got, want)
+
+    check()
