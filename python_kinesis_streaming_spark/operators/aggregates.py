@@ -980,3 +980,80 @@ def agg_ecdf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@op(
+    "agg_share_of_parent",
+    oracle="""
+        WITH rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.505)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        )
+        SELECT region, nation, cents,
+               floor((CAST(cents AS DOUBLE)
+                      / sum(cents) OVER (PARTITION BY region))
+                     * 10000.0 + 0.505) / 10000.0 AS share_of_region,
+               floor((CAST(cents AS DOUBLE) / sum(cents) OVER ())
+                     * 10000.0 + 0.505) / 10000.0 AS share_of_total
+        FROM rev
+    """,
+    scale=(
+        "Ratio-to-parent at two hierarchy levels (nation share of "
+        "region, share of grand total): the fact reduces to the "
+        "|nations|-row leaf grid FIRST, then both denominators are "
+        "window sums over that tiny grid — the hierarchy math never "
+        "touches the fact, and the unpartitioned grand-total window is "
+        "safe because its input is 25 rows. The one-groupBy-then-"
+        "window-ratios shape is the BI drill-path contract; compare "
+        "agg_rollup which materializes the levels as rows instead of "
+        "ratios."
+    ),
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation revenue with share-of-region and share-of-total ratios."""
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    rev = (
+        od.select("o_custkey", "o_totalprice")
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            od.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey
+        )
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.505)).cast(
+                    "long"
+                )
+            ).alias("cents")
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        rnd(
+            F.col("cents").cast("double") / F.sum("cents").over(w_region),
+            4,
+        ).alias("share_of_region"),
+        rnd(
+            F.col("cents").cast("double") / F.sum("cents").over(w_all), 4
+        ).alias("share_of_total"),
+    )

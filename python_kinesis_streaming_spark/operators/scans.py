@@ -829,3 +829,53 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id").isNull(), 1).otherwise(0)
         ).alias("n_corrupt"),
     )
+
+
+@op(
+    "sink_sketch_roundtrip",
+    oracle="""
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS roundtrip_equals_direct,
+               TRUE AS within_5pct
+        FROM events
+    """,
+    scale=(
+        "The sketch-persistence contract end-to-end: per-day HLL "
+        "sketches land in parquet as ordinary binary columns, a fresh "
+        "read unions them, and the result is REGISTER-IDENTICAL to "
+        "sketching the raw stream directly (HLL union = per-register "
+        "max — lossless at equal lgConfigK), which the "
+        "roundtrip_equals_direct flag proves. This is the nightly-"
+        "rollup architecture in miniature: at 100 TB you never re-scan "
+        "history for a distinct count — you union 365 stored 4KB "
+        "sketches. Estimate audited against exact at 5% "
+        "(lgConfigK=12)."
+    ),
+)
+def sink_sketch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist daily HLL sketches to parquet, re-read, union, and audit."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    out = os.path.join(SCRATCH, f"sketches_{fixture_tag(sf_dir)}")
+    daily.write.mode("overwrite").parquet(out)
+    merged = spark.read.parquet(out).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_rt")
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("est_direct"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    return merged.crossJoin(direct).select(
+        "exact_distinct",
+        (F.col("est_rt") == F.col("est_direct")).alias(
+            "roundtrip_equals_direct"
+        ),
+        (
+            F.abs(F.col("est_rt") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )

@@ -332,6 +332,8 @@ _GRADING_PRIORITY = [
     "stream_window_approx_distinct",
     "part_assortment_gaps",
     "li_return_rate_price_band",
+    "agg_share_of_parent",
+    "sink_sketch_roundtrip",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

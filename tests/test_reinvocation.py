@@ -28,6 +28,7 @@ STATEFUL_ON_DISK = [
     "sink_orc_roundtrip",
     "scan_text_format",
     "scan_csv_malformed",
+    "sink_sketch_roundtrip",
 ]
 
 
