@@ -1356,3 +1356,52 @@ def fn_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY w.n_nationkey, n.n_name
         """
     )
+
+
+@op(
+    "fn_mask_family",
+    oracle="""
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g') AS masked_default,
+               regexp_replace(c_name, '[0-9]', '9', 'g')
+                   AS masked_digits_only,
+               substring(c_name, 1, 3)
+                   || repeat('*', greatest(len(c_name) - 3, 0))
+                   AS masked_keep_prefix
+        FROM customer
+    """,
+    scale=(
+        "Data-masking function family for PII-safe exports: Spark's "
+        "built-in mask() (upper->X, lower->x, digit->n, per-class "
+        "override args) plus the keep-prefix redaction pattern — all "
+        "per-row codegen expressions, zero shuffle, streaming-safe. "
+        "The oracle derives identical strings from regexp passes, "
+        "proving mask()'s class semantics rather than trusting them. "
+        "Composes with events_pii_scrub (structural scrubbing) — this "
+        "is the column-level leg; at 100 TB masking rides the export "
+        "projection for free."
+    ),
+)
+def fn_mask_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask() variants over customer names: default, digits-only, prefix."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask(
+            "c_name",
+            F.lit(None).cast("string"),
+            F.lit(None).cast("string"),
+            F.lit("9"),
+            F.lit(None).cast("string"),
+        ).alias("masked_digits_only"),
+        F.concat(
+            F.substring("c_name", 1, 3),
+            F.repeat(
+                F.lit("*"),
+                F.greatest(F.length("c_name") - 3, F.lit(0)),
+            ),
+        ).alias("masked_keep_prefix"),
+    )

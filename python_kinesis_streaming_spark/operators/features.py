@@ -1067,3 +1067,37 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(diff > 1, 1).otherwise(0)).alias("n_over"),
         F.max(F.abs(diff)).alias("max_abs_diff_cents"),
     )
+
+
+@op(
+    "feat_percentile_rank_normalize",
+    oracle="""
+        SELECT event_id, event_type,
+               floor(percent_rank() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value, event_id) * 1000000.0 + 0.505)
+                   / 1000000.0 AS value_pctile
+        FROM events
+    """,
+    scale=(
+        "Percentile-rank normalization (the rank-gauss / quantile "
+        "transform prelude): values map to their within-class empirical "
+        "percentile, making features comparable across classes with "
+        "wildly different scales and robust to outliers minmax scaling "
+        "(feat_minmax_scale) is not. percent_rank is one sort per "
+        "class partition; the event_id tie-break makes rank positions "
+        "deterministic for the cross-engine hash. At 100 TB swap the "
+        "exact global sort for approx-percentile cut points "
+        "broadcast-joined back (feat_quantile_bin's ladder) — same "
+        "output contract at grid resolution."
+    ),
+)
+def feat_percentile_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-type percentile rank of each event's value."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        rnd(F.percent_rank().over(w), 6).alias("value_pctile"),
+    )

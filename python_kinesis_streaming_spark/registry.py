@@ -334,6 +334,8 @@ _GRADING_PRIORITY = [
     "li_return_rate_price_band",
     "agg_share_of_parent",
     "sink_sketch_roundtrip",
+    "fn_mask_family",
+    "feat_percentile_rank_normalize",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
