@@ -3464,3 +3464,65 @@ def li_return_rate_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("return_rate"),
         )
     )
+
+
+@op(
+    "events_churn_last_touch",
+    oracle="""
+        WITH last_e AS (
+            SELECT user_id,
+                   max(CAST(ts AS TIMESTAMP)) AS last_ts,
+                   max_by(event_type,
+                          (epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+                          * 3500000 + event_id) AS last_type
+            FROM events GROUP BY user_id
+        ),
+        churned AS (
+            SELECT * FROM last_e
+            WHERE last_ts < TIMESTAMP '2024-01-23'
+        )
+        SELECT last_type,
+               CAST(count(*) AS BIGINT) AS n_churned_users,
+               floor((CAST(count(*) AS DOUBLE)
+                      / (SELECT count(*) FROM churned)) * 10000.0
+                     + 0.505) / 10000.0 AS share
+        FROM churned GROUP BY last_type
+    """,
+    scale=(
+        "Churn autopsy: for users inactive over the final week, what "
+        "was the last thing they did — the error-before-silence signal "
+        "product teams act on. The last event per user is ONE max_by "
+        "partial agg over a composite (time, id) ordinal (total order, "
+        "so mergeable and tie-free — no window sort over the raw "
+        "stream), the churn cut is a filter on the |users|-row summary, "
+        "and the share denominator is a broadcast scalar. A 5-row "
+        "answer from one fact pass at any scale."
+    ),
+)
+def events_churn_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the final event type among churned users."""
+    ev = load_table(spark, sf_dir, "events")
+    ordinal = (
+        F.floor(F.unix_micros("ts") / 1000) * 3_500_000 + F.col("event_id")
+    )
+    last_e = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.max_by("event_type", ordinal).alias("last_type"),
+    )
+    churned = last_e.where(
+        F.col("last_ts") < F.lit("2024-01-23").cast("timestamp")
+    )
+    total = churned.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        churned.groupBy("last_type")
+        .agg(F.count(F.lit(1)).alias("n_churned_users"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "last_type",
+            "n_churned_users",
+            rnd(
+                F.col("n_churned_users").cast("double") / F.col("n_total"),
+                4,
+            ).alias("share"),
+        )
+    )

@@ -336,6 +336,7 @@ _GRADING_PRIORITY = [
     "sink_sketch_roundtrip",
     "fn_mask_family",
     "feat_percentile_rank_normalize",
+    "events_churn_last_touch",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
