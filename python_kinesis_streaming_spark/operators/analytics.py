@@ -3526,3 +3526,55 @@ def events_churn_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@op(
+    "orders_rolling_12m_revenue",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+                       AS m,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.505)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(m AS TIMESTAMP) AS month,
+               cents AS month_cents,
+               CAST(sum(cents) OVER (ORDER BY m
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS trailing_12m_cents,
+               CAST(count(*) OVER (ORDER BY m
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS months_in_window
+        FROM monthly
+    """,
+    scale=(
+        "Trailing-twelve-month revenue (the TTM line every finance "
+        "dashboard draws): the fact collapses to the ~80-row monthly "
+        "grid in one partial-agg pass, then the TTM is a 12-row frame "
+        "sum over that grid — window cost independent of order volume. "
+        "months_in_window ships alongside so consumers can mask the "
+        "first eleven partial windows instead of misreading ramp-up as "
+        "growth. Integer cents throughout; at 100 TB the monthly grid "
+        "is the incrementally-maintained table and TTM is free."
+    ),
+)
+def orders_rolling_12m_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with the trailing-12-month rollup."""
+    od = load_table(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.505)).cast(
+                "long"
+            )
+        ).alias("month_cents")
+    )
+    w = Window.orderBy("month").rowsBetween(-11, Window.currentRow)
+    return monthly.select(
+        "month",
+        "month_cents",
+        F.sum("month_cents").over(w).alias("trailing_12m_cents"),
+        F.count(F.lit(1)).over(w).alias("months_in_window"),
+    )
