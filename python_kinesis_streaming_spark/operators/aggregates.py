@@ -1057,3 +1057,61 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.sum("cents").over(w_all), 4
         ).alias("share_of_total"),
     )
+
+
+@op(
+    "agg_distinct_methods_matrix",
+    oracle="""
+        WITH e AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+            FROM events
+        )
+        SELECT m.method, e.exact, TRUE AS within_5pct
+        FROM e, (VALUES ('exact'), ('bitmap_exact'), ('hllpp_approx'),
+                        ('datasketches_hll')) m(method)
+    """,
+    scale=(
+        "The distinct-counting decision table as ONE op — every method "
+        "the engine offers, run on the same column, audited against the "
+        "same truth: exact count(DISTINCT) (full shuffle of keys), "
+        "bitmap_construct_agg (exact AND mergeable — the right answer "
+        "for dense integer keys), approx_count_distinct's HLL++ "
+        "(internal sketch, one pass), and DataSketches HLL (storable/"
+        "re-unionable sketch column). The within-5% verdicts make the "
+        "accuracy-vs-state tradeoff inspectable; at 100 TB this matrix "
+        "is exactly the benchmark you run once per key family before "
+        "choosing the nightly-rollup representation."
+    ),
+)
+def agg_distinct_methods_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every distinct-count method vs exact truth, one audited row each."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("user_id")
+    exact_df = ev.agg(F.count_distinct(key).alias("v"))
+    # Bitmap: position-bucketed exact distinct (mergeable partial state).
+    bitmap_df = (
+        ev.groupBy((key / 32768).cast("long").alias("bk"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position(key)).alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("v"))
+    )
+    hllpp_df = ev.agg(F.approx_count_distinct(key, 0.01).alias("v"))
+    ds_df = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(key, F.lit(12))).alias("v")
+    )
+    legs = [
+        ("exact", exact_df),
+        ("bitmap_exact", bitmap_df),
+        ("hllpp_approx", hllpp_df),
+        ("datasketches_hll", ds_df),
+    ]
+    out = None
+    for name, df in legs:
+        leg = df.crossJoin(F.broadcast(exact_df.select(F.col("v").alias("exact")))).select(
+            F.lit(name).alias("method"),
+            "exact",
+            (F.abs(F.col("v") - F.col("exact")) <= 0.05 * F.col("exact")).alias(
+                "within_5pct"
+            ),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

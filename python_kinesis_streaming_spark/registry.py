@@ -338,6 +338,7 @@ _GRADING_PRIORITY = [
     "feat_percentile_rank_normalize",
     "events_churn_last_touch",
     "orders_rolling_12m_revenue",
+    "agg_distinct_methods_matrix",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

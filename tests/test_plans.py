@@ -217,6 +217,8 @@ BNLJ_ALLOWED = {
     "funnel_three_step_windowed",  # three 1-row step-count scalars joined
     "part_assortment_gaps",  # 25-brand × 50-size dim grid + 1-row size count
     "sink_sketch_roundtrip",  # 1-row merged estimate × 1-row direct audit
+    "agg_distinct_methods_matrix",  # four 1-row method legs × 1-row truth
+    "events_churn_last_touch",  # 5-row last-type groups × 1-row denominator
     "agg_chi_square",  # 1-row statistic × 1-row degrees-of-freedom
     "emb_hamming_knn",  # corpus × 1-row broadcast query signature
     "corpus_sample_weighted",  # |sources| rate rows × 1-row grand total
