@@ -46,6 +46,9 @@ __all__ = [
     "pack_sequences",
     "quantize_embeddings",
     "gap_fill",
+    "time_weighted_avg",
+    "velocity_features",
+    "interpolate_hourly",
     "merge_intervals",
     "scd2",
     "nearest_event_join",
@@ -917,4 +920,123 @@ def shard_assign(
         "shard", md5_hash64(F.col(id_col).cast("string"), seed=seed) % n_shards
     ).withColumn(
         "pos_key", md5_hash64(F.col(id_col).cast("string"), seed=seed + 4)
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame, key: str, ts: str, value_col: str
+) -> DataFrame:
+    """Time-weighted average per key (registry op ``ts_time_weighted_avg``
+    generalized): each observation is weighted by its holding duration
+    until the next one. Returns (key, n_segments, twa_value, naive_avg);
+    the twa-vs-naive gap measures sampling bias. One lead() per key, two
+    mergeable sums."""
+    w = Window.partitionBy(key).orderBy(ts)
+    seg = (
+        df.select(
+            key,
+            F.col(value_col).alias("_v"),
+            F.unix_micros(F.col(ts)).alias("_us"),
+        )
+        .withColumn("_next", F.lead("_us").over(
+            Window.partitionBy(key).orderBy("_us")
+        ))
+        .where(F.col("_next").isNotNull())
+        .withColumn("_dur", F.col("_next") - F.col("_us"))
+    )
+    _ = w  # single ordering reused above
+    return seg.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        (F.sum(F.col("_v") * F.col("_dur")) / F.sum("_dur")).alias(
+            "twa_value"
+        ),
+        F.avg("_v").alias("naive_avg"),
+    )
+
+
+def velocity_features(
+    df: DataFrame, key: str, ts: str, horizons_hours: Sequence[int] = (1, 6, 24)
+) -> DataFrame:
+    """Trailing event-count features per row at several horizons (registry
+    op ``feat_velocity_multi_horizon`` generalized). All horizons share one
+    window spec, so Spark computes them in a single Window operator over a
+    single exchange — adding horizons is free."""
+    out = df.withColumn("_us", F.unix_micros(F.col(ts)))
+    for h in horizons_hours:
+        w = (
+            Window.partitionBy(key)
+            .orderBy("_us")
+            .rangeBetween(-h * 3_600_000_000, Window.currentRow)
+        )
+        out = out.withColumn(f"n_{h}h", F.count(F.lit(1)).over(w))
+    return out.drop("_us")
+
+
+def interpolate_hourly(
+    df: DataFrame, key: str, ts: str, value_col: str
+) -> DataFrame:
+    """Linear interpolation of an irregular gauge onto hourly marks
+    (registry op ``ts_linear_interpolate`` generalized): union-spine +
+    IGNORE NULLS bracketing, zero joins between spine and points."""
+    pts = df.select(
+        F.col(key).alias("_k"),
+        F.unix_micros(F.col(ts)).alias("_us"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.lit(0).alias("_sp"),
+    )
+    bounds = df.groupBy(F.col(key).alias("_k")).agg(
+        (
+            F.date_trunc("hour", F.min(ts)) + F.expr("INTERVAL 1 HOUR")
+        ).alias("_h0"),
+        F.date_trunc("hour", F.max(ts)).alias("_h1"),
+    )
+    spine = bounds.select(
+        "_k",
+        F.explode(F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "_h"
+        ),
+    ).select(
+        "_k",
+        F.unix_micros("_h").alias("_us"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(1).alias("_sp"),
+    )
+    u = pts.unionByName(spine)
+    wp = (
+        Window.partitionBy("_k")
+        .orderBy("_us", "_sp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("_k")
+        .orderBy("_us", "_sp")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pus = F.when(F.col("_v").isNotNull(), F.col("_us"))
+    ctx = u.select(
+        "_k",
+        "_us",
+        "_sp",
+        F.last("_v", ignorenulls=True).over(wp).alias("_pv"),
+        F.last(pus, ignorenulls=True).over(wp).alias("_pus"),
+        F.first("_v", ignorenulls=True).over(wn).alias("_nv"),
+        F.first(pus, ignorenulls=True).over(wn).alias("_nus"),
+    )
+    interp = F.when(F.col("_nus") == F.col("_pus"), F.col("_pv")).otherwise(
+        F.col("_pv")
+        + (F.col("_nv") - F.col("_pv"))
+        * (F.col("_us") - F.col("_pus"))
+        / (F.col("_nus") - F.col("_pus"))
+    )
+    return (
+        ctx.where(
+            (F.col("_sp") == 1)
+            & F.col("_pv").isNotNull()
+            & F.col("_nv").isNotNull()
+        )
+        .select(
+            F.col("_k").alias(key),
+            F.timestamp_micros(F.col("_us")).alias("hour"),
+            interp.alias("interp_value"),
+        )
     )

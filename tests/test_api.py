@@ -534,3 +534,40 @@ def test_shard_assign_matches_registry(spark, sf_dir):
     )
     assert manifest.exceptAll(reg).count() == 0
     assert reg.exceptAll(manifest).count() == 0
+
+
+def test_time_weighted_avg_matches_registry(spark, sf_dir):
+    from python_kinesis_streaming_spark.functions.rounding import rnd
+
+    ev = load_table(spark, sf_dir, "events")
+    out = api.time_weighted_avg(ev, key="user_id", ts="ts", value_col="value").select(
+        "user_id",
+        "n_segments",
+        rnd(F.col("twa_value"), 4).alias("twa_value"),
+        rnd(F.col("naive_avg"), 4).alias("naive_avg"),
+    )
+    expected = Q["ts_time_weighted_avg"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_velocity_features_matches_registry(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = api.velocity_features(ev, key="user_id", ts="ts").select(
+        "event_id", "user_id", "n_1h", "n_6h", "n_24h"
+    )
+    expected = Q["feat_velocity_multi_horizon"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_interpolate_hourly_matches_registry(spark, sf_dir):
+    from python_kinesis_streaming_spark.functions.rounding import rnd
+
+    ev = load_table(spark, sf_dir, "events")
+    out = api.interpolate_hourly(ev, key="user_id", ts="ts", value_col="value").select(
+        "user_id", "hour", rnd(F.col("interp_value"), 4).alias("interp_value")
+    )
+    expected = Q["ts_linear_interpolate"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
