@@ -1405,3 +1405,35 @@ def fn_mask_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("masked_keep_prefix"),
     )
+
+
+@op(
+    "fn_sql_cluster_by",
+    oracle="""
+        SELECT user_id, event_id, event_type, value
+        FROM events WHERE event_type IN ('click', 'view')
+    """,
+    scale=(
+        "DISTRIBUTE BY / CLUSTER BY surface: CLUSTER BY user_id compiles "
+        "to a hash repartition on the key plus a partition-LOCAL sort — "
+        "no global ordering, no single-reducer range exchange — which is "
+        "precisely the write-side layout step before a bucketed/sorted "
+        "table dump (sink-side twin of join_bucketed's read side). The "
+        "result MULTISET equals the plain filter (the oracle), because "
+        "clustering only moves rows; the plan shape (Exchange "
+        "hashpartitioning + local Sort) is the actual artifact and is "
+        "pinned in tests/test_plans.py."
+    ),
+)
+def fn_sql_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER BY query: co-locate + locally sort rows by user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("pkss_cluster_events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id, event_type, value
+        FROM pkss_cluster_events
+        WHERE event_type IN ('click', 'view')
+        CLUSTER BY user_id
+        """
+    )

@@ -339,6 +339,7 @@ _GRADING_PRIORITY = [
     "events_churn_last_touch",
     "orders_rolling_12m_revenue",
     "agg_distinct_methods_matrix",
+    "fn_sql_cluster_by",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

@@ -459,3 +459,11 @@ def test_recursive_cte_runs_as_union_loop(spark, sf_dir, no_table_cache):
     node (engine-side recursion), not via any driver-side expansion."""
     p = plan_of(Q["fn_sql_recursive_cte"](spark, sf_dir))
     assert "UnionLoop" in p, p
+
+
+def test_cluster_by_is_hash_exchange_plus_local_sort(spark, sf_dir, no_table_cache):
+    """CLUSTER BY must plan a hash repartition + partition-local sort —
+    never a global (range-exchange) sort."""
+    p = plan_of(Q["fn_sql_cluster_by"](spark, sf_dir))
+    assert "hashpartitioning" in p, p
+    assert "rangepartitioning" not in p, p
