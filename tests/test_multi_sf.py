@@ -49,6 +49,17 @@ REPRESENTATIVE = [
     "corpus_length_batching", # log2 bucket math over varying doc lengths
     "text_ngram_novelty",     # >=3-token guard + first-occurrence join-back
     "ts_seasonal_decompose",  # 7-day-window NULL guard at short spans
+    # round-4 continuation ops with size-sensitive logic
+    "ts_linear_interpolate",  # per-user spine spans at varying densities
+    "events_markov_accuracy",  # temporal split must be non-degenerate
+    "funnel_three_step_windowed",  # step scarcity at small SFs (null-safe rates)
+    "corpus_cross_source_leakage",  # every-25th injection at varying doc counts
+    "ts_rolling_distinct_hll",  # 7-day frames over varying day spans
+    "events_attribution_time_decay",  # lookback pair density
+    "dedup_eval_precision_recall",  # injected-truth set size varies
+    "emb_knn_graph",  # label-block sizes at sf0.1 (2000 vecs)
+    "scan_csv_malformed",  # fixed 20-row injection over varying exports
+    "agg_minhash_jaccard",  # per-type audience sizes vary
 ]
 
 
