@@ -1242,3 +1242,118 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(interp, 4).alias("interp_value"),
         )
     )
+
+
+@op(
+    "ts_forecast_backtest",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS DOUBLE) AS cents
+            FROM events GROUP BY 1
+        ),
+        train AS (
+            SELECT list(cents ORDER BY d) AS xs,
+                   max(d) AS last_d, count(*) AS n_train
+            FROM daily WHERE d < TIMESTAMP '2024-01-24'
+        ),
+        fitted AS (
+            SELECT last_d, n_train,
+                   list_reduce(
+                       list_prepend([xs[1], 0.0::DOUBLE],
+                           list_transform(xs[2:], x -> [x, 0.0::DOUBLE])),
+                       (acc, s) -> [
+                           0.6::DOUBLE * s[1]
+                               + 0.4::DOUBLE * (acc[1] + acc[2]),
+                           0.3::DOUBLE * (0.6::DOUBLE * s[1]
+                               + 0.4::DOUBLE * (acc[1] + acc[2]) - acc[1])
+                               + 0.7::DOUBLE * acc[2]]) AS hw
+            FROM train
+        ),
+        scored AS (
+            SELECT f.n_train,
+                   abs(t.cents - (f.hw[1]
+                       + date_diff('day', f.last_d, t.d) * f.hw[2]))
+                       AS abs_err,
+                   abs(t.cents - (f.hw[1]
+                       + date_diff('day', f.last_d, t.d) * f.hw[2]))
+                       / t.cents AS rel_err
+            FROM daily t, fitted f
+            WHERE t.d >= TIMESTAMP '2024-01-24'
+        )
+        SELECT CAST(max(n_train) AS BIGINT) AS n_train_days,
+               CAST(count(*) AS BIGINT) AS n_test_days,
+               {sql_rnd("avg(abs_err) / 100.0", 2)} AS mae_dollars,
+               {sql_rnd("avg(rel_err)", 4)} AS mape
+        FROM scored
+    """,
+    scale=(
+        "Forecast backtesting inside the engine: fit Holt level+trend on "
+        "the pre-cutoff daily series (the proven bounded in-row fold — "
+        "identical double arithmetic both engines, LIST accumulator per "
+        "the DuckDB struct-fold quirk), project h-step-ahead onto the "
+        "holdout week, and report MAE/MAPE — the number that decides "
+        "whether the forecast ships. The fold runs over ~23 daily "
+        "aggregates regardless of raw volume (the reduction happened "
+        "first), the fitted state broadcasts as one row, and the "
+        "integer-cents daily totals make the recursion bit-exact. "
+        "Backtest-before-deploy as a single query."
+    ),
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt backtest: fit on days < Jan 24, score MAE/MAPE on the rest."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).cast("double").alias("cents")
+    )
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    train = daily.where(F.col("d") < cutoff).agg(
+        F.array_sort(F.collect_list(F.struct("d", "cents"))).alias("a"),
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).alias("n_train"),
+    )
+    hw = F.expr(
+        "aggregate(slice(a, 2, size(a) - 1), "
+        "named_struct('l', CAST(element_at(a, 1).cents AS DOUBLE), "
+        "             'b', CAST(0.0 AS DOUBLE)), "
+        "(acc, s) -> named_struct("
+        "  'l', 0.6D * s.cents + 0.4D * (acc.l + acc.b), "
+        "  'b', 0.3D * (0.6D * s.cents + 0.4D * (acc.l + acc.b) - acc.l) "
+        "       + 0.7D * acc.b))"
+    )
+    fitted = train.select(
+        "last_d",
+        "n_train",
+        hw.getField("l").alias("l"),
+        hw.getField("b").alias("b"),
+    )
+    test = daily.where(F.col("d") >= cutoff)
+    scored = test.crossJoin(F.broadcast(fitted)).select(
+        "n_train",
+        F.abs(
+            F.col("cents")
+            - (
+                F.col("l")
+                + F.datediff(F.col("d"), F.col("last_d")) * F.col("b")
+            )
+        ).alias("abs_err"),
+        (
+            F.abs(
+                F.col("cents")
+                - (
+                    F.col("l")
+                    + F.datediff(F.col("d"), F.col("last_d")) * F.col("b")
+                )
+            )
+            / F.col("cents")
+        ).alias("rel_err"),
+    )
+    return scored.agg(
+        F.max("n_train").alias("n_train_days"),
+        F.count(F.lit(1)).alias("n_test_days"),
+        rnd(F.avg("abs_err") / 100.0, 2).alias("mae_dollars"),
+        rnd(F.avg("rel_err"), 4).alias("mape"),
+    )

@@ -340,6 +340,7 @@ _GRADING_PRIORITY = [
     "orders_rolling_12m_revenue",
     "agg_distinct_methods_matrix",
     "fn_sql_cluster_by",
+    "ts_forecast_backtest",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
