@@ -341,6 +341,7 @@ _GRADING_PRIORITY = [
     "agg_distinct_methods_matrix",
     "fn_sql_cluster_by",
     "ts_forecast_backtest",
+    "part_brand_positioning",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
