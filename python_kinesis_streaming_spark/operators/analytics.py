@@ -3663,3 +3663,64 @@ def part_brand_positioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_cents",
         quadrant.alias("quadrant"),
     )
+
+
+@op(
+    "part_single_source_risk",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.505)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        agg AS (
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   CAST(max(cents) AS BIGINT) AS top_cents
+            FROM ps GROUP BY l_partkey
+        )
+        SELECT l_partkey, n_suppliers,
+               floor((CAST(top_cents AS DOUBLE) / total_cents)
+                     * 10000.0 + 0.505) / 10000.0 AS top_supplier_share,
+               n_suppliers = 1 OR CAST(top_cents AS DOUBLE) / total_cents
+                   > 0.8 AS single_source_risk
+        FROM agg
+    """,
+    scale=(
+        "Procurement single-source risk: two stacked partial aggs — "
+        "(part, supplier) revenue, then per-part count/total/max — both "
+        "mergeable, the second riding the first's partitioning (one "
+        "shuffle on l_partkey covers both after AQE reuses the "
+        "exchange). max-share needs no window: max(cents)/sum(cents) "
+        "per group IS the top-supplier share. The risk flag (sole "
+        "supplier OR >80% concentration) is the supply-chain paging "
+        "condition; same two-level shape as events_audience_overlap's "
+        "reductions."
+    ),
+)
+def part_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part supplier concentration and single-source risk flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.505)).cast(
+                "long"
+            )
+        ).alias("cents")
+    )
+    agg = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("cents").alias("total_cents"),
+        F.max("cents").alias("top_cents"),
+    )
+    share = F.col("top_cents").cast("double") / F.col("total_cents")
+    return agg.select(
+        "l_partkey",
+        "n_suppliers",
+        rnd(share, 4).alias("top_supplier_share"),
+        ((F.col("n_suppliers") == 1) | (share > 0.8)).alias(
+            "single_source_risk"
+        ),
+    )

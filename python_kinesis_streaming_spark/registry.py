@@ -342,6 +342,7 @@ _GRADING_PRIORITY = [
     "fn_sql_cluster_by",
     "ts_forecast_backtest",
     "part_brand_positioning",
+    "part_single_source_risk",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
