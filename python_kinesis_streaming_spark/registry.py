@@ -343,6 +343,7 @@ _GRADING_PRIORITY = [
     "ts_forecast_backtest",
     "part_brand_positioning",
     "part_single_source_risk",
+    "dedup_survivorship_golden",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
