@@ -60,6 +60,9 @@ REPRESENTATIVE = [
     "emb_knn_graph",  # label-block sizes at sf0.1 (2000 vecs)
     "scan_csv_malformed",  # fixed 20-row injection over varying exports
     "agg_minhash_jaccard",  # per-type audience sizes vary
+    "ts_forecast_backtest",  # train/holdout split must hold at any density
+    "dedup_survivorship_golden",  # every-25th injection at varying doc counts
+    "part_brand_positioning",  # per-brand medians over varying fact sizes
 ]
 
 
