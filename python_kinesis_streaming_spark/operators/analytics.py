@@ -3806,3 +3806,58 @@ def orders_priority_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("attainment"),
         )
     )
+
+
+@op(
+    "li_discount_tax_grid",
+    oracle="""
+        SELECT CAST(floor(l_discount * 100 + 0.5) AS INTEGER)
+                   AS discount_pct,
+               CAST(floor(l_tax * 100 + 0.5) AS INTEGER) AS tax_pct,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 100 + 0.505)
+                             AS BIGINT)) AS BIGINT) AS net_cents,
+               floor(avg(l_quantity) * 10000.0 + 0.505) / 10000.0
+                   AS avg_qty
+        FROM lineitem
+        GROUP BY 1, 2
+    """,
+    scale=(
+        "Pricing-interaction heatmap: the (discount, tax) percentage "
+        "pair is a bounded 11x9 grid, so the whole fact collapses "
+        "map-side to <=99 rows per task before the one shuffle — the "
+        "2D-grid GROUP BY is the cheapest possible interaction readout "
+        "and the input a pricing model trains its interaction terms "
+        "on. Net revenue flows as integer cents (floor before sum, "
+        "HUGEINT-proof); the grid joins naturally onto "
+        "li_discount_uplift's 1D marginal for lift-vs-interaction "
+        "comparison."
+    ),
+)
+def li_discount_tax_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue and volume over the discount x tax percentage grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("int")
+            .alias("discount_pct"),
+            F.floor(F.col("l_tax") * 100 + F.lit(0.5))
+            .cast("int")
+            .alias("tax_pct"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                    + F.lit(0.505)
+                ).cast("long")
+            ).alias("net_cents"),
+            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )

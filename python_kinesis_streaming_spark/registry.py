@@ -345,6 +345,7 @@ _GRADING_PRIORITY = [
     "part_single_source_risk",
     "dedup_survivorship_golden",
     "orders_priority_sla_attainment",
+    "li_discount_tax_grid",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
