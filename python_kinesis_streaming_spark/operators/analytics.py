@@ -3861,3 +3861,89 @@ def li_discount_tax_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
         )
     )
+
+
+@op(
+    "events_day_n_retention",
+    oracle="""
+        WITH signup AS (
+            SELECT user_id,
+                   min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS s_day
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+            FROM events
+        ),
+        offsets AS (
+            SELECT s.user_id,
+                   date_diff('day', s.s_day, a.d) AS off
+            FROM signup s JOIN activity a ON a.user_id = s.user_id
+        )
+        SELECT CAST((SELECT count(*) FROM signup) AS BIGINT) AS n_signups,
+               CAST(count(DISTINCT CASE WHEN off = 1 THEN user_id END)
+                    AS BIGINT) AS d1_retained,
+               CAST(count(DISTINCT CASE WHEN off = 7 THEN user_id END)
+                    AS BIGINT) AS d7_retained,
+               CAST(count(DISTINCT CASE WHEN off = 14 THEN user_id END)
+                    AS BIGINT) AS d14_retained,
+               floor((CAST(count(DISTINCT CASE WHEN off = 1
+                                 THEN user_id END) AS DOUBLE)
+                      / (SELECT count(*) FROM signup)) * 10000.0
+                     + 0.505) / 10000.0 AS d1_rate,
+               floor((CAST(count(DISTINCT CASE WHEN off = 7
+                                 THEN user_id END) AS DOUBLE)
+                      / (SELECT count(*) FROM signup)) * 10000.0
+                     + 0.505) / 10000.0 AS d7_rate,
+               floor((CAST(count(DISTINCT CASE WHEN off = 14
+                                 THEN user_id END) AS DOUBLE)
+                      / (SELECT count(*) FROM signup)) * 10000.0
+                     + 0.505) / 10000.0 AS d14_rate
+        FROM offsets
+    """,
+    scale=(
+        "Day-N retention (D1/D7/D14 — the growth metric): anchor day is "
+        "a per-user min over signup events, activity reduces to distinct "
+        "(user, day) BEFORE the join (both sides user-partitioned, one "
+        "shuffle each), and all three horizons come from conditional "
+        "distinct-counts over the SAME offset relation — adding D30 "
+        "costs one more CASE, not another scan. Contrast "
+        "events_user_lifecycle_states (calendar-week states) and "
+        "retention_cohort (cohort matrix): this is the anchored-offset "
+        "form product dashboards headline."
+    ),
+)
+def events_day_n_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D7/D14 retention anchored on each user's first signup day."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = ev.where(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min(F.date_trunc("day", "ts")).alias("s_day"))
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    offsets = signup.join(activity, "user_id").select(
+        "user_id", F.datediff(F.col("d"), F.col("s_day")).alias("off")
+    )
+    n_signups = signup.agg(F.count(F.lit(1)).alias("n_signups"))
+
+    def retained(n):
+        return F.count_distinct(
+            F.when(F.col("off") == n, F.col("user_id"))
+        )
+
+    agg = offsets.agg(
+        retained(1).alias("d1_retained"),
+        retained(7).alias("d7_retained"),
+        retained(14).alias("d14_retained"),
+    )
+    return agg.crossJoin(F.broadcast(n_signups)).select(
+        "n_signups",
+        "d1_retained",
+        "d7_retained",
+        "d14_retained",
+        rnd(F.col("d1_retained").cast("double") / F.col("n_signups"), 4).alias("d1_rate"),
+        rnd(F.col("d7_retained").cast("double") / F.col("n_signups"), 4).alias("d7_rate"),
+        rnd(F.col("d14_retained").cast("double") / F.col("n_signups"), 4).alias("d14_rate"),
+    )

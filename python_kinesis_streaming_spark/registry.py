@@ -346,6 +346,7 @@ _GRADING_PRIORITY = [
     "dedup_survivorship_golden",
     "orders_priority_sla_attainment",
     "li_discount_tax_grid",
+    "events_day_n_retention",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

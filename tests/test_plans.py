@@ -220,6 +220,7 @@ BNLJ_ALLOWED = {
     "agg_distinct_methods_matrix",  # four 1-row method legs × 1-row truth
     "ts_forecast_backtest",  # holdout days × 1-row fitted (level, trend) state
     "part_brand_positioning",  # 25 brand rows × 1-row global split points
+    "events_day_n_retention",  # 1-row horizon aggregate × 1-row signup count
     "events_churn_last_touch",  # 5-row last-type groups × 1-row denominator
     "agg_chi_square",  # 1-row statistic × 1-row degrees-of-freedom
     "emb_hamming_knn",  # corpus × 1-row broadcast query signature
