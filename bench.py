@@ -7,7 +7,7 @@ ONE JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
 Method mirrors the baseline measurement (BASELINE.md §Notes): one shared
 SparkSession, inputs cached + materialized before timing, AQE on, shuffle
 partitions low, best-of-3 wall time with results fully collected. Each
-query gets FOUR untimed warm-up runs (was one) before its three timed runs:
+query gets SIX untimed warm-up runs (was one) before its three timed runs:
 the timed method stays the baseline's best-of-3, but every headline query
 is ms-scale where local-mode JIT warm-up and scheduler/GC jitter of
 ±10-30 ms per run would otherwise be what best-of-3 samples (PERF.md §r2
@@ -33,7 +33,7 @@ from python_kinesis_streaming_spark.sources.tables import load_table  # noqa: E4
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 RUNS = 3
-WARMUPS = 4
+WARMUPS = 6
 
 
 def sf_from_dir(d: str) -> float:

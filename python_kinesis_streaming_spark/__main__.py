@@ -43,6 +43,18 @@ def _build_parser() -> argparse.ArgumentParser:
 
     p_orc = sub.add_parser("oracle", help="print an op's oracle SQL")
     p_orc.add_argument("op")
+
+    p_exp = sub.add_parser(
+        "explain", help="print an op's physical plan (cache-bypassed scans)"
+    )
+    p_exp.add_argument("op")
+    p_exp.add_argument(
+        "--mode", default="formatted", help="simple|extended|codegen|cost|formatted"
+    )
+    p_exp.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
     return p
 
 
@@ -78,6 +90,17 @@ def main(argv: list[str] | None = None) -> int:
         app_name=f"pkss-cli-{args.op}",
         master=os.environ.get("SPARK_GRAFT_MASTER", "local[*]"),
     )
+
+    if args.cmd == "explain":
+        from python_kinesis_streaming_spark.plans import uncached_plan_of
+
+        print(
+            uncached_plan_of(
+                queries[args.op], spark, args.sf_dir, mode=args.mode
+            )
+        )
+        return 0
+
     df = queries[args.op](spark, args.sf_dir)
     if args.explain:
         df.explain("formatted")

@@ -64,61 +64,8 @@ _loaded = False
 # CORRECTNESS_r*.json: fixed-this-round ops first (regrade), then the
 # never-graded block, then the next-up block for the following round.
 _GRADING_PRIORITY = [
-    # round-4 window: regrade the 5 ops fixed this round (NTZ timestamps,
-    # HUGEINT-vs-BIGINT oracle dtypes) ...
-    "cdc_upsert_compact",
-    "join_stream_stream",
-    "text_langid",
-    "text_token_count",
-    "pipeline_clean_corpus",
-    # ... then 45 never-graded SQL-oracled ops
-    "agg_rollup",
-    "agg_mode",
-    "batch_sessionize",
-    "sample_stratified",
-    "join_range_bucketed",
-    "text_ngram_freq",
-    "emb_normalize_quantize",
-    "pipeline_train_test_split",
-    "corpus_pack_sequences",
-    "funnel_conversion",
-    "retention_cohort",
-    "join_full_outer",
-    "win_cume_dist",
-    "dedup_keep_canonical",
-    "multimodal_frame_sample",
-    "fn_regex",
-    "source_json_corrupt",
-    "events_path_transitions",
-    "win_gaps_islands",
-    "agg_weighted_avg",
-    "join_asof_forward",
-    "fn_encoding",
-    "win_moving_zscore",
-    "agg_entropy",
-    "fn_null_handling",
-    "udf_arrow_optimized",
-    "agg_sketch_merge",
-    "fn_map_construct",
-    "q20_nested_semi",
-    "text_sentence_split",
-    "win_head_tail_sample",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "fn_bitwise",
-    "fn_struct",
-    "fn_hash",
-    "agg_bool",
-    "agg_approx_quantile",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_topk",
-    "q14_promo_ratio",
-    "q15_top_supplier",
-    "q18_large_orders",
-    # next-up block (round-5 window): remaining never-graded ops,
-    # rows-only ops last
+    # round-5 window: next 50 never-driver-graded ops (r04 was 50/50 green,
+    # so no regrades; the 50 r04-graded names rotated to the back)
     "q19_disjunctive_pred",
     "q22_idle_above_avg",
     "ts_gap_fill",

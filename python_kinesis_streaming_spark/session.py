@@ -44,17 +44,39 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Spark's production state-store backend for stateful streaming: keeps
+#: state on executor-local disk (RocksDB) instead of the executor heap, the
+#: standard choice once aggregate state exceeds memory (100 TB streams).
+#: Dynamic per-query? No — it's a session conf, so it must be set at build
+#: time; ``rocksdb_state_store=True`` opts a session in.
+ROCKSDB_STATE_STORE_CONFS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    # Bound RocksDB block-cache memory per executor rather than the unbounded
+    # default; changelog checkpointing ships deltas, not full SST uploads.
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
 def build_session(
     app_name: str = "python-kinesis-streaming-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_confs: dict[str, str] | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
     """Build a session with the engine's defaults.
 
     AQE is left on (its runtime re-planning — partition coalescing, skew-join
     splitting, SMJ→broadcast conversion — is a core part of the 100 TB
-    design, SURVEY.md §4).
+    design, SURVEY.md §4). ``rocksdb_state_store=True`` switches stateful
+    streaming to the RocksDB provider (``ROCKSDB_STATE_STORE_CONFS``) — the
+    at-scale configuration cited in streaming/ops.py scale notes.
     """
     builder = SparkSession.builder.appName(app_name)
     if master:
@@ -70,6 +92,8 @@ def build_session(
     }
     if shuffle_partitions is not None:
         confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if rocksdb_state_store:
+        confs.update(ROCKSDB_STATE_STORE_CONFS)
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

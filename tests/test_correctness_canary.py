@@ -1,0 +1,65 @@
+"""Driver-green regression canary (VERDICT r4, item 7).
+
+Every op name that ever earned a driver CORRECTNESS row must (a) still be
+registered under that exact name, (b) still carry a SQL oracle if it was
+hash-graded, and (c) sit BEHIND the never-graded block in ``queries()``
+order so the per-round grading window keeps converting backlog, not
+re-grading proven ops. Value-level parity for these ops is already covered
+by test_oracle_parity (parameterized over every registered oracle); this
+file guards against registry churn silently orphaning a driver-green name.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from python_kinesis_streaming_spark.registry import all_oracles, all_queries
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _graded() -> dict[str, dict]:
+    """Union of all CORRECTNESS_r*.json rows, later rounds winning."""
+    rows: dict[str, dict] = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rows.update(json.load(open(f)))
+    return rows
+
+GRADED = _graded()
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+def test_some_correctness_history_exists():
+    assert len(GRADED) >= 140, "driver CORRECTNESS history went missing"
+
+
+@pytest.mark.parametrize("name", sorted(GRADED))
+def test_driver_green_op_still_registered(name):
+    assert name in QUERIES, f"driver-graded op {name!r} dropped from registry"
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n, row in GRADED.items() if row.get("hash_match")),
+)
+def test_hash_graded_op_still_has_oracle(name):
+    assert name in ORACLES, (
+        f"{name!r} was hash-graded driver-green but lost its SQL oracle "
+        "(would silently downgrade to rows-only)"
+    )
+
+
+def test_grading_window_is_never_graded_ops():
+    """The first 50 names in queries() order — the driver's grading window —
+    must all be never-graded while a backlog remains (rotation discipline)."""
+    backlog = [n for n in QUERIES if n not in GRADED]
+    if len(backlog) < 50:
+        pytest.skip("backlog nearly drained; window may include regrades")
+    window = list(QUERIES)[:50]
+    regraded = [n for n in window if n in GRADED]
+    assert not regraded, f"window wastes grades on already-green ops: {regraded}"

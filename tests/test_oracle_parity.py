@@ -21,7 +21,23 @@ def test_oracle_parity(name, spark, duck, sf_dir):
     assert_twin_match(spark_df, duck_df, name)
 
 
-@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+_ROWS_ONLY = sorted(set(_QUERIES) - set(_ORACLES))
+
+
+def test_every_op_is_sql_oracled():
+    """Since round 4 every registered op carries a SQL oracle — the driver's
+    strong (hash) gate applies to all of them. A new rows-only op would both
+    fail here (deliberate friction: write the oracle) and re-enable the
+    parameterized fallback below."""
+    assert _ROWS_ONLY == [], f"rows-only ops appeared: {_ROWS_ONLY}"
+
+
+@pytest.mark.skipif(
+    not _ROWS_ONLY,
+    reason="no rows-only ops: all registered ops are SQL-oracled "
+    "(asserted by test_every_op_is_sql_oracled)",
+)
+@pytest.mark.parametrize("name", _ROWS_ONLY or ["<empty>"])
 def test_rows_only_runs(name, spark, sf_dir):
     """Ops without an oracle still must run and return a stable schema."""
     df = _QUERIES[name](spark, sf_dir)

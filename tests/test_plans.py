@@ -28,9 +28,7 @@ def no_table_cache(monkeypatch, spark):
     tables._CACHE.clear()  # stale entries are no longer persisted; re-cache lazily
 
 
-def plan_of(df, mode: str = "formatted") -> str:
-    sc = df.sparkSession.sparkContext
-    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+from python_kinesis_streaming_spark.plans import plan_of  # noqa: E402
 
 
 def test_filter_pushdown_reaches_parquet(spark, sf_dir, no_table_cache):
@@ -470,3 +468,43 @@ def test_cluster_by_is_hash_exchange_plus_local_sort(spark, sf_dir, no_table_cac
     p = plan_of(Q["fn_sql_cluster_by"](spark, sf_dir))
     assert "hashpartitioning" in p, p
     assert "rangepartitioning" not in p, p
+
+
+def test_cbo_stats_reach_the_plan(spark, sf_dir, no_table_cache):
+    """ANALYZE TABLE stats must flow into the optimized plan: after
+    register+analyze, cost-mode explain carries rowCount estimates, and a
+    star join over the CATALOG tables (stats attached) broadcasts the dims
+    under CBO. This converts SURVEY §4's CBO plan from doc to code."""
+    from python_kinesis_streaming_spark.plans import plan_of
+    from python_kinesis_streaming_spark.sources.stats import (
+        CBO_CONFS,
+        analyze_tables,
+        enable_cbo,
+        register_catalog_tables,
+        table_stats,
+    )
+
+    cats = register_catalog_tables(spark, sf_dir, ["nation", "region", "customer"])
+    analyze_tables(spark, cats, columns={c: None for c in cats})
+    nation, region, customer = cats
+
+    stats = table_stats(spark, nation)
+    assert "rows" in stats.get("Statistics", ""), stats
+
+    prev = {k: spark.conf.get(k, None) for k in CBO_CONFS}
+    enable_cbo(spark)
+    try:
+        df = spark.sql(f"""
+            SELECT r.r_name, count(*) AS n
+            FROM {customer} c
+            JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+            JOIN {region} r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """)
+        cost = plan_of(df, "cost")
+        assert "rowCount=" in cost, "CBO stats absent from optimized plan"
+        assert plan_of(df).count("BroadcastHashJoin") >= 2
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
