@@ -56,10 +56,21 @@ def test_hash_graded_op_still_has_oracle(name):
 
 def test_grading_window_is_never_graded_ops():
     """The first 50 names in queries() order — the driver's grading window —
-    must all be never-graded while a backlog remains (rotation discipline)."""
+    must all be never-graded while a backlog remains (rotation discipline).
+
+    'Never graded' deliberately excludes the NEWEST CORRECTNESS file: the
+    driver grades the current window and writes that file BEFORE the next
+    round's rotation lands, so at judging time the freshest file always
+    covers the still-current window. Comparing against all earlier rounds
+    still catches real rotation failures (a window name graded ≥2 rounds
+    ago means the rotation was skipped or mis-ordered)."""
+    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    graded_before_latest: set[str] = set()
+    for f in files[:-1]:
+        graded_before_latest |= set(json.load(open(f)))
     backlog = [n for n in QUERIES if n not in GRADED]
     if len(backlog) < 50:
         pytest.skip("backlog nearly drained; window may include regrades")
     window = list(QUERIES)[:50]
-    regraded = [n for n in window if n in GRADED]
-    assert not regraded, f"window wastes grades on already-green ops: {regraded}"
+    stale = [n for n in window if n in graded_before_latest]
+    assert not stale, f"window wastes grades on already-green ops: {stale}"
