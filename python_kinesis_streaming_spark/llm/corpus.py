@@ -641,17 +641,27 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale=(
         "Token-budget epoch planning: docs in the reproducible shuffle "
         "order (md5 pos key), prefix-summed token counts cut into 5k-token "
-        "epochs. The global running sum is the one non-scalable piece — at "
-        "100 TB plan per shard (corpus_shard_assign) with per-shard "
-        "budgets and carry the shard totals (a |shards|-row cumsum on the "
-        "driver-free two-level pattern); everything else is map-side. The "
-        "manifest (docs + tokens per epoch) is what the training loader "
-        "consumes."
+        "epochs. The global prefix sum is TWO-LEVEL, never a global sort: "
+        "range-bucket on the uniform 60-bit pos key (order-preserving), "
+        "cumsum inside each bucket under a partitioned window, then add "
+        "each bucket's cumulative offset (a |buckets|-row aggregate, "
+        "broadcast back). At 100 TB the per-bucket windows run fully "
+        "parallel and the only global state is the 64-row offset table; "
+        "everything else is map-side. The manifest (docs + tokens per "
+        "epoch) is what the training loader consumes."
     ),
 )
 def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign docs (in deterministic shuffle order) to 5k-token epochs;
-    emit the per-epoch manifest."""
+    emit the per-epoch manifest.
+
+    The global running sum uses the scalable two-level pattern: the 60-bit
+    ``pos_key`` is uniform, so ``pos_key >> 54`` yields 64 order-preserving
+    range buckets; a partitioned window computes the within-bucket cumsum
+    and a 64-row bucket-total aggregate (global window over an Aggregate —
+    bounded) supplies each bucket's starting offset via broadcast join.
+    Bit-identical to the single global window it replaces.
+    """
     from python_kinesis_streaming_spark.llm.dedup import md5_hash64
 
     docs = load_table(spark, sf_dir, "documents")
@@ -663,13 +673,31 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
         md5_hash64(F.col("doc_id").cast("string"), seed=13).alias("pos_key"),
-    )
-    w = (
-        Window.orderBy("pos_key", "doc_id")
+    ).withColumn("bucket", F.shiftright(F.col("pos_key"), 54))
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("pos_key", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ordered = toks.select(
-        "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("cum")
+    local = toks.withColumn("cum_local", F.sum("n_tokens").over(w_local))
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        toks.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bucket_total").over(w_off), F.lit(0)).alias(
+                "offset"
+            ),
+        )
+    )
+    ordered = local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("cum_local") + F.col("offset")).alias("cum"),
     )
     return (
         ordered.groupBy(

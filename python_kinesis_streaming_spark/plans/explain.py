@@ -15,6 +15,8 @@ parquet scan. Audit with ``SPARK_GRAFT_NO_TABLE_CACHE=1`` and
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 #: explain modes accepted by Spark (`df.explain(mode)` synonyms).
@@ -71,12 +73,24 @@ def broadcast_join_count(plan: str) -> int:
 
 
 def shuffle_count(plan: str) -> int:
-    """Number of Exchange operators = number of shuffles in the plan."""
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line
-    )
+    """Number of shuffle Exchange operators in the plan.
+
+    Formatted-mode plans print every operator twice — once in the tree
+    (``+- Exchange (4)``) and once as a detail header (``(4) Exchange``) —
+    so counting substrings double-counts. When detail headers are present,
+    count only those; otherwise (simple/extended tree text) count tree
+    nodes whose operator name starts with ``Exchange``, which excludes
+    BroadcastExchange and ReusedExchange by construction.
+    """
+    detail_ops = re.findall(r"^\(\d+\) +([A-Za-z]+)", plan, flags=re.M)
+    if detail_ops:
+        return sum(1 for name in detail_ops if name == "Exchange")
+    count = 0
+    for line in plan.splitlines():
+        node = re.sub(r"^[\s+\-:*!]*(\(\d+\) +)?", "", line)
+        if node.startswith("Exchange"):
+            count += 1
+    return count
 
 
 def has_partial_aggregation(plan: str) -> bool:
@@ -91,5 +105,18 @@ def is_take_ordered(plan: str) -> bool:
 
 def codegen_stage_count(plan: str) -> int:
     """WholeStageCodegen span count — wider fused spans = fewer JVM virtual
-    calls per row; a plan fragment outside any span runs interpreted."""
-    return plan.count("WholeStageCodegen")
+    calls per row; a plan fragment outside any span runs interpreted.
+
+    Mode-aware: ``codegen``-mode output states the count in its header
+    (``Found N WholeStageCodegen subtrees.``); formatted mode tags fused
+    operators with ``[codegen id : N]``; simple/extended mark fused tree
+    nodes with a ``*(N)`` prefix. In each case the span count is the number
+    of DISTINCT codegen ids, not a substring count.
+    """
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    if m:
+        return int(m.group(1))
+    formatted_ids = set(re.findall(r"\[codegen id : (\d+)\]", plan))
+    if formatted_ids:
+        return len(formatted_ids)
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

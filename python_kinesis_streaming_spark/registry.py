@@ -64,59 +64,8 @@ _loaded = False
 # CORRECTNESS_r*.json: fixed-this-round ops first (regrade), then the
 # never-graded block, then the next-up block for the following round.
 _GRADING_PRIORITY = [
-    # round-5 window: next 50 never-driver-graded ops (r04 was 50/50 green,
-    # so no regrades; the 50 r04-graded names rotated to the back)
-    "q19_disjunctive_pred",
-    "q22_idle_above_avg",
-    "ts_gap_fill",
-    "ts_ohlc_resample",
-    "scd2_history",
-    "interval_merge",
-    "text_repetition",
-    "events_pii_scrub",
-    "corpus_mix_planner",
-    "sim_ivf_probe",
-    "graph_pagerank_lite",
-    "events_anomaly_mad",
-    "pareto_share",
-    "join_dim_snapshot",
-    "join_asof_nearest",
-    "q12_late_shipments",
-    "join_hinted_sql",
-    "corpus_decontaminate",
-    "udf_pandas_iter",
-    "market_basket_pairs",
-    "dedup_containment",
-    "sim_truncated_dims",
-    "stream_stateful_sessionizer",
-    "source_python_datasource",
-    "q6_forecast_revenue",
-    "orders_yoy_growth",
-    "events_dau_wau",
-    "agg_filter_clause",
-    "win_named_window_sql",
-    "fn_hof_lambda",
-    "events_rfm_segmentation",
-    "events_session_path",
-    "q2_min_cost_supplier",
-    "stream_watermark_late",
-    "stream_output_modes",
-    "join_stream_stream_outer",
-    "multimodal_decode",
-    # round-4 additions (never graded; regraded into the round-5 window)
-    "text_chunk_overlap",
-    "text_bpe_pair_counts",
-    "text_char_entropy",
-    "text_bigram_xent",
-    "emb_gram_matrix",
-    "emb_kmeans_one_iter",
-    "agg_string_agg",
-    "agg_count_min_sketch",
-    "events_time_to_convert",
-    "events_sequence_mining",
-    "ts_ewma",
-    "join_null_safe",
-    "dq_constraint_check",
+    # round-6 window: next 50 never-driver-graded ops (r05 was 50/50 green,
+    # so no regrades; the 50 r05-graded names rotated to the back).
     "udtf_python_lateral",
     "stream_topk_per_window",
     "stream_metrics_progress",
@@ -149,7 +98,6 @@ _GRADING_PRIORITY = [
     "text_lang_confusion",
     "events_cohort_ltv",
     "events_error_rate_alert",
-    # round-4 feature-engineering / data-quality batch (never graded)
     "feat_target_encode",
     "feat_quantile_bin",
     "feat_minmax_scale",
@@ -168,6 +116,9 @@ _GRADING_PRIORITY = [
     "feat_winsorize",
     "dq_referential_integrity",
     "dq_distribution_drift",
+    # round-7 queue and beyond (never graded, in rotation order;
+    # the final 25 names were previously unlisted and are appended
+    # in registration order so the whole 201-op backlog is explicit)
     "corpus_epoch_plan",
     "ts_hopping_agg",
     "text_ngram_novelty",
@@ -294,6 +245,31 @@ _GRADING_PRIORITY = [
     "orders_priority_sla_attainment",
     "li_discount_tax_grid",
     "events_day_n_retention",
+    "emb_hamming_knn",
+    "emb_pca_power_iter",
+    "emb_dim_variance_prune",
+    "join_dpp_partition_pruned",
+    "sink_partitioned_write",
+    "agg_incremental_rollup",
+    "agg_chi_square",
+    "graph_triangle_count",
+    "agg_benford_law",
+    "events_survival_curve",
+    "agg_corr_matrix",
+    "q4_order_priority",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q21_waiting_supplier",
+    "ts_autocorr",
+    "ts_seasonal_profile",
+    "events_attribution_first_touch",
+    "ts_interarrival",
+    "fn_group_by_all",
+    "udaf_weighted_median",
+    "text_heaps_law",
+    "text_collocations_pmi",
+    "corpus_sample_weighted",
     # everything after: driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}

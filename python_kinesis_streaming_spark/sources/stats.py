@@ -19,7 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from python_kinesis_streaming_spark.sources.tables import TABLE_NAMES, sf_tag
+from python_kinesis_streaming_spark.sources.tables import (
+    TABLE_NAMES,
+    ensure_runtime_confs,
+    sf_tag,
+)
 
 #: Session confs that make Catalyst consume the computed stats.
 CBO_CONFS: dict[str, str] = {
@@ -37,9 +41,18 @@ def register_catalog_tables(
     Returns the catalog table names (``pkss_<sf_tag>_<table>`` — unique per
     fixture root so two SF dirs can coexist in one catalog). Idempotent:
     CREATE TABLE IF NOT EXISTS against the same LOCATION.
+
+    Runtime confs are normalized first (UTC session tz + the
+    ``legacy.parquet.nanosAsLong`` knob) so ANALYZE/SELECT over
+    nanosecond-timestamp fixtures works on a bare session. Caveat: catalog
+    tables expose the RAW parquet types — TIMESTAMP_NTZ columns are NOT
+    cast to TIMESTAMP the way ``load_table`` does — so ops must keep going
+    through ``load_table`` for data access and use these catalog entries
+    only as CBO stats carriers (CLAUDE.md invariant 1).
     """
     import os
 
+    ensure_runtime_confs(spark)
     tag = sf_tag(sf_dir)
     out: list[str] = []
     for t in names or TABLE_NAMES:
