@@ -28,7 +28,10 @@ def no_table_cache(monkeypatch, spark):
     tables._CACHE.clear()  # stale entries are no longer persisted; re-cache lazily
 
 
-from python_kinesis_streaming_spark.plans import plan_of  # noqa: E402
+from python_kinesis_streaming_spark.plans import (  # noqa: E402
+    plan_of,
+    shuffle_count,
+)
 
 
 def test_filter_pushdown_reaches_parquet(spark, sf_dir, no_table_cache):
@@ -83,7 +86,7 @@ def test_window_topn_single_shuffle(spark, sf_dir, no_table_cache):
     """win_rank_topn needs exactly one Exchange (hash by o_custkey); the
     rank filter must not add more."""
     p = plan_of(Q["win_rank_topn"](spark, sf_dir), "simple")
-    assert p.count("Exchange") == 1, p
+    assert shuffle_count(p) == 1, p
 
 
 def test_pandas_udf_is_arrow(spark, sf_dir, no_table_cache):
@@ -388,14 +391,14 @@ def test_hopping_window_single_shuffle(spark, sf_dir, no_table_cache):
     """ts_hopping_agg: explode-to-4-windows is map-side; exactly one
     aggregation exchange follows."""
     p = plan_of(Q["ts_hopping_agg"](spark, sf_dir), "simple")
-    assert p.count("Exchange") == 1, p.count("Exchange")
+    assert shuffle_count(p) == 1, p
 
 
 def test_holt_fold_single_shuffle(spark, sf_dir, no_table_cache):
     """ts_holt_linear: one user_id shuffle; the fold itself is a projection
     (no window sort, no extra exchange)."""
     p = plan_of(Q["ts_holt_linear"](spark, sf_dir), "simple")
-    assert p.count("Exchange") == 1, p.count("Exchange")
+    assert shuffle_count(p) == 1, p
     assert "Window" not in p
 
 
@@ -436,7 +439,7 @@ def test_velocity_multi_horizon_single_window(spark, sf_dir, no_table_cache):
 
     p = plan_of(Q["feat_velocity_multi_horizon"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
-    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert shuffle_count(p) == 1, p
 
 
 def test_markov_model_join_is_broadcast(spark, sf_dir, no_table_cache):
