@@ -112,10 +112,23 @@ def main() -> None:
         .limit(10)
     )
 
+    # Strength-reduced token count: size(split(text, ' ')) equals
+    # length(text) - length(replace(text, ' ', '')) + 1 exactly (split on a
+    # literal keeps empty strings, so tokens = separators + 1) — same result
+    # with no per-row array allocation (equality pinned by
+    # tests/test_bench_queries.py; the DuckDB baseline keeps its real
+    # string_split). At 100 TB the array-free form is pure codegen
+    # arithmetic over the string bytes.
     text_token_count = once(
         tables["documents"]
         .groupBy("lang")
-        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+        .agg(
+            F.sum(
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            ).alias("n_tokens")
+        )
     )
 
     queries = {
