@@ -55,6 +55,17 @@ def _build_parser() -> argparse.ArgumentParser:
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
+
+    p_audit = sub.add_parser(
+        "audit",
+        help="JSON plan-hygiene summary: shuffles, codegen spans, pushdown, "
+        "unbounded global windows",
+    )
+    p_audit.add_argument("op")
+    p_audit.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
     return p
 
 
@@ -99,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
                 queries[args.op], spark, args.sf_dir, mode=args.mode
             )
         )
+        return 0
+
+    if args.cmd == "audit":
+        from python_kinesis_streaming_spark.plans import plan_audit
+
+        print(json.dumps(plan_audit(queries[args.op](spark, args.sf_dir))))
         return 0
 
     df = queries[args.op](spark, args.sf_dir)

@@ -1,5 +1,10 @@
-"""Plan inspection + hygiene predicates (see ``plans.explain``)."""
+"""Plan inspection + hygiene predicates (see ``plans.explain``) and
+optimized-tree audits (see ``plans.audit``)."""
 
+from python_kinesis_streaming_spark.plans.audit import (  # noqa: F401
+    global_window_violations,
+    plan_audit,
+)
 from python_kinesis_streaming_spark.plans.explain import (  # noqa: F401
     EXPLAIN_MODES,
     broadcast_join_count,

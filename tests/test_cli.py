@@ -19,3 +19,16 @@ def test_cli_oracle_prints_sql(capsys):
 
 def test_cli_unknown_op_is_an_error(capsys):
     assert main(["oracle", "nope_not_an_op"]) == 2
+
+
+def test_cli_audit_emits_plan_summary(monkeypatch, spark, sf_dir, capsys):
+    """`audit <op>` prints one JSON object with the hygiene keys; knn's
+    zero-shuffle TakeOrdered plan is the canonical fixture."""
+    import json
+
+    monkeypatch.setenv("SPARK_GRAFT_MASTER", "local[4]")
+    assert main(["audit", "sim_knn_cosine", "--sf-dir", sf_dir]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["shuffles"] == 0
+    assert payload["take_ordered"] is True
+    assert payload["global_window_unbounded"] == []
