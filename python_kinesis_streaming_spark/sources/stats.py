@@ -80,7 +80,7 @@ def analyze_tables(
     for t in table_names:
         spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
         cols = (columns or {}).get(t)
-        target = ", ".join(cols) if cols else "ALL COLUMNS"
+        target = f"COLUMNS {', '.join(cols)}" if cols else "ALL COLUMNS"
         spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR {target}")
 
 

@@ -511,3 +511,28 @@ def test_cbo_stats_reach_the_plan(spark, sf_dir, no_table_cache):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_catalog_registration_normalizes_bare_session_confs(spark, sf_dir):
+    """ADVICE r5 item 3: register_catalog_tables with DEFAULT names (all
+    fixture tables, events included) must work on a session that never set
+    the runtime confs — it now normalizes them itself. Simulate the bare
+    session by unsetting the conf ensure_runtime_confs exists to set."""
+    from python_kinesis_streaming_spark.sources.stats import (
+        analyze_tables,
+        register_catalog_tables,
+        table_stats,
+    )
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        cats = register_catalog_tables(spark, sf_dir)
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        ev = next(c for c in cats if c.endswith("_events"))
+        analyze_tables(spark, [ev], columns={ev: ["event_type"]})
+        assert "rows" in table_stats(spark, ev).get("Statistics", "")
+        assert spark.sql(f"SELECT count(*) AS n FROM {ev}").collect()[0].n > 0
+    finally:
+        from python_kinesis_streaming_spark.session import ensure_runtime_confs
+
+        ensure_runtime_confs(spark)
