@@ -23,18 +23,48 @@ from python_kinesis_streaming_spark.registry import all_queries
 SKIP_PREFIXES = ("stream_", "source_stream", "sink_", "join_stream", "source_python")
 
 
+#: Max shuffle Exchanges any single batch op may plan. The r6 census:
+#: 62 ops at 0, 129 at 1, 87 at 2, and a thin tail of deliberately
+#: iterative algorithms. A new op (or a regression in an existing one)
+#: exceeding its family's ceiling is far more likely an accidental
+#: repartition / lost broadcast than a new legitimate iteration.
+SHUFFLE_CEILING = 15
+ITERATIVE_ALLOWLIST = {
+    "graph_pagerank_lite": 25,  # 3 unrolled rank rounds
+    "dedup_clusters": 22,  # connected-components label propagation
+    "dedup_lsh_tuning": 20,  # candidate volume across band layouts
+}
+
+
 def test_global_windows_only_consume_bounded_inputs(spark, sf_dir):
+    """One sweep over every batch op's plan, asserting two scale gates:
+    no unbounded global window (tree walk), and the per-op shuffle budget
+    (formatted-plan Exchange count)."""
+    from python_kinesis_streaming_spark.plans.explain import (
+        plan_of,
+        shuffle_count,
+    )
+
     queries = all_queries()
     offenders: dict[str, object] = {}
+    over_budget: dict[str, int] = {}
     for name, fn in queries.items():
         if name.startswith(SKIP_PREFIXES):
             continue
-        violations = global_window_violations(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        violations = global_window_violations(df)
         if violations:
             offenders[name] = violations
+        shuffles = shuffle_count(plan_of(df, "formatted"))
+        if shuffles > ITERATIVE_ALLOWLIST.get(name, SHUFFLE_CEILING):
+            over_budget[name] = shuffles
     assert not offenders, (
         "global Window over unbounded fact input (add an Aggregate/Limit "
         f"or use the two-level prefix-sum pattern): {offenders}"
+    )
+    assert not over_budget, (
+        "op plans more shuffles than its budget (accidental repartition / "
+        f"lost broadcast?): {over_budget}"
     )
 
 
