@@ -353,6 +353,11 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .saveAsTable(name)
             )
         names[t] = name
+        # Another session (concurrent pytest, a rebuilt scratch dir) may
+        # have replaced the files under this path since this session first
+        # listed them; refresh drops the cached listing so the read can't
+        # hit FAILED_READ_FILE.FILE_NOT_EXIST on stale part-file names.
+        spark.catalog.refreshTable(name)
     li = spark.table(names["lineitem"]).select("l_orderkey", "l_quantity")
     orders = spark.table(names["orders"]).select("o_orderkey", "o_orderstatus")
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
