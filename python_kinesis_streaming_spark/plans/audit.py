@@ -93,12 +93,12 @@ def global_window_violations(df: DataFrame) -> list[list[str]]:
 def plan_audit(df: DataFrame) -> dict:
     """One-call audit summary: the text predicates plus the tree checks.
 
-    Keys: shuffles, broadcast_joins (formatted text counts each BHJ twice —
-    tree + detail — so this reports the detail-deduped count), codegen
-    stages, partial aggregation, top-k pushdown, pushed filters,
-    read schemas, and unbounded global-window violations.
+    Keys: shuffles, broadcast_joins, codegen stages, partial aggregation,
+    top-k pushdown, pushed filters, read schemas, and unbounded
+    global-window violations.
     """
     from python_kinesis_streaming_spark.plans.explain import (
+        broadcast_join_count,
         codegen_stage_count,
         has_partial_aggregation,
         is_take_ordered,
@@ -109,10 +109,9 @@ def plan_audit(df: DataFrame) -> dict:
     )
 
     plan = plan_of(df, "formatted")
-    simple = plan_of(df, "simple")
     return {
         "shuffles": shuffle_count(plan),
-        "broadcast_joins": simple.count("BroadcastHashJoin"),
+        "broadcast_joins": broadcast_join_count(plan),
         "codegen_stages": codegen_stage_count(plan),
         "partial_aggregation": has_partial_aggregation(plan),
         "take_ordered": is_take_ordered(plan),

@@ -69,6 +69,12 @@ def read_schemas(plan: str) -> list[str]:
 
 
 def broadcast_join_count(plan: str) -> int:
+    """Number of BroadcastHashJoin operators, detail-deduped on formatted
+    plans (which print each operator in both the tree and the detail
+    section) — same mode handling as ``shuffle_count``."""
+    detail_ops = re.findall(r"^\(\d+\) +([A-Za-z]+)", plan, flags=re.M)
+    if detail_ops:
+        return sum(1 for name in detail_ops if name == "BroadcastHashJoin")
     return plan.count("BroadcastHashJoin")
 
 

@@ -133,7 +133,8 @@ def test_pushed_filters_and_read_schema_extraction():
 
 
 def test_broadcast_partial_takeordered_predicates():
-    assert broadcast_join_count(FORMATTED_PLAN) == 2  # tree + detail (doc'd)
+    assert broadcast_join_count(FORMATTED_PLAN) == 1  # detail-deduped
+    assert broadcast_join_count(SIMPLE_PLAN) == 1
     assert has_partial_aggregation(FORMATTED_PLAN)
     assert not is_take_ordered(FORMATTED_PLAN)
     assert is_take_ordered("TakeOrderedAndProject(limit=10, ...)")
