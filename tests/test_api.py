@@ -571,3 +571,76 @@ def test_interpolate_hourly_matches_registry(spark, sf_dir):
     expected = Q["ts_linear_interpolate"](spark, sf_dir)
     assert out.exceptAll(expected).count() == 0
     assert expected.exceptAll(out).count() == 0
+
+
+def test_tokenize_counts_match_arithmetic(spark, sf_dir):
+    """tokenize explodes non-empty whitespace tokens; its total per doc must
+    equal the separator-arithmetic count minus empty tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_counts = (
+        api.tokenize(docs, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    direct = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("n"),
+    )
+    assert tok_counts.exceptAll(direct).count() == 0
+    assert direct.exceptAll(tok_counts).count() == 0
+
+
+def test_chunk_documents_matches_registry(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = api.chunk_documents(docs, "doc_id", "text", window=32, stride=24)
+    expected = Q["text_chunk_overlap"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_ewma_matches_registry(spark, sf_dir):
+    from python_kinesis_streaming_spark.functions.rounding import rnd
+
+    ev = load_table(spark, sf_dir, "events")
+    out = api.ewma(
+        ev, "user_id", ("ts", "event_id"), "value", alpha=0.5
+    ).select("user_id", "n_events", rnd(F.col("ewma"), 6).alias("ewma"))
+    expected = Q["ts_ewma"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_gram_matrix_matches_registry(spark, sf_dir):
+    from python_kinesis_streaming_spark.functions.rounding import rnd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = api.gram_matrix(emb, "embedding").select(
+        "j", "k", rnd(F.col("g"), 4).alias("g")
+    )
+    expected = Q["emb_gram_matrix"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+def test_kmeans_step_matches_registry(spark, sf_dir):
+    """kmeans_step returns per-row assignments; aggregating them must
+    reproduce emb_kmeans_one_iter's per-centroid counts and updated means."""
+    from python_kinesis_streaming_spark.functions.rounding import rnd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = api.kmeans_step(
+        emb.select("vec_id", "embedding"), "embedding", cent
+    )
+    out = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        rnd(F.avg(F.col("embedding")[0].cast("double")), 4).alias("new_c0"),
+        rnd(F.avg(F.col("embedding")[1].cast("double")), 4).alias("new_c1"),
+    )
+    expected = Q["emb_kmeans_one_iter"](spark, sf_dir)
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
