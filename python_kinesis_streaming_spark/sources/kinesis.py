@@ -16,6 +16,15 @@ from the chunked replay source. This module is the seam:
 - ``read_events_stream``    — connector if configured, else local replay;
                             what tests and ops use.
 
+The protocol itself is implemented and integration-tested in-sandbox:
+``sources/kinesis_consumer.py`` is the pure-stdlib poll–decode–checkpoint
+loop (the reference genre) with driver-side and one-task-per-shard Spark
+bridges, exercised end-to-end against ``sources/kinesis_mock.py`` — a
+loopback service speaking the public AWS JSON 1.1 wire protocol (verified
+interoperable with the real AWS SDK: boto3 pointed at the mock
+round-trips; tests/test_kinesis_protocol.py). Only SigV4+TLS against
+actual AWS endpoints remains unexercised here.
+
 Scale notes (100 TB / high-throughput streams):
 - One input partition per shard; resharding is handled by connector shard
   discovery — downstream operators only see more/fewer partitions.

@@ -1,0 +1,316 @@
+"""In-process Kinesis-API-compatible mock service (stdlib only, loopback).
+
+Implements the public AWS Kinesis wire protocol — AWS JSON 1.1 over HTTP:
+``POST /`` with ``X-Amz-Target: Kinesis_20131202.<Action>`` and a JSON
+body; JSON responses; HTTP 400 + ``{"__type": "<Exception>"}`` for errors
+— for the subset of actions a consumer loop needs:
+
+    CreateStream, ListShards, DescribeStreamSummary,
+    PutRecord, PutRecords, GetShardIterator, GetRecords
+
+Semantics mirror the public service behavior the reference genre depends
+on (docs.aws.amazon.com/kinesis/latest/APIReference):
+
+- partition-key → shard routing by MD5 over the 128-bit hash-key space,
+  split evenly across shards (the documented algorithm);
+- per-shard strictly increasing sequence numbers (opaque decimal strings);
+- shard iterators as opaque tokens encoding (shard, next position);
+- TRIM_HORIZON / LATEST / AT_SEQUENCE_NUMBER / AFTER_SEQUENCE_NUMBER;
+- GetRecords honors Limit and returns NextShardIterator + a
+  MillisBehindLatest of 0 when caught up;
+- optional fault injection: every Nth GetRecords raises
+  ProvisionedThroughputExceededException (HTTP 400), the error the
+  reference genre's backoff loop exists for.
+
+SigV4 auth is accepted-and-ignored (the mock is a loopback test double;
+the wire shapes are otherwise the real ones). No AWS SDK involved on
+either side — requests are plain stdlib HTTP.
+
+Used by tests/test_kinesis_protocol.py to integration-test
+``sources/kinesis_consumer.py`` end-to-end without network.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_HASH_SPACE = 2**128
+
+
+@dataclass
+class _Record:
+    sequence_number: int
+    partition_key: str
+    data_b64: str
+    arrival_ts: float
+
+
+@dataclass
+class _Shard:
+    shard_id: str
+    start_hash: int
+    end_hash: int
+    records: list[_Record] = field(default_factory=list)
+    next_seq: int = 0
+
+
+class _StreamState:
+    def __init__(self, name: str, shard_count: int):
+        self.name = name
+        self.shards: list[_Shard] = []
+        step = _HASH_SPACE // shard_count
+        for i in range(shard_count):
+            lo = i * step
+            hi = (i + 1) * step - 1 if i < shard_count - 1 else _HASH_SPACE - 1
+            self.shards.append(
+                _Shard(shard_id=f"shardId-{i:012d}", start_hash=lo, end_hash=hi)
+            )
+
+    def shard_for_key(self, partition_key: str) -> _Shard:
+        h = int.from_bytes(
+            hashlib.md5(partition_key.encode("utf-8")).digest(), "big"
+        )
+        for s in self.shards:
+            if s.start_hash <= h <= s.end_hash:
+                return s
+        return self.shards[-1]  # unreachable; ranges cover the space
+
+    def put(self, partition_key: str, data_b64: str) -> tuple[str, str]:
+        s = self.shard_for_key(partition_key)
+        seq = s.next_seq
+        s.next_seq += 1
+        s.records.append(_Record(seq, partition_key, data_b64, time.time()))
+        return s.shard_id, str(seq)
+
+
+class MockKinesisService:
+    """The service state + action dispatch (transport-agnostic)."""
+
+    def __init__(self, throttle_every: int = 0):
+        self._streams: dict[str, _StreamState] = {}
+        self._lock = threading.Lock()
+        self._throttle_every = throttle_every
+        self._get_records_calls = 0
+
+    # -- actions -----------------------------------------------------------
+
+    def create_stream(self, body: dict) -> dict:
+        with self._lock:
+            name = body["StreamName"]
+            if name in self._streams:
+                raise _ApiError("ResourceInUseException", f"{name} exists")
+            self._streams[name] = _StreamState(name, int(body["ShardCount"]))
+        return {}
+
+    def list_shards(self, body: dict) -> dict:
+        st = self._stream(body["StreamName"])
+        return {
+            "Shards": [
+                {
+                    "ShardId": s.shard_id,
+                    "HashKeyRange": {
+                        "StartingHashKey": str(s.start_hash),
+                        "EndingHashKey": str(s.end_hash),
+                    },
+                    "SequenceNumberRange": {"StartingSequenceNumber": "0"},
+                }
+                for s in st.shards
+            ]
+        }
+
+    def describe_stream_summary(self, body: dict) -> dict:
+        st = self._stream(body["StreamName"])
+        return {
+            "StreamDescriptionSummary": {
+                "StreamName": st.name,
+                "StreamStatus": "ACTIVE",
+                "OpenShardCount": len(st.shards),
+            }
+        }
+
+    def put_record(self, body: dict) -> dict:
+        st = self._stream(body["StreamName"])
+        with self._lock:
+            shard_id, seq = st.put(body["PartitionKey"], body["Data"])
+        return {"ShardId": shard_id, "SequenceNumber": seq}
+
+    def put_records(self, body: dict) -> dict:
+        st = self._stream(body["StreamName"])
+        out = []
+        with self._lock:
+            for rec in body["Records"]:
+                shard_id, seq = st.put(rec["PartitionKey"], rec["Data"])
+                out.append({"ShardId": shard_id, "SequenceNumber": seq})
+        return {"FailedRecordCount": 0, "Records": out}
+
+    def get_shard_iterator(self, body: dict) -> dict:
+        st = self._stream(body["StreamName"])
+        shard = self._shard(st, body["ShardId"])
+        itype = body["ShardIteratorType"]
+        if itype == "TRIM_HORIZON":
+            pos = 0
+        elif itype == "LATEST":
+            pos = shard.next_seq
+        elif itype == "AT_SEQUENCE_NUMBER":
+            pos = int(body["StartingSequenceNumber"])
+        elif itype == "AFTER_SEQUENCE_NUMBER":
+            pos = int(body["StartingSequenceNumber"]) + 1
+        else:
+            raise _ApiError(
+                "InvalidArgumentException", f"iterator type {itype}"
+            )
+        return {"ShardIterator": self._encode_iter(st.name, shard.shard_id, pos)}
+
+    def get_records(self, body: dict) -> dict:
+        self._get_records_calls += 1
+        if (
+            self._throttle_every
+            and self._get_records_calls % self._throttle_every == 0
+        ):
+            raise _ApiError(
+                "ProvisionedThroughputExceededException",
+                "Rate exceeded for shard",
+            )
+        stream, shard_id, pos = self._decode_iter(body["ShardIterator"])
+        st = self._stream(stream)
+        shard = self._shard(st, shard_id)
+        limit = int(body.get("Limit", 10000))
+        with self._lock:
+            batch = [r for r in shard.records if r.sequence_number >= pos][:limit]
+            caught_up = not batch or (
+                batch[-1].sequence_number == shard.next_seq - 1
+            )
+        next_pos = batch[-1].sequence_number + 1 if batch else pos
+        return {
+            "Records": [
+                {
+                    "SequenceNumber": str(r.sequence_number),
+                    "PartitionKey": r.partition_key,
+                    "Data": r.data_b64,
+                    "ApproximateArrivalTimestamp": r.arrival_ts,
+                }
+                for r in batch
+            ],
+            "NextShardIterator": self._encode_iter(stream, shard_id, next_pos),
+            "MillisBehindLatest": 0 if caught_up else 1,
+        }
+
+    # -- helpers -----------------------------------------------------------
+
+    def _stream(self, name: str) -> _StreamState:
+        try:
+            return self._streams[name]
+        except KeyError:
+            raise _ApiError(
+                "ResourceNotFoundException", f"Stream {name} not found"
+            ) from None
+
+    @staticmethod
+    def _shard(st: _StreamState, shard_id: str) -> _Shard:
+        for s in st.shards:
+            if s.shard_id == shard_id:
+                return s
+        raise _ApiError("ResourceNotFoundException", f"Shard {shard_id}")
+
+    @staticmethod
+    def _encode_iter(stream: str, shard_id: str, pos: int) -> str:
+        tok = json.dumps([stream, shard_id, pos]).encode()
+        return base64.b64encode(tok).decode()
+
+    @staticmethod
+    def _decode_iter(token: str) -> tuple[str, str, int]:
+        try:
+            stream, shard_id, pos = json.loads(base64.b64decode(token))
+            return stream, shard_id, int(pos)
+        except Exception:
+            raise _ApiError(
+                "ExpiredIteratorException", "Malformed shard iterator"
+            ) from None
+
+    ACTIONS = {
+        "CreateStream": create_stream,
+        "ListShards": list_shards,
+        "DescribeStreamSummary": describe_stream_summary,
+        "PutRecord": put_record,
+        "PutRecords": put_records,
+        "GetShardIterator": get_shard_iterator,
+        "GetRecords": get_records,
+    }
+
+    def dispatch(self, target: str, body: dict) -> dict:
+        action = target.split(".", 1)[-1]
+        fn = self.ACTIONS.get(action)
+        if fn is None:
+            raise _ApiError(
+                "UnknownOperationException", f"Unsupported action {action}"
+            )
+        return fn(self, body)
+
+
+class _ApiError(Exception):
+    def __init__(self, type_: str, message: str):
+        super().__init__(message)
+        self.type = type_
+        self.message = message
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: MockKinesisService  # injected by server factory
+
+    def do_POST(self):  # noqa: N802 (stdlib casing)
+        length = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(length) or b"{}")
+        target = self.headers.get("X-Amz-Target", "")
+        try:
+            payload = self.service.dispatch(target, body)
+            code = 200
+        except _ApiError as e:
+            payload = {"__type": e.type, "message": e.message}
+            code = 400
+        raw = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/x-amz-json-1.1")
+        self.send_header("Content-Length", str(len(raw)))
+        self.end_headers()
+        self.wfile.write(raw)
+
+    def log_message(self, fmt, *args):  # silence request logging in tests
+        pass
+
+
+class MockKinesisServer:
+    """Threaded loopback HTTP server wrapping MockKinesisService.
+
+    Usage::
+
+        with MockKinesisServer(throttle_every=0) as srv:
+            client = KinesisClient(srv.endpoint_url)
+            ...
+    """
+
+    def __init__(self, throttle_every: int = 0):
+        self.service = MockKinesisService(throttle_every=throttle_every)
+        handler = type("BoundHandler", (_Handler,), {"service": self.service})
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    @property
+    def endpoint_url(self) -> str:
+        host, port = self._httpd.server_address
+        return f"http://{host}:{port}"
+
+    def __enter__(self) -> "MockKinesisServer":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
