@@ -16,6 +16,12 @@ from the chunked replay source. This module is the seam:
 - ``read_events_stream``    — connector if configured, else local replay;
                             what tests and ops use.
 
+Structured Streaming over the protocol (no jar needed): ``sources/
+kinesis_stream_source.py`` registers a Spark 4 Python DataSource whose
+per-shard sequence-number offsets live in the streaming checkpoint WAL —
+``spark.readStream.format("pkss_kinesis")`` with exactly-once restart
+semantics, tested incl. stop/put/restart into a parquet sink.
+
 The protocol itself is implemented and integration-tested in-sandbox:
 ``sources/kinesis_consumer.py`` is the pure-stdlib poll–decode–checkpoint
 loop (the reference genre) with driver-side and one-task-per-shard Spark
