@@ -301,3 +301,79 @@ def test_streaming_checkpoint_restart_is_exactly_once(
     rows = spark.read.parquet(out).collect()
     ids = sorted(json.loads(bytes(r["data"]))["event_id"] for r in rows)
     assert ids == list(range(50))  # no dupes, no gaps across the restart
+
+
+def test_full_pipeline_kinesis_to_windowed_agg(mock_stream, spark, tmp_path):
+    """The reference's whole job in one flow: consume Kinesis -> decode the
+    JSON Data blob (JVM-side from_json) -> event-time tumbling window with
+    a watermark -> aggregate. Ingest source and engine operators compose."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from python_kinesis_streaming_spark.sources.kinesis_stream_source import (
+        read_kinesis_stream,
+    )
+
+    srv, client = mock_stream
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    records = [
+        {
+            "PartitionKey": f"user-{i % 3}",
+            "Data": base64.b64encode(
+                json.dumps(
+                    {
+                        "event_ts": (
+                            base + datetime.timedelta(minutes=7 * i)
+                        ).isoformat(),
+                        "event_type": ["view", "click"][i % 2],
+                        "value": float(i),
+                    }
+                ).encode()
+            ).decode(),
+        }
+        for i in range(20)  # spans 2024-03-01 12:00 .. 14:13 -> 3 hours
+    ]
+    client.call("PutRecords", {"StreamName": STREAM, "Records": records})
+
+    decoded = (
+        read_kinesis_stream(spark, srv.endpoint_url, STREAM)
+        .select(
+            F.from_json(
+                F.col("data").cast("string"),
+                "event_ts timestamp, event_type string, value double",
+            ).alias("p")
+        )
+        .select("p.*")
+        .withWatermark("event_ts", "10 minutes")
+    )
+    agg = decoded.groupBy(
+        F.window("event_ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_v"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("kin_pipeline")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cp3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("kin_pipeline").collect()
+    finally:
+        q.stop()
+    got = {
+        (r["w"]["start"].hour, r["event_type"]): (r["n"], r["sum_v"])
+        for r in rows
+    }
+    # events i at minute 7i: hour 12 -> i in 0..8, hour 13 -> 9..17,
+    # hour 14 -> 18..19; even i = view, odd = click
+    expect = {
+        (12, "view"): (5, float(0 + 2 + 4 + 6 + 8)),
+        (12, "click"): (4, float(1 + 3 + 5 + 7)),
+        (13, "view"): (4, float(10 + 12 + 14 + 16)),
+        (13, "click"): (5, float(9 + 11 + 13 + 15 + 17)),
+        (14, "view"): (1, 18.0),
+        (14, "click"): (1, 19.0),
+    }
+    assert got == expect
