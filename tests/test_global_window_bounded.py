@@ -36,10 +36,20 @@ ITERATIVE_ALLOWLIST = {
 }
 
 
+#: The ONLY ops allowed to plan row-at-a-time Python (BatchEvalPython /
+#: BatchEvalPythonUDTF): the deliberate slow-path rungs of the §2.10 UDF
+#: ladder, kept as measured contrast to the Arrow paths. Everything else
+#: Python-touching must be Arrow/Pandas-vectorized (r6 census: exactly
+#: these three; ArrowEvalPython ×3, FlatMapGroupsInPandas ×2,
+#: MapInPandas ×4 elsewhere).
+ROW_PYTHON_ALLOWED = {"udf_scalar_py", "udtf_python_lateral", "udtf_dynamic_schema"}
+
+
 def test_global_windows_only_consume_bounded_inputs(spark, sf_dir):
-    """One sweep over every batch op's plan, asserting two scale gates:
-    no unbounded global window (tree walk), and the per-op shuffle budget
-    (formatted-plan Exchange count)."""
+    """One sweep over every batch op's plan, asserting three scale gates:
+    no unbounded global window (tree walk), the per-op shuffle budget, and
+    no row-at-a-time Python outside the documented UDF-ladder rungs
+    (formatted-plan text)."""
     from python_kinesis_streaming_spark.plans.explain import (
         plan_of,
         shuffle_count,
@@ -48,6 +58,7 @@ def test_global_windows_only_consume_bounded_inputs(spark, sf_dir):
     queries = all_queries()
     offenders: dict[str, object] = {}
     over_budget: dict[str, int] = {}
+    row_python: list[str] = []
     for name, fn in queries.items():
         if name.startswith(SKIP_PREFIXES):
             continue
@@ -55,9 +66,12 @@ def test_global_windows_only_consume_bounded_inputs(spark, sf_dir):
         violations = global_window_violations(df)
         if violations:
             offenders[name] = violations
-        shuffles = shuffle_count(plan_of(df, "formatted"))
+        plan = plan_of(df, "formatted")
+        shuffles = shuffle_count(plan)
         if shuffles > ITERATIVE_ALLOWLIST.get(name, SHUFFLE_CEILING):
             over_budget[name] = shuffles
+        if "BatchEvalPython" in plan and name not in ROW_PYTHON_ALLOWED:
+            row_python.append(name)
     assert not offenders, (
         "global Window over unbounded fact input (add an Aggregate/Limit "
         f"or use the two-level prefix-sum pattern): {offenders}"
@@ -65,6 +79,10 @@ def test_global_windows_only_consume_bounded_inputs(spark, sf_dir):
     assert not over_budget, (
         "op plans more shuffles than its budget (accidental repartition / "
         f"lost broadcast?): {over_budget}"
+    )
+    assert not row_python, (
+        "row-at-a-time Python on a hot path (use a pandas/Arrow UDF or "
+        f"built-ins): {row_python}"
     )
 
 
