@@ -86,8 +86,18 @@ def decode_png(data: bytes) -> np.ndarray:
         if ftype == 0:  # None
             cur = row.copy()
         elif ftype == 2:  # Up
-            cur = (row.astype(np.int32) + prev) .astype(np.uint8)
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = (row.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 1:  # Sub: out[x] = row[x] + out[x-ch] — i.e. a
+            # per-channel-lane prefix sum mod 256 (exact identity), so it
+            # vectorizes as cumsum over each lane instead of a Python loop.
+            cur = np.empty(stride, dtype=np.uint8)
+            for lane in range(ch):
+                cur[lane::ch] = np.cumsum(
+                    row[lane::ch], dtype=np.int64
+                ).astype(np.uint8)
+        elif ftype in (3, 4):  # Average / Paeth: the predictor depends on
+            # the CURRENT row's already-unfiltered left neighbor, a true
+            # sequential dependency — per-byte loop, O(stride) per row.
             cur = np.zeros(stride, dtype=np.uint8)
             r = row.astype(np.int32)
             pv = prev.astype(np.int32)
@@ -95,9 +105,7 @@ def decode_png(data: bytes) -> np.ndarray:
                 a = int(cur[x - ch]) if x >= ch else 0
                 b = int(pv[x])
                 c = int(pv[x - ch]) if x >= ch else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + b) // 2
                 else:
                     p = a + b - c

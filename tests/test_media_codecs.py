@@ -194,3 +194,27 @@ def test_media_features_frame_mixed_formats(spark):
     )
     assert out[4]["format"].startswith("error:")
     assert out[5]["format"] == "error:unknown-format-gif"
+
+
+@pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3), (6, 4)])
+def test_png_sub_filter_cumsum_identity(color_type, channels):
+    """The vectorized Sub unfilter (per-lane cumsum mod 256) must match a
+    brute-force loop implementation of the spec recurrence on random
+    stored bytes, for every channel count."""
+    rng = np.random.default_rng(99 + color_type)
+    w, h = 11, 3
+    stride = w * channels
+    raw_rows = []
+    expect = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        stored = rng.integers(0, 256, stride).astype(np.uint8)
+        raw_rows.append(bytes([1]) + stored.tobytes())
+        cur = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - channels] if x >= channels else 0
+            cur[x] = (int(stored[x]) + a) & 0xFF
+        expect[y] = cur
+    img = decode_png(
+        _png_from_scanlines(w, h, color_type, b"".join(raw_rows))
+    )
+    assert np.array_equal(img.reshape(h, stride), expect)
