@@ -194,6 +194,8 @@ def poll_shard(
                 checkpointer.save(shard_id, recs[-1]["SequenceNumber"])
         else:
             empty += 1
+        if resp.get("NextShardIterator") is None:
+            break  # closed shard fully drained (post-reshard parent)
         if resp.get("MillisBehindLatest", 0) == 0 and not recs:
             break
         it = resp["NextShardIterator"]
@@ -375,6 +377,8 @@ def distributed_poll(
                 out.extend(recs)
                 if recs and cp_dir:
                     cp_save(shard_id, recs[-1]["SequenceNumber"])
+                if resp.get("NextShardIterator") is None:
+                    return out  # closed shard fully drained
                 if not recs and resp.get("MillisBehindLatest", 0) == 0:
                     return out
                 it = resp["NextShardIterator"]

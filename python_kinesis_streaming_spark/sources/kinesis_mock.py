@@ -6,7 +6,7 @@ body; JSON responses; HTTP 400 + ``{"__type": "<Exception>"}`` for errors
 — for the subset of actions a consumer loop needs:
 
     CreateStream, ListShards, DescribeStreamSummary,
-    PutRecord, PutRecords, GetShardIterator, GetRecords
+    PutRecord, PutRecords, GetShardIterator, GetRecords, SplitShard
 
 Semantics mirror the public service behavior the reference genre depends
 on (docs.aws.amazon.com/kinesis/latest/APIReference):
@@ -20,7 +20,12 @@ on (docs.aws.amazon.com/kinesis/latest/APIReference):
   MillisBehindLatest of 0 when caught up;
 - optional fault injection: every Nth GetRecords raises
   ProvisionedThroughputExceededException (HTTP 400), the error the
-  reference genre's backoff loop exists for.
+  reference genre's backoff loop exists for;
+- resharding: SplitShard closes the parent (ListShards shows its
+  EndingSequenceNumber + the children's ParentShardId; writes route to
+  the open children) and GetRecords on a fully-drained closed shard
+  returns a null NextShardIterator — the consumer-visible lifecycle of a
+  real reshard.
 
 SigV4 auth is accepted-and-ignored (the mock is a loopback test double;
 the wire shapes are otherwise the real ones). No AWS SDK involved on
@@ -58,28 +63,75 @@ class _Shard:
     end_hash: int
     records: list[_Record] = field(default_factory=list)
     next_seq: int = 0
+    closed: bool = False  # true after SplitShard; no more writes
+    parent_id: str | None = None
 
 
 class _StreamState:
     def __init__(self, name: str, shard_count: int):
         self.name = name
         self.shards: list[_Shard] = []
+        self._next_shard_ordinal = 0
         step = _HASH_SPACE // shard_count
         for i in range(shard_count):
             lo = i * step
             hi = (i + 1) * step - 1 if i < shard_count - 1 else _HASH_SPACE - 1
             self.shards.append(
-                _Shard(shard_id=f"shardId-{i:012d}", start_hash=lo, end_hash=hi)
+                _Shard(
+                    shard_id=self._new_shard_id(),
+                    start_hash=lo,
+                    end_hash=hi,
+                )
             )
+
+    def _new_shard_id(self) -> str:
+        sid = f"shardId-{self._next_shard_ordinal:012d}"
+        self._next_shard_ordinal += 1
+        return sid
 
     def shard_for_key(self, partition_key: str) -> _Shard:
         h = int.from_bytes(
             hashlib.md5(partition_key.encode("utf-8")).digest(), "big"
         )
         for s in self.shards:
-            if s.start_hash <= h <= s.end_hash:
+            if not s.closed and s.start_hash <= h <= s.end_hash:
                 return s
-        return self.shards[-1]  # unreachable; ranges cover the space
+        raise _ApiError(
+            "InternalFailure", "no open shard covers the hash space"
+        )
+
+    def split(self, shard_id: str, new_start_hash: int) -> tuple[str, str]:
+        """SplitShard semantics: parent closes (keeps its records for
+        readers to finish draining), two children take the halves."""
+        parent = next(
+            (s for s in self.shards if s.shard_id == shard_id), None
+        )
+        if parent is None:
+            raise _ApiError("ResourceNotFoundException", f"Shard {shard_id}")
+        if parent.closed:
+            raise _ApiError(
+                "InvalidArgumentException", f"{shard_id} already closed"
+            )
+        if not (parent.start_hash < new_start_hash <= parent.end_hash):
+            raise _ApiError(
+                "InvalidArgumentException",
+                "NewStartingHashKey outside the parent range",
+            )
+        parent.closed = True
+        left = _Shard(
+            shard_id=self._new_shard_id(),
+            start_hash=parent.start_hash,
+            end_hash=new_start_hash - 1,
+            parent_id=parent.shard_id,
+        )
+        right = _Shard(
+            shard_id=self._new_shard_id(),
+            start_hash=new_start_hash,
+            end_hash=parent.end_hash,
+            parent_id=parent.shard_id,
+        )
+        self.shards.extend([left, right])
+        return left.shard_id, right.shard_id
 
     def put(self, partition_key: str, data_b64: str) -> tuple[str, str]:
         s = self.shard_for_key(partition_key)
@@ -110,19 +162,33 @@ class MockKinesisService:
 
     def list_shards(self, body: dict) -> dict:
         st = self._stream(body["StreamName"])
-        return {
-            "Shards": [
-                {
-                    "ShardId": s.shard_id,
-                    "HashKeyRange": {
-                        "StartingHashKey": str(s.start_hash),
-                        "EndingHashKey": str(s.end_hash),
-                    },
-                    "SequenceNumberRange": {"StartingSequenceNumber": "0"},
-                }
-                for s in st.shards
-            ]
-        }
+        out = []
+        for s in st.shards:
+            desc = {
+                "ShardId": s.shard_id,
+                "HashKeyRange": {
+                    "StartingHashKey": str(s.start_hash),
+                    "EndingHashKey": str(s.end_hash),
+                },
+                "SequenceNumberRange": {"StartingSequenceNumber": "0"},
+            }
+            if s.parent_id is not None:
+                desc["ParentShardId"] = s.parent_id
+            if s.closed:
+                # closed shards expose an ending sequence number (real API)
+                desc["SequenceNumberRange"]["EndingSequenceNumber"] = str(
+                    s.next_seq - 1 if s.next_seq else 0
+                )
+            out.append(desc)
+        return {"Shards": out}
+
+    def split_shard(self, body: dict) -> dict:
+        st = self._stream(body["StreamName"])
+        with self._lock:
+            st.split(
+                body["ShardToSplit"], int(body["NewStartingHashKey"])
+            )
+        return {}
 
     def describe_stream_summary(self, body: dict) -> dict:
         st = self._stream(body["StreamName"])
@@ -130,7 +196,7 @@ class MockKinesisService:
             "StreamDescriptionSummary": {
                 "StreamName": st.name,
                 "StreamStatus": "ACTIVE",
-                "OpenShardCount": len(st.shards),
+                "OpenShardCount": sum(1 for s in st.shards if not s.closed),
             }
         }
 
@@ -186,6 +252,10 @@ class MockKinesisService:
             caught_up = not batch or (
                 batch[-1].sequence_number == shard.next_seq - 1
             )
+            drained_closed = shard.closed and (
+                (batch[-1].sequence_number if batch else pos - 1)
+                >= shard.next_seq - 1
+            )
         next_pos = batch[-1].sequence_number + 1 if batch else pos
         return {
             "Records": [
@@ -197,7 +267,12 @@ class MockKinesisService:
                 }
                 for r in batch
             ],
-            "NextShardIterator": self._encode_iter(stream, shard_id, next_pos),
+            # a fully-drained CLOSED shard ends iteration (real API: null)
+            "NextShardIterator": (
+                None
+                if drained_closed
+                else self._encode_iter(stream, shard_id, next_pos)
+            ),
             "MillisBehindLatest": 0 if caught_up else 1,
         }
 
@@ -241,6 +316,7 @@ class MockKinesisService:
         "PutRecords": put_records,
         "GetShardIterator": get_shard_iterator,
         "GetRecords": get_records,
+        "SplitShard": split_shard,
     }
 
     def dispatch(self, target: str, body: dict) -> dict:

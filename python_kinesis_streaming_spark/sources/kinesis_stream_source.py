@@ -95,6 +95,8 @@ def register_kinesis_stream_source(spark: SparkSession) -> str:
                     if upto is not None and int(r["SequenceNumber"]) > int(upto):
                         return out
                     out.append(r)
+                if resp.get("NextShardIterator") is None:
+                    return out  # closed shard fully drained
                 if not recs and resp.get("MillisBehindLatest", 0) == 0:
                     return out
                 it = resp["NextShardIterator"]

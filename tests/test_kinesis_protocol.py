@@ -377,3 +377,85 @@ def test_full_pipeline_kinesis_to_windowed_agg(mock_stream, spark, tmp_path):
         (14, "click"): (1, 19.0),
     }
     assert got == expect
+
+
+# ---- Resharding ------------------------------------------------------------
+
+
+def _split_first_open_shard(client):
+    shards = client.call("ListShards", {"StreamName": STREAM})["Shards"]
+    target = next(
+        s
+        for s in shards
+        if "EndingSequenceNumber" not in s["SequenceNumberRange"]
+    )
+    lo = int(target["HashKeyRange"]["StartingHashKey"])
+    hi = int(target["HashKeyRange"]["EndingHashKey"])
+    client.call(
+        "SplitShard",
+        {
+            "StreamName": STREAM,
+            "ShardToSplit": target["ShardId"],
+            "NewStartingHashKey": str((lo + hi) // 2 + 1),
+        },
+    )
+    return target["ShardId"]
+
+
+def test_reshard_poll_delivers_everything_once(mock_stream, tmp_path):
+    """SplitShard mid-stream: the checkpointing consumer drains the closed
+    parent to its end (NextShardIterator null), discovers the children,
+    and no record is lost or duplicated across the reshard."""
+    srv, client = mock_stream
+    cp = str(tmp_path / "cp")
+    _put_batch(client, 60)
+    first = poll_stream(client, STREAM, checkpoint_dir=cp)
+    parent = _split_first_open_shard(client)
+    _put_batch(client, 60, offset=60)  # routed to children + other shards
+    second = poll_stream(client, STREAM, checkpoint_dir=cp)
+    ids = sorted(
+        json.loads(r["data"])["event_id"] for r in first + second
+    )
+    assert ids == list(range(120))
+    assert not any(r["shard_id"] == parent for r in second) or all(
+        json.loads(r["data"])["event_id"] < 60
+        for r in second
+        if r["shard_id"] == parent
+    )
+    # the shard map grew: 4 original + 2 children
+    assert len(client.list_shard_ids(STREAM)) == 6
+    # a third poll sees nothing (closed parent does not loop forever)
+    assert poll_stream(client, STREAM, checkpoint_dir=cp) == []
+
+
+def test_reshard_streaming_source_discovers_children(
+    mock_stream, spark, tmp_path
+):
+    """The streaming source's per-batch shard discovery picks up split
+    children; the WAL offset map grows and nothing is lost across the
+    reshard between micro-batches."""
+    from python_kinesis_streaming_spark.sources.kinesis_stream_source import (
+        read_kinesis_stream,
+    )
+
+    srv, client = mock_stream
+    _put_batch(client, 40)
+    q = (
+        read_kinesis_stream(spark, srv.endpoint_url, STREAM)
+        .writeStream.format("memory")
+        .queryName("kin_reshard")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("kin_reshard").count() == 40
+        _split_first_open_shard(client)
+        _put_batch(client, 30, offset=40)
+        q.processAllAvailable()
+        rows = spark.table("kin_reshard").collect()
+        ids = sorted(json.loads(bytes(r["data"]))["event_id"] for r in rows)
+        assert ids == list(range(70))
+        assert len({r["shard_id"] for r in rows}) >= 5  # children active
+    finally:
+        q.stop()
