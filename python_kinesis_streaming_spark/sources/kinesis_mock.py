@@ -6,7 +6,8 @@ body; JSON responses; HTTP 400 + ``{"__type": "<Exception>"}`` for errors
 — for the subset of actions a consumer loop needs:
 
     CreateStream, ListShards, DescribeStreamSummary,
-    PutRecord, PutRecords, GetShardIterator, GetRecords, SplitShard
+    PutRecord, PutRecords, GetShardIterator, GetRecords,
+    SplitShard, MergeShards
 
 Semantics mirror the public service behavior the reference genre depends
 on (docs.aws.amazon.com/kinesis/latest/APIReference):
@@ -133,6 +134,31 @@ class _StreamState:
         self.shards.extend([left, right])
         return left.shard_id, right.shard_id
 
+    def merge(self, shard_id: str, adjacent_id: str) -> str:
+        """MergeShards semantics: two OPEN, hash-adjacent shards close;
+        one child spans their union (real API lifecycle)."""
+        a = next((s for s in self.shards if s.shard_id == shard_id), None)
+        b = next((s for s in self.shards if s.shard_id == adjacent_id), None)
+        if a is None or b is None:
+            raise _ApiError("ResourceNotFoundException", "shard not found")
+        if a.closed or b.closed:
+            raise _ApiError("InvalidArgumentException", "shard already closed")
+        lo, hi = (a, b) if a.start_hash < b.start_hash else (b, a)
+        if lo.end_hash + 1 != hi.start_hash:
+            raise _ApiError(
+                "InvalidArgumentException", "shards are not hash-adjacent"
+            )
+        a.closed = True
+        b.closed = True
+        child = _Shard(
+            shard_id=self._new_shard_id(),
+            start_hash=lo.start_hash,
+            end_hash=hi.end_hash,
+            parent_id=a.shard_id,  # real API: ParentShardId + Adjacent...
+        )
+        self.shards.append(child)
+        return child.shard_id
+
     def put(self, partition_key: str, data_b64: str) -> tuple[str, str]:
         s = self.shard_for_key(partition_key)
         seq = s.next_seq
@@ -187,6 +213,14 @@ class MockKinesisService:
         with self._lock:
             st.split(
                 body["ShardToSplit"], int(body["NewStartingHashKey"])
+            )
+        return {}
+
+    def merge_shards(self, body: dict) -> dict:
+        st = self._stream(body["StreamName"])
+        with self._lock:
+            st.merge(
+                body["ShardToMerge"], body["AdjacentShardToMerge"]
             )
         return {}
 
@@ -317,6 +351,7 @@ class MockKinesisService:
         "GetShardIterator": get_shard_iterator,
         "GetRecords": get_records,
         "SplitShard": split_shard,
+        "MergeShards": merge_shards,
     }
 
     def dispatch(self, target: str, body: dict) -> dict:

@@ -459,3 +459,60 @@ def test_reshard_streaming_source_discovers_children(
         assert len({r["shard_id"] for r in rows}) >= 5  # children active
     finally:
         q.stop()
+
+
+def test_merge_shards_consumer_crosses_cleanly(mock_stream, tmp_path):
+    """MergeShards: two open adjacent shards close into one child; the
+    checkpointing consumer drains both parents and continues on the child
+    with no loss or duplication."""
+    srv, client = mock_stream
+    cp = str(tmp_path / "cp")
+    _put_batch(client, 50)
+    first = poll_stream(client, STREAM, checkpoint_dir=cp)
+    shards = client.call("ListShards", {"StreamName": STREAM})["Shards"]
+    open_shards = sorted(
+        (
+            s
+            for s in shards
+            if "EndingSequenceNumber" not in s["SequenceNumberRange"]
+        ),
+        key=lambda s: int(s["HashKeyRange"]["StartingHashKey"]),
+    )
+    client.call(
+        "MergeShards",
+        {
+            "StreamName": STREAM,
+            "ShardToMerge": open_shards[0]["ShardId"],
+            "AdjacentShardToMerge": open_shards[1]["ShardId"],
+        },
+    )
+    _put_batch(client, 50, offset=50)
+    second = poll_stream(client, STREAM, checkpoint_dir=cp)
+    ids = sorted(json.loads(r["data"])["event_id"] for r in first + second)
+    assert ids == list(range(100))
+    assert len(client.list_shard_ids(STREAM)) == 5  # 4 original + 1 child
+    assert poll_stream(client, STREAM, checkpoint_dir=cp) == []
+    # non-adjacent merge is rejected with the real error type
+    remaining = client.call("ListShards", {"StreamName": STREAM})["Shards"]
+    open_now = sorted(
+        (
+            s
+            for s in remaining
+            if "EndingSequenceNumber" not in s["SequenceNumberRange"]
+        ),
+        key=lambda s: int(s["HashKeyRange"]["StartingHashKey"]),
+    )
+    assert len(open_now) == 3  # first and last are NOT hash-adjacent
+    with pytest.raises(KinesisApiError) as ei:
+        client.call(
+            "MergeShards",
+            {
+                "StreamName": STREAM,
+                "ShardToMerge": open_now[0]["ShardId"],
+                "AdjacentShardToMerge": open_now[-1]["ShardId"],
+            },
+        )
+    assert ei.value.type in (
+        "InvalidArgumentException",
+        "ResourceNotFoundException",
+    )
