@@ -21,7 +21,11 @@ on (docs.aws.amazon.com/kinesis/latest/APIReference):
   MillisBehindLatest of 0 when caught up;
 - optional fault injection: every Nth GetRecords raises
   ProvisionedThroughputExceededException (HTTP 400), the error the
-  reference genre's backoff loop exists for;
+  reference genre's backoff loop exists for; and every Nth PutRecords
+  ENTRY fails per-record (ErrorCode in the entry, FailedRecordCount > 0,
+  HTTP 200 — the real partial-failure shape producers must retry);
+- PutRecords enforces the documented 500-entries-per-call limit
+  (ValidationException);
 - resharding: SplitShard closes the parent (ListShards shows its
   EndingSequenceNumber + the children's ParentShardId; writes route to
   the open children) and GetRecords on a fully-drained closed shard
@@ -170,11 +174,13 @@ class _StreamState:
 class MockKinesisService:
     """The service state + action dispatch (transport-agnostic)."""
 
-    def __init__(self, throttle_every: int = 0):
+    def __init__(self, throttle_every: int = 0, put_fail_every: int = 0):
         self._streams: dict[str, _StreamState] = {}
         self._lock = threading.Lock()
         self._throttle_every = throttle_every
         self._get_records_calls = 0
+        self._put_fail_every = put_fail_every
+        self._put_record_attempts = 0
 
     # -- actions -----------------------------------------------------------
 
@@ -242,12 +248,35 @@ class MockKinesisService:
 
     def put_records(self, body: dict) -> dict:
         st = self._stream(body["StreamName"])
+        if len(body["Records"]) > 500:  # documented per-call entry limit
+            raise _ApiError(
+                "ValidationException",
+                f"{len(body['Records'])} records exceeds the limit of 500",
+            )
         out = []
+        failed = 0
         with self._lock:
             for rec in body["Records"]:
+                self._put_record_attempts += 1
+                if (
+                    self._put_fail_every
+                    and self._put_record_attempts % self._put_fail_every == 0
+                ):
+                    # per-record failure: entry carries ErrorCode, nothing
+                    # is stored, the CALL still returns HTTP 200
+                    out.append(
+                        {
+                            "ErrorCode": (
+                                "ProvisionedThroughputExceededException"
+                            ),
+                            "ErrorMessage": "Rate exceeded for shard",
+                        }
+                    )
+                    failed += 1
+                    continue
                 shard_id, seq = st.put(rec["PartitionKey"], rec["Data"])
                 out.append({"ShardId": shard_id, "SequenceNumber": seq})
-        return {"FailedRecordCount": 0, "Records": out}
+        return {"FailedRecordCount": failed, "Records": out}
 
     def get_shard_iterator(self, body: dict) -> dict:
         st = self._stream(body["StreamName"])
@@ -405,8 +434,10 @@ class MockKinesisServer:
             ...
     """
 
-    def __init__(self, throttle_every: int = 0):
-        self.service = MockKinesisService(throttle_every=throttle_every)
+    def __init__(self, throttle_every: int = 0, put_fail_every: int = 0):
+        self.service = MockKinesisService(
+            throttle_every=throttle_every, put_fail_every=put_fail_every
+        )
         handler = type("BoundHandler", (_Handler,), {"service": self.service})
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
         self._thread = threading.Thread(
