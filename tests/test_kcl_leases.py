@@ -1,0 +1,166 @@
+"""Lease coordination: balanced takes, TTL expiry takeover, counter
+fencing against zombie writers, and exactly-once coverage of a mock
+stream across a worker fleet (including a mid-run death)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from python_kinesis_streaming_spark.sources.kcl_leases import (
+    LeaseCoordinator,
+    LeaseLostError,
+    LeaseTable,
+    coordinated_poll,
+)
+from python_kinesis_streaming_spark.sources.kinesis_consumer import (
+    KinesisClient,
+)
+from python_kinesis_streaming_spark.sources.kinesis_mock import (
+    MockKinesisServer,
+)
+
+STREAM = "lease-test"
+SHARDS = [f"shardId-{i:012d}" for i in range(4)]
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 1000.0
+
+    def __call__(self):
+        return self.t
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return LeaseTable(str(tmp_path / "leases"))
+
+
+def test_two_workers_balance_four_shards(table):
+    clock = FakeClock()
+    a = LeaseCoordinator(table, "worker-a", lease_ttl_s=10, now_fn=clock)
+    b = LeaseCoordinator(table, "worker-b", lease_ttl_s=10, now_fn=clock)
+    got_a = a.take_leases(SHARDS)
+    assert got_a == SHARDS  # first worker grabs everything
+    clock.t += 1
+    got_b = b.take_leases(SHARDS)
+    # b steals toward the fair share ceil(4/2)=2
+    assert len(got_b) == 2
+    assert sorted(a.renew() + got_b) == SHARDS
+    assert set(a.renew()).isdisjoint(got_b)
+
+
+def test_three_workers_one_shard_each_minimum(table):
+    clock = FakeClock()
+    workers = [
+        LeaseCoordinator(table, f"w{i}", lease_ttl_s=10, now_fn=clock)
+        for i in range(3)
+    ]
+    owned = [w.take_leases(SHARDS) for w in workers]
+    # fair share = ceil(4/3) = 2; nobody exceeds it after all passes
+    owned = [w.take_leases(SHARDS) for w in workers]
+    counts = [len(w.renew()) for w in workers]
+    assert sum(counts) == 4
+    assert max(counts) <= 2
+
+
+def test_expired_lease_is_taken_over_with_checkpoint(table):
+    clock = FakeClock()
+    a = LeaseCoordinator(table, "worker-a", lease_ttl_s=10, now_fn=clock)
+    a.take_leases(SHARDS[:1])
+    a.checkpoint(SHARDS[0], "41")
+    # a goes silent; before TTL the shard is NOT claimable
+    clock.t += 5
+    b = LeaseCoordinator(table, "worker-b", lease_ttl_s=10, now_fn=clock)
+    assert b.take_leases(SHARDS[:1]) in ([], [SHARDS[0]])
+    # (before expiry b may steal for balance; force the expiry case)
+    clock.t += 20
+    assert b.take_leases(SHARDS[:1]) == [SHARDS[0]]
+    # the successor resumes from the dead worker's checkpoint
+    assert b.get_checkpoint(SHARDS[0]) == "41"
+
+
+def test_zombie_checkpoint_is_fenced(table):
+    clock = FakeClock()
+    a = LeaseCoordinator(table, "worker-a", lease_ttl_s=10, now_fn=clock)
+    a.take_leases(SHARDS[:1])
+    a.checkpoint(SHARDS[0], "10")
+    clock.t += 30  # a pauses long past the TTL (GC pause / network split)
+    b = LeaseCoordinator(table, "worker-b", lease_ttl_s=10, now_fn=clock)
+    assert b.take_leases(SHARDS[:1]) == [SHARDS[0]]
+    b.checkpoint(SHARDS[0], "20")
+    # the zombie wakes and tries to write a STALE checkpoint
+    with pytest.raises(LeaseLostError):
+        a.checkpoint(SHARDS[0], "11")
+    assert b.get_checkpoint(SHARDS[0]) == "20"  # successor's write stands
+    # and the zombie's renew discovers the fence instead of resurrecting
+    assert a.renew() == []
+
+
+def test_renew_keeps_live_ownership_stable(table):
+    clock = FakeClock()
+    a = LeaseCoordinator(table, "worker-a", lease_ttl_s=10, now_fn=clock)
+    a.take_leases(SHARDS)
+    for _ in range(5):
+        clock.t += 3  # renew faster than the TTL
+        assert a.renew() == SHARDS
+    b = LeaseCoordinator(table, "worker-b", lease_ttl_s=10, now_fn=clock)
+    # b can steal for balance but never sees an expiry
+    assert len(b.take_leases(SHARDS)) == 2
+
+
+# ---- against the mock stream ----------------------------------------------
+
+
+def _put(client, n, offset=0):
+    import base64
+
+    client.call(
+        "PutRecords",
+        {
+            "StreamName": STREAM,
+            "Records": [
+                {
+                    "PartitionKey": f"user-{(offset + i) % 7}",
+                    "Data": base64.b64encode(
+                        json.dumps({"event_id": offset + i}).encode()
+                    ).decode(),
+                }
+                for i in range(n)
+            ],
+        },
+    )
+
+
+def test_fleet_covers_stream_exactly_once_and_survives_death(tmp_path):
+    clock = FakeClock()
+    table = LeaseTable(str(tmp_path / "leases"))
+    with MockKinesisServer() as srv:
+        client = KinesisClient(srv.endpoint_url)
+        client.call("CreateStream", {"StreamName": STREAM, "ShardCount": 4})
+        _put(client, 120)
+        a = LeaseCoordinator(table, "worker-a", lease_ttl_s=10, now_fn=clock)
+        b = LeaseCoordinator(table, "worker-b", lease_ttl_s=10, now_fn=clock)
+        got_a = coordinated_poll(client, STREAM, a)
+        clock.t += 1
+        got_b = coordinated_poll(client, STREAM, b)
+        # between them: every record exactly once (disjoint shard sets)
+        ids = sorted(
+            json.loads(r["data"])["event_id"] for r in got_a + got_b
+        )
+        assert ids == list(range(120))
+        shards_a = {r["shard_id"] for r in got_a}
+        shards_b = {r["shard_id"] for r in got_b}
+        assert shards_a.isdisjoint(shards_b)
+
+        # worker a dies; new records keep flowing
+        _put(client, 60, offset=120)
+        clock.t += 30  # a's leases expire
+        got_b2 = coordinated_poll(client, STREAM, b)
+        ids2 = sorted(json.loads(r["data"])["event_id"] for r in got_b2)
+        # b drained a's shards from a's checkpoints + its own new records:
+        # exactly the 60 new ones, nothing re-read, nothing lost
+        assert ids2 == list(range(120, 180))
+        assert b.renew() == sorted(client.list_shard_ids(STREAM))
