@@ -211,6 +211,11 @@ class KplAggregator:
     for each emitted blob is the first buffered record's key, matching
     KPL behavior (the carrier key only routes the blob to a shard — the
     per-user-record keys live in the key table).
+
+    Encoding is incremental: the key-table and record sections are built
+    as the records arrive, so an add is O(record size) and a flush is a
+    concatenation — never a re-encode of the whole buffer (which would
+    make a b-byte blob cost O(b²/record) to fill).
     """
 
     def __init__(
@@ -220,33 +225,67 @@ class KplAggregator:
     ):
         self.max_bytes = max_bytes
         self.max_count = max_count
-        self._buf: list[tuple] = []
+        self._reset()
 
-    def _encoded_len(self, extra: tuple | None = None) -> int:
-        recs = self._buf + ([extra] if extra is not None else [])
-        return len(encode_aggregated(recs))
+    def _reset(self) -> None:
+        self._pk_table: dict[str, int] = {}
+        self._table_bytes = bytearray()
+        self._record_bytes = bytearray()
+        self._count = 0
+        self._carrier: str | None = None
+
+    #: magic prefix + md5 trailer around the protobuf body.
+    _FRAME_OVERHEAD = len(MAGIC) + 16
 
     def add(self, partition_key: str, data: bytes) -> tuple[str, bytes] | None:
         """Buffer one user record; returns ``(carrier_pk, blob)`` if the
         buffer flushed to admit it, else ``None``."""
-        rec = (partition_key, data)
+
+        def encode_parts(pk_idx: int, new_pk: bool):
+            msg = _field_varint(1, pk_idx) + _field_bytes(3, bytes(data))
+            rec = _field_bytes(3, msg)
+            table = (
+                _field_bytes(1, partition_key.encode("utf-8"))
+                if new_pk
+                else b""
+            )
+            return rec, table
+
+        new_pk = partition_key not in self._pk_table
+        rec, table = encode_parts(
+            self._pk_table.get(partition_key, len(self._pk_table)), new_pk
+        )
+        projected = (
+            self._FRAME_OVERHEAD
+            + len(self._table_bytes)
+            + len(table)
+            + len(self._record_bytes)
+            + len(rec)
+        )
         flushed = None
-        if self._buf and (
-            (self.max_count and len(self._buf) >= self.max_count)
-            or self._encoded_len(rec) > self.max_bytes
+        if self._count and (
+            (self.max_count and self._count >= self.max_count)
+            or projected > self.max_bytes
         ):
             flushed = self.flush()
-        self._buf.append(rec)
+            rec, table = encode_parts(0, True)  # fresh buffer: index 0
+        if partition_key not in self._pk_table:
+            self._pk_table[partition_key] = len(self._pk_table)
+            self._table_bytes += table
+        self._record_bytes += rec
+        self._count += 1
+        if self._carrier is None:
+            self._carrier = partition_key
         return flushed
 
     def flush(self) -> tuple[str, bytes] | None:
         """Emit the buffered records as one blob (``None`` if empty)."""
-        if not self._buf:
+        if not self._count:
             return None
-        carrier = self._buf[0][0]
-        blob = encode_aggregated(self._buf)
-        self._buf = []
-        return carrier, blob
+        proto = bytes(self._table_bytes + self._record_bytes)
+        carrier = self._carrier
+        self._reset()
+        return carrier, MAGIC + proto + hashlib.md5(proto).digest()
 
     def aggregate_all(self, user_records) -> list[tuple[str, bytes]]:
         """Convenience: stream ``(pk, data)`` pairs through the buffer and

@@ -134,6 +134,27 @@ def test_aggregator_respects_size_bound_and_order():
     assert first_carrier == decode_aggregated(first_blob)[0]["partition_key"]
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(min_size=1, max_size=12), st.binary(max_size=60)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_incremental_aggregator_is_byte_identical_to_batch_encode(recs):
+    """The incremental buffer must emit exactly what a one-shot
+    encode_aggregated of the same records would — same table dedup, same
+    field order, same bytes (so the md5 matches too)."""
+    agg = KplAggregator(max_bytes=1 << 30)  # never split
+    blobs = agg.aggregate_all(recs)
+    assert len(blobs) == 1
+    assert blobs[0][1] == encode_aggregated(recs)
+    assert blobs[0][0] == recs[0][0]
+
+
 def test_aggregator_max_count():
     agg = KplAggregator(max_count=7)
     blobs = agg.aggregate_all((f"k{i}", b"d") for i in range(20))
