@@ -10,6 +10,13 @@ decode for real):
   chunks) used for roundtrip property tests and payload synthesis.
 - ``decode_bmp``  — 24-bit uncompressed BI_RGB Windows bitmaps (header
   parse, 4-byte row padding, bottom-up/top-down, BGR→RGB).
+- ``decode_gif`` / ``encode_gif`` — GIF87a/89a with a full LZW
+  codec (LSB-first packing, growing code width, KwKwK case, deferred
+  clear), global/local palettes, interlace, transparency, and frame
+  composition under disposal methods 0-3 — so animated GIFs yield REAL
+  multi-frame sequences for the frame-sampling ops. The decoder is
+  pinned by a spec-hand-derived golden byte vector, not just
+  self-roundtrip.
 - ``decode_wav``  — RIFF/WAVE PCM16 parse (manual chunk walk — the tests
   cross-check against the stdlib ``wave`` writer, an independent
   implementation).
@@ -202,6 +209,267 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples.reshape(-1, channels), rate
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR/EOI codes, code width
+    growing to 12 bits, deferred-clear tolerated (no growth past 4096)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    stream = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    bitpos = 0
+    code_size = min_code_size + 1
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    while bitpos + code_size <= total_bits:
+        code = (stream >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: [i] for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW: code {code} out of range")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _gif_lzw_encode(min_code_size: int, indices) -> bytes:
+    """Real LZW compression aligned with the spec decoder's width growth.
+
+    Timing subtlety: the encoder's table runs one insertion AHEAD of the
+    decoder's (the encoder adds the entry for the string it just emitted;
+    the decoder only learns that entry on the NEXT code). So the encoder
+    must widen when ``next_code == (1 << code_size) + 1`` — one step
+    later than the decoder's ``== (1 << code_size)`` — or every code
+    after the first width bump lands one bit out of phase. Pinned by the
+    hand-derived golden vector and the real-world-GIF interop tests.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:  # table full: clear and restart (simplest spec-legal policy)
+            emit(clear)
+            code_size = min_code_size + 1
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> list[np.ndarray]:
+    """GIF87a/89a bytes → list of HxWx3 uint8 RGB frames (full logical
+    canvas after each frame is composed).
+
+    Covers: global + local color tables, interlace, per-frame
+    transparency, disposal methods 0/1 (leave), 2 (restore background),
+    3 (restore previous). Animation = the spec's frame composition, so
+    frame N is what a viewer shows at step N. Malformed/truncated input
+    always raises ``ValueError`` (the decoder-contract the quarantine
+    seam relies on).
+    """
+    try:
+        return _decode_gif(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"GIF: truncated or malformed ({e})") from None
+
+
+def _decode_gif(data: bytes) -> list[np.ndarray]:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    width, height = struct.unpack("<HH", data[6:10])
+    flags, bg_index, _aspect = data[10], data[11], data[12]
+    pos = 13
+    global_ct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_ct = np.frombuffer(
+            data[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+
+    canvas = np.zeros((height, width, 3), dtype=np.uint8)
+    if global_ct is not None and bg_index < len(global_ct):
+        canvas[:] = global_ct[bg_index]
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = data[pos]
+                gce = data[pos + 1 : pos + 1 + size]
+                disposal = (gce[0] >> 2) & 0x07
+                transparent = gce[3] if gce[0] & 0x01 else None
+                pos += 1 + size
+            while data[pos]:  # skip (remaining) sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{block:02x}")
+        left, top, w, h = struct.unpack("<HHHH", data[pos : pos + 8])
+        iflags = data[pos + 8]
+        pos += 9
+        ct = global_ct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(
+                data[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF: image has no color table")
+        min_code_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = np.array(
+            _gif_lzw_decode(min_code_size, bytes(lzw))[: w * h],
+            dtype=np.int32,
+        ).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            deinterlaced = np.empty_like(indices)
+            deinterlaced[order] = indices
+            indices = deinterlaced
+        before = canvas.copy()
+        region = canvas[top : top + h, left : left + w]
+        rgb = ct[np.clip(indices, 0, len(ct) - 1)]
+        if transparent is not None:
+            mask = indices != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore to background
+            bg = (
+                global_ct[bg_index]
+                if global_ct is not None and bg_index < len(global_ct)
+                else np.zeros(3, dtype=np.uint8)
+            )
+            canvas[top : top + h, left : left + w] = bg
+        elif disposal == 3:  # restore to previous
+            canvas = before
+        disposal = 0
+        transparent = None
+    if not frames:
+        raise ValueError("GIF: no image data")
+    return frames
+
+
+def encode_gif(
+    frames: list[np.ndarray],
+    delay_cs: int = 4,
+) -> bytes:
+    """List of HxWx3 uint8 RGB frames (≤256 distinct colors across all
+    frames) → animated GIF89a bytes with real LZW compression. Used for
+    roundtrip tests and payload synthesis, like ``encode_png``."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = frames[0].shape
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0
+    )
+    if len(colors) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    # palette size must be a power of two >= 2
+    ct_bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    palette = np.zeros((1 << ct_bits, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    lookup = {tuple(c): i for i, c in enumerate(colors)}
+    min_code_size = max(2, ct_bits)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((ct_bits - 1) & 0x07), 0, 0])
+    out += palette.tobytes()
+    if len(frames) > 1:  # NETSCAPE loop-forever extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        out += b"\x21\xf9\x04" + bytes([0]) + struct.pack(
+            "<H", delay_cs
+        ) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        idx = np.array(
+            [lookup[tuple(px)] for px in f.reshape(-1, 3)], dtype=np.int32
+        )
+        compressed = _gif_lzw_encode(min_code_size, idx)
+        out += bytes([min_code_size])
+        for i in range(0, len(compressed), 255):
+            chunk = compressed[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def image_features(arr: np.ndarray) -> dict:
     """Deterministic per-frame features the pipeline would embed/filter on."""
     return {
@@ -254,13 +522,20 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
                     "max_px": None,
                     "n_samples": None,
                     "sample_rate": None,
+                    "n_frames": None,
                 }
                 try:
                     blob = bytes(payload)
                     if fmt == "png":
                         base.update(image_features(decode_png(blob)))
+                        base["n_frames"] = 1
                     elif fmt == "bmp":
                         base.update(image_features(decode_bmp(blob)))
+                        base["n_frames"] = 1
+                    elif fmt == "gif":
+                        gif_frames = decode_gif(blob)
+                        base.update(image_features(gif_frames[0]))
+                        base["n_frames"] = len(gif_frames)
                     elif fmt == "wav":
                         samples, rate = decode_wav(blob)
                         base["n_samples"] = int(samples.shape[0])
@@ -276,6 +551,6 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
     schema = (
         "id long, format string, height int, width int, channels int, "
         "mean_px double, min_px int, max_px int, n_samples int, "
-        "sample_rate int"
+        "sample_rate int, n_frames int"
     )
     return df.mapInPandas(decode_batches, schema=schema)
