@@ -187,3 +187,63 @@ def test_sink_to_source_loop_with_aggregation(mock_stream, spark):
         .collect()
     )
     assert ids == list(range(300))
+
+
+def test_full_stack_gif_payloads_aggregated_through_kinesis(
+    mock_stream, spark
+):
+    """All the round-6 surfaces composed: real GIF payloads, KPL-packed by
+    the producer sink, consumed by the distributed poll, de-aggregated
+    executor-side, decoded by the real codec — features come out exact."""
+    import numpy as np
+
+    from python_kinesis_streaming_spark.llm.media_codecs import (
+        encode_gif,
+        media_features_frame,
+    )
+    from python_kinesis_streaming_spark.sources.kinesis_consumer import (
+        distributed_poll,
+    )
+    from python_kinesis_streaming_spark.sources.kpl import (
+        deaggregate_dataframe,
+    )
+
+    srv, client = mock_stream
+    rng = np.random.default_rng(5)
+    palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    payloads = {
+        i: encode_gif(
+            [
+                palette[rng.integers(0, 2, size=(4 + i, 6))]
+                for _ in range(1 + i % 3)
+            ]
+        )
+        for i in range(24)
+    }
+    df = spark.createDataFrame(
+        [(str(i), bytearray(b)) for i, b in payloads.items()],
+        "partition_key string, data binary",
+    )
+    write_batch_to_kinesis(
+        df, srv.endpoint_url, STREAM, aggregate=True, aggregate_max_bytes=4096
+    )
+    users = deaggregate_dataframe(
+        distributed_poll(spark, srv.endpoint_url, STREAM)
+    )
+    from pyspark.sql import functions as F
+
+    typed = users.select(
+        F.col("partition_key").cast("long").alias("doc_id"),
+        F.lit("gif").alias("fmt"),
+        F.col("data").alias("payload"),
+    )
+    feats = {
+        r["id"]: r
+        for r in media_features_frame(
+            typed, "doc_id", "fmt", "payload"
+        ).collect()
+    }
+    assert len(feats) == 24
+    for i in range(24):
+        assert (feats[i]["height"], feats[i]["width"]) == (4 + i, 6)
+        assert feats[i]["n_frames"] == 1 + i % 3

@@ -394,3 +394,34 @@ def test_gif_decodes_real_world_files():
             assert f.shape[:2] == (sized[name], sized[name])
         decoded += 1
     assert decoded >= 3  # the ground-truth files were actually exercised
+
+
+def test_gif_lzw_property_roundtrip():
+    """Codec-level LZW law: decode(encode(x)) == x for random index
+    streams across palette sizes (drives many width-growth schedules)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from python_kinesis_streaming_spark.llm.media_codecs import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=8).flatmap(
+            lambda mcs: st.tuples(
+                st.just(mcs),
+                st.lists(
+                    st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                    min_size=1,
+                    max_size=400,
+                ),
+            )
+        )
+    )
+    def law(case):
+        mcs, indices = case
+        assert _gif_lzw_decode(mcs, _gif_lzw_encode(mcs, indices)) == indices
+
+    law()
