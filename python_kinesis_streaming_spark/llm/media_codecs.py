@@ -34,9 +34,12 @@ Scale notes (100 TB): decode is partition-local (zero shuffle); payloads
 ride the scan as binary columns and column pruning skips them for
 metadata-only queries; batch size is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of decoded
-frames fits executor memory. Formats needing licensed/heavy codecs
-(JPEG, H.264) plug into the identical seam as an added elif — the
-surrounding plan does not change.
+frames fits executor memory. JPEG (baseline sequential, the dominant
+real-corpus format) lives in its own module — ``jpeg_codec.py``, full
+encoder + decoder — and is dispatched here as ``fmt == "jpeg"``.
+Formats needing genuinely heavy codecs (H.264/H.265) would plug into
+the identical seam as an added elif — the surrounding plan does not
+change.
 """
 
 from __future__ import annotations
@@ -494,11 +497,14 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
     """
     from pyspark import cloudpickle
 
+    import python_kinesis_streaming_spark.llm.jpeg_codec as _jpeg
     import python_kinesis_streaming_spark.llm.media_codecs as _self
 
     # Ship this module's code inside the serialized task closure: executors
     # in a bare driver session have no PYTHONPATH entry for this repo.
     cloudpickle.register_pickle_by_value(_self)
+    cloudpickle.register_pickle_by_value(_jpeg)
+    decode_jpeg_kernel = _jpeg.decode_jpeg
 
     def decode_batches(batches):
         import numpy as _np  # noqa: F401 (codecs use the module-level np)
@@ -531,6 +537,9 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
                         base["n_frames"] = 1
                     elif fmt == "bmp":
                         base.update(image_features(decode_bmp(blob)))
+                        base["n_frames"] = 1
+                    elif fmt == "jpeg":
+                        base.update(image_features(decode_jpeg_kernel(blob)))
                         base["n_frames"] = 1
                     elif fmt == "gif":
                         gif_frames = decode_gif(blob)

@@ -26,6 +26,7 @@ import zlib
 import numpy as np
 import pytest
 
+from python_kinesis_streaming_spark.llm.jpeg_codec import encode_jpeg
 from python_kinesis_streaming_spark.llm.media_codecs import (
     decode_bmp,
     decode_gif,
@@ -179,6 +180,9 @@ def test_media_features_frame_mixed_formats(spark):
         (3, "wav", bytearray(buf.getvalue())),
         (4, "png", bytearray(b"this is not a png")),
         (5, "gif", bytearray(b"GIF89a...")),
+        (6, "jpeg", bytearray(encode_jpeg(img, quality=95))),
+        (7, "jpeg", bytearray(encode_jpeg(img, quality=90, subsample=True))),
+        (8, "jpeg", bytearray(b"\xff\xd8 truncated jpeg")),
     ]
     df = spark.createDataFrame(rows, "doc_id long, fmt string, payload binary")
     out = {
@@ -199,6 +203,11 @@ def test_media_features_frame_mixed_formats(spark):
     # task failure (gif became a real format in r6, so this is no longer
     # the unknown-format path)
     assert out[5]["format"].startswith("error:GIF")
+    # jpeg is lossy: dimensions are exact, mean within a small band
+    assert (out[6]["height"], out[6]["width"], out[6]["channels"]) == (9, 4, 3)
+    assert abs(out[6]["mean_px"] - expected_mean) < 3.0
+    assert (out[7]["height"], out[7]["width"]) == (9, 4)  # 4:2:0 path
+    assert out[8]["format"].startswith("error:")
 
 
 @pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3), (6, 4)])
