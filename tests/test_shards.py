@@ -1,0 +1,132 @@
+"""WebDataset-style tar shard writer/reader tests (llm/shards.py).
+
+Independence strategy: the reader side of every roundtrip is also
+cross-checked with the stdlib ``tarfile`` module directly (open the
+written shard bytes outside Spark and compare members), and the shard
+assignment is re-derived in plain Python with ``zlib.crc32`` — the same
+public CRC the Spark expression implements — so writer and checker share
+no code.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import io
+import os
+import tarfile
+import zlib
+
+import numpy as np
+import pytest
+
+from python_kinesis_streaming_spark.llm.jpeg_codec import encode_jpeg
+from python_kinesis_streaming_spark.llm.shards import (
+    read_tar_shards,
+    write_tar_shards,
+)
+
+N_DOCS = 40
+N_SHARDS = 5
+
+
+def _corpus_rows():
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(N_DOCS):
+        img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        rows.append(
+            (
+                f"doc{i:04d}",
+                f"text of document {i}",
+                '{"lang": "en", "idx": %d}' % i,
+                bytearray(encode_jpeg(img, quality=90)),
+            )
+        )
+    return rows
+
+
+MEMBERS = {"txt": "body", "json": "meta", "jpg": "payload"}
+SCHEMA = "doc_id string, body string, meta string, payload binary"
+
+
+def _write(spark, out_dir):
+    df = spark.createDataFrame(_corpus_rows(), SCHEMA)
+    manifest = write_tar_shards(df, out_dir, "doc_id", MEMBERS, N_SHARDS)
+    return {r["shard"]: r.asDict() for r in manifest.collect()}
+
+
+def test_roundtrip_and_stdlib_crosscheck(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    manifest = _write(spark, out)
+
+    # every sample comes back byte-identical through the Spark reader
+    back = {
+        r["key"]: r
+        for r in read_tar_shards(spark, out + "/shard-*.tar").collect()
+    }
+    assert len(back) == N_DOCS
+    for doc_id, body, meta, payload in _corpus_rows():
+        parts = back[doc_id]["parts"]
+        assert bytes(parts["txt"]) == body.encode()
+        assert bytes(parts["json"]) == meta.encode()
+        assert bytes(parts["jpg"]) == bytes(payload)
+
+    # stdlib cross-check: members in each tar match the manifest count
+    # and are key-sorted (deterministic layout)
+    total = 0
+    for shard, row in manifest.items():
+        with tarfile.open(row["path"]) as tar:
+            names = tar.getnames()
+        stems = sorted({n.rsplit(".", 1)[0] for n in names})
+        assert stems == sorted(stems)
+        assert len(stems) == row["n_samples"]
+        total += row["n_samples"]
+    assert total == N_DOCS
+
+
+def test_shard_assignment_is_public_crc32(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    _write(spark, out)
+    for doc_id, *_ in _corpus_rows():
+        expect = zlib.crc32(doc_id.encode()) % N_SHARDS
+        path = os.path.join(out, f"shard-{expect:05d}.tar")
+        with tarfile.open(path) as tar:
+            assert f"{doc_id}.txt" in tar.getnames()
+
+
+def test_writer_is_byte_deterministic(spark, tmp_path):
+    m1 = _write(spark, str(tmp_path / "a"))
+    m2 = _write(spark, str(tmp_path / "b"))
+    assert set(m1) == set(m2)
+    for shard in m1:
+        assert m1[shard]["sha256"] == m2[shard]["sha256"]
+        assert m1[shard]["n_bytes"] == m2[shard]["n_bytes"]
+    # the manifest hash equals a fresh hash of the bytes on disk
+    for shard, row in m1.items():
+        with open(row["path"], "rb") as f:
+            assert hashlib.sha256(f.read()).hexdigest() == row["sha256"]
+
+
+def test_rerun_clears_stale_shards(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    _write(spark, out)
+    assert len(glob.glob(out + "/shard-*.tar")) == N_SHARDS
+    df = spark.createDataFrame(_corpus_rows(), SCHEMA)
+    write_tar_shards(df, out, "doc_id", MEMBERS, 2).collect()
+    # a 2-shard re-run must not leave shard-00002..4 from the 5-shard run
+    assert len(glob.glob(out + "/shard-*.tar")) == 2
+
+
+def test_null_members_are_skipped(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame(
+        [("a", "text-a", None, None), ("b", None, '{"x":1}', None)], SCHEMA
+    )
+    write_tar_shards(df, out, "doc_id", MEMBERS, 1).collect()
+    back = {
+        r["key"]: dict(r["parts"])
+        for r in read_tar_shards(spark, out + "/shard-*.tar").collect()
+    }
+    assert set(back["a"]) == {"txt"}
+    assert set(back["b"]) == {"json"}
