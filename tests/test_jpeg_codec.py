@@ -214,3 +214,50 @@ class TestRobustness:
             encode_jpeg(np.zeros((8, 8, 3), dtype=np.float64))
         with pytest.raises(ValueError, match="uint8"):
             encode_jpeg(np.zeros((8, 8, 2), dtype=np.uint8))
+
+
+class TestRealWorldInterop:
+    """Tool-produced JPEGs that ship with CPython and the Rust docs.
+
+    No PIL exists here to give pixel ground truth, so the assertions are
+    structural: declared dimensions, dtype/range sanity, and non-trivial
+    content variance (a mis-wired Huffman or IDCT produces either an
+    exception, a flat field, or noise with wild statistics)."""
+
+    def _decode_existing(self, path):
+        import os
+
+        if not os.path.exists(path):
+            pytest.skip(f"{path} not present")
+        return decode_jpeg(open(path, "rb").read())
+
+    def test_cpython_email_test_jpeg(self):
+        import os
+        import test.test_email as te
+
+        arr = self._decode_existing(
+            os.path.join(os.path.dirname(te.__file__), "data", "python.jpg")
+        )
+        assert arr.shape == (16, 16, 3)
+        # the logo: dark background, bright snake bodies
+        assert arr.mean() > 40 and arr.std() > 40
+
+    def test_rust_docs_photographic_jpeg(self):
+        arr = self._decode_existing(
+            "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+            "doc/rust/html/embedded-book/assets/verify.jpeg"
+        )
+        assert arr.shape == (477, 720, 3)
+        assert 20 < arr.mean() < 235 and arr.std() > 20
+
+    def test_progressive_file_rejected_clearly(self):
+        import os
+
+        path = (
+            "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+            "doc/rust/html/embedded-book/assets/f3.jpg"
+        )
+        if not os.path.exists(path):
+            pytest.skip("f3.jpg not present")
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(open(path, "rb").read())
