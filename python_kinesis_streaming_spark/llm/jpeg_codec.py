@@ -1,21 +1,27 @@
-"""Baseline-sequential JPEG codec (ITU T.81 / JFIF), stdlib + numpy only.
+"""JPEG codec (ITU T.81 / JFIF): baseline sequential AND progressive,
+stdlib + numpy only.
 
 Extends the real-decode story of ``media_codecs.py`` to the format that
 dominates real image corpora. No PIL/libjpeg in this container, so both
 sides are implemented from the public spec:
 
-- ``decode_jpeg`` — full baseline decode: marker walk (APPn/COM skip,
-  DQT, SOF0, DHT, DRI, SOS), canonical Huffman table construction,
-  entropy decode with byte unstuffing and RSTn handling, DC prediction,
-  dequantize, inverse zigzag, 2-D IDCT, chroma upsampling for arbitrary
-  (h,v) sampling factors (4:4:4, 4:2:0, 4:2:2), YCbCr→RGB (BT.601 JFIF).
-  Progressive (SOF2) and arithmetic-coded streams are rejected with a
-  clear error, not mis-decoded.
-- ``encode_jpeg`` — baseline encoder: level shift, 2-D DCT, Annex-K
-  quantization tables scaled by IJG quality, zigzag, DC-differential +
-  run-length AC Huffman coding with the Annex-K typical tables, byte
-  stuffing, optional 4:2:0 subsampling (2x2 box-average chroma), optional
-  restart intervals, grayscale single-component streams.
+- ``decode_jpeg`` — marker walk (APPn/COM skip, DQT, SOF, DHT, DRI,
+  SOS), canonical Huffman tables via a 16-bit-prefix LUT over bulk-
+  unstuffed entropy chunks, DC prediction, RSTn handling, dequantize,
+  inverse zigzag, batched 2-D IDCT, chroma upsampling for arbitrary
+  (h,v) sampling factors (4:4:4, 4:2:0, 4:2:2), YCbCr→RGB (BT.601
+  JFIF). Handles SOF0/1 sequential and SOF2 progressive frames —
+  spectral selection, successive approximation (DC and AC refinement
+  per T.81 G.1.2), and EOBRUN. Arithmetic-coded and hierarchical frames
+  are rejected with a clear error, not mis-decoded.
+- ``encode_jpeg`` — level shift, batched 2-D DCT, Annex-K quantization
+  scaled by IJG quality, zigzag, DC-differential + run-length AC
+  Huffman with the Annex-K typical tables, byte stuffing, optional
+  4:2:0 subsampling (2x2 box-average chroma), optional restart
+  intervals, grayscale streams, and ``progressive=True``: an SOF2
+  scan script (interleaved DC first, per-component spectral bands,
+  full AC+DC refinement passes with EOBRUN emission over a custom
+  canonical table carrying EOB1/EOB2).
 
 Test strategy (tests/test_jpeg_codec.py): JPEG is lossy, so roundtrips
 assert tolerance bands (flat images roundtrip near-exactly — DC-only;
@@ -23,10 +29,12 @@ smooth gradients within a small mean error at quality 95); the DCT is
 pinned against a literal O(N^4) evaluation of the T.81 definition; the
 canonical Huffman constructor is pinned against the spec-derivable DC
 luminance code assignments; 4:2:0 and restart-interval encodes exercise
-the decoder's MCU-interleave and RSTn paths. Interop guarantee with
-external files comes from writing the tables we use into DQT/DHT and
-reading whatever tables an external file declares — nothing is assumed
-shared out-of-band.
+the decoder's MCU-interleave and RSTn paths. Progressive gets an EXACT
+gate: sequential and progressive encodings carry identical quantized
+coefficients, so their decodes must be bit-identical — plus real
+libjpeg-produced files (CPython test data, Rust docs assets) decode as
+interop evidence. Interop with external files needs no shared state:
+tables travel in DQT/DHT both directions.
 
 Scale notes (100 TB): identical to media_codecs — decode is
 partition-local behind the Arrow-batched ``mapInPandas`` seam
@@ -204,74 +212,111 @@ class _BitWriter:
             self.write((1 << (8 - self._nbits)) - 1, 8 - self._nbits)
 
 
-class _BitReader:
-    """Reads entropy-coded bits, unstuffing 0xFF00 and stopping at markers."""
+def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy segment -> (unstuffed chunks split at RSTn, next marker pos).
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._nbits = 0
-        self.marker: int | None = None  # set when a non-RST marker is hit
-
-    def _fill(self) -> bool:
-        if self.pos >= len(self.data):
-            return False
-        byte = self.data[self.pos]
-        if byte == 0xFF:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
-            if nxt == 0x00:
-                self.pos += 2
-            else:
-                self.marker = nxt
-                return False  # real marker: stop feeding bits
+    One pre-pass replaces per-bit marker/stuffing checks in the hot decode
+    loop: 0xFF00 unstuffs to 0xFF, RSTn markers delimit chunks, 0xFF fill
+    bytes are dropped, and any other marker ends the segment."""
+    chunks: list[bytes] = []
+    cur = bytearray()
+    n = len(data)
+    i = pos
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            # bulk-copy the run up to the next 0xFF
+            j = data.find(b"\xff", i)
+            if j < 0:
+                j = n
+            cur += data[i:j]
+            i = j
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            chunks.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif nxt == 0xFF:
+            i += 1  # fill byte
         else:
-            self.pos += 1
-        self._acc = (self._acc << 8) | byte
-        self._nbits += 8
-        return True
+            break  # real marker ends the segment
+    chunks.append(bytes(cur))
+    return chunks, i
 
-    def read_bit(self) -> int:
-        if self._nbits == 0 and not self._fill():
-            raise ValueError("jpeg: entropy data truncated")
-        self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
 
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+class _FastBits:
+    """MSB-first bit reader over an unstuffed chunk; bounded 1-padding at
+    the end (the spec's fill-bit convention) so the final symbol can be
+    peeked, with truncation still detected."""
+
+    __slots__ = ("buf", "n", "pos", "acc", "nbits", "pad")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.n = len(buf)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+        self.pad = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < self.n:
+                self.acc = (self.acc << 8) | self.buf[self.pos]
+                self.pos += 1
+            else:
+                if self.pad >= 64:
+                    raise ValueError("jpeg: entropy data truncated")
+                self.acc = (self.acc << 8) | 0xFF
+                self.pad += 8
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1
+
+    def read_bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.nbits < k:
+            self._fill(k)
+        self.nbits -= k
+        v = (self.acc >> self.nbits) & ((1 << k) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
-    def sync_restart(self) -> None:
-        """Consume an RSTn marker at a restart boundary and reset bit state."""
-        self._acc = 0
-        self._nbits = 0
-        while self.pos + 1 < len(self.data):
-            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1  # tolerate pad bytes before the marker
-        raise ValueError("jpeg: missing restart marker")
+    def read_bit(self) -> int:
+        return self.read_bits(1)
 
 
 class _HuffDecoder:
-    """Canonical-code Huffman decoder: maps (length, code) -> symbol."""
+    """Canonical-code Huffman decoder via a 16-bit-prefix lookup table."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
-        self.lut: dict[tuple[int, int], int] = {}
-        for sym, (code, length) in canonical_codes(bits, vals).items():
-            self.lut[(length, code)] = sym
-        self.max_len = max((ln for ln, _ in self.lut), default=0)
+        self.sym = np.zeros(1 << 16, dtype=np.int32)
+        self.length = np.zeros(1 << 16, dtype=np.uint8)
+        for sym, (code, ln) in canonical_codes(bits, vals).items():
+            base = code << (16 - ln)
+            span = 1 << (16 - ln)
+            self.sym[base : base + span] = sym
+            self.length[base : base + span] = ln
 
-    def decode(self, reader: _BitReader) -> int:
-        code = 0
-        for length in range(1, self.max_len + 1):
-            code = (code << 1) | reader.read_bit()
-            sym = self.lut.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("jpeg: invalid Huffman code")
+    def decode(self, reader: _FastBits) -> int:
+        w = reader.peek16()
+        ln = self.length[w]
+        if ln == 0:
+            raise ValueError("jpeg: invalid Huffman code")
+        reader.skip(int(ln))
+        return int(self.sym[w])
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -323,25 +368,29 @@ def _pad_plane(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def _encode_block(
-    block: np.ndarray,
-    qtab: np.ndarray,
-    dc_pred: int,
-    dc_codes: dict,
-    ac_codes: dict,
-    writer: _BitWriter,
+def _plane_coefs(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """MCU-padded plane -> (by, bx, 64) quantized ZIGZAG-order coefficients."""
+    h, w = plane.shape
+    blocks = (plane - 128.0).reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,xyjk,lk->xyil", DCT_M, blocks, DCT_M)
+    quant = np.round(coef / qtab).astype(np.int32)
+    return quant.reshape(h // 8, w // 8, 64)[..., ZIGZAG]
+
+
+def _shift_to_zero(v: int, al: int) -> int:
+    """Point transform for AC coefficients: magnitude shift, sign kept."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _emit_block_sequential(
+    writer: _BitWriter, zz: np.ndarray, dc_pred: int, dc_codes: dict, ac_codes: dict
 ) -> int:
-    coef = DCT_M @ (block - 128.0) @ DCT_M.T
-    quant = np.round(coef / qtab).astype(np.int64)
-    zz = quant.flatten()[ZIGZAG]
-    # DC differential
     diff = int(zz[0]) - dc_pred
     size, bits = _magnitude(diff)
     code, length = dc_codes[size]
     writer.write(code, length)
     if size:
         writer.write(bits, size)
-    # AC run-length
     run = 0
     for k in range(1, 64):
         v = int(zz[k])
@@ -363,6 +412,114 @@ def _encode_block(
     return int(zz[0])
 
 
+# Progressive EOBRUN cap: EOB0..EOB2 symbols cover runs 1..7. The standard
+# Annex-K AC tables lack EOB1/EOB2 AND have a completely full canonical
+# code space (no room to append), so progressive scans use a custom table:
+# 16 common symbols at length 6, everything else at length 9 — Kraft sum
+# 16*2^10 + 148*2^7 = 35328 <= 65536, a valid (incomplete) canonical
+# table. It travels in DHT like any other, so external decoders read it.
+_EOBRUN_MAX = 7
+_PROG_COMMON = [
+    0x00, 0x10, 0x20, 0x01, 0x02, 0x03, 0x04, 0x11,
+    0x12, 0x21, 0x31, 0xF0, 0x05, 0x41, 0x13, 0x51,
+]
+
+
+def _prog_ac_tables(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    rest = sorted(v for v in vals if v not in _PROG_COMMON)
+    out_bits = [0] * 16
+    out_bits[5] = len(_PROG_COMMON)  # code length 6
+    out_bits[8] = len(rest)  # code length 9
+    return out_bits, _PROG_COMMON + rest
+
+
+class _ScanEmitter:
+    """Entropy emitter for one progressive scan (owns EOBRUN buffering)."""
+
+    def __init__(self, ac_codes: dict) -> None:
+        self.writer = _BitWriter()
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = self.ac_codes[nbits << 4]
+            self.writer.write(code, length)
+            if nbits:
+                self.writer.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.pending_bits:
+            self.writer.write(b, 1)
+        self.pending_bits = []
+
+    def ac_first_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        run = 0
+        for k in range(ss, se + 1):
+            t = _shift_to_zero(int(zz[k]), al)
+            if t == 0:
+                run += 1
+                continue
+            self.flush_eobrun()
+            while run > 15:
+                code, length = self.ac_codes[0xF0]
+                self.writer.write(code, length)
+                run -= 16
+            size, bits = _magnitude(t)
+            code, length = self.ac_codes[(run << 4) | size]
+            self.writer.write(code, length)
+            self.writer.write(bits, size)
+            run = 0
+        if run:
+            self.eobrun += 1
+            if self.eobrun == _EOBRUN_MAX:
+                self.flush_eobrun()
+
+    def ac_refine_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        absv = {k: abs(int(zz[k])) >> al for k in range(ss, se + 1)}
+        eob = 0  # last NEWLY-significant index; zeros beyond fold into EOBRUN
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eob = k
+        run = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
+                self.flush_eobrun()
+                code, length = self.ac_codes[0xF0]
+                self.writer.write(code, length)
+                run -= 16
+                for b in br:
+                    self.writer.write(b, 1)
+                br = []
+            if t > 1:  # significant in an earlier pass: buffer correction bit
+                br.append(t & 1)
+                continue
+            self.flush_eobrun()
+            code, length = self.ac_codes[(run << 4) | 1]
+            self.writer.write(code, length)
+            self.writer.write(1 if int(zz[k]) > 0 else 0, 1)
+            for b in br:
+                self.writer.write(b, 1)
+            br = []
+            run = 0
+        if run or br:
+            self.eobrun += 1
+            self.pending_bits.extend(br)
+            if self.eobrun == _EOBRUN_MAX:
+                self.flush_eobrun()
+
+    def finish(self) -> bytes:
+        self.flush_eobrun()
+        self.writer.pad_to_byte()
+        return bytes(self.writer.out)
+
+
 def _marker_segment(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
@@ -376,16 +533,25 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """HxWx3 RGB or HxW / HxWx1 gray uint8 -> baseline JFIF JPEG bytes.
+    """HxWx3 RGB or HxW / HxWx1 gray uint8 -> JFIF JPEG bytes.
 
     ``subsample=True`` emits 4:2:0 (2x2 box-averaged chroma, 16x16 MCUs);
-    ``restart_interval=N`` emits DRI + RSTn every N MCUs.
+    ``restart_interval=N`` emits DRI + RSTn every N MCUs;
+    ``progressive=True`` emits an SOF2 spectral-selection + successive-
+    approximation stream (interleaved DC-first at Al=1, per-component AC
+    bands 1-5 / 6-63 at Al=1, their Ah=1->Al=0 refinements, and a DC
+    refinement scan). Sequential and progressive encodings carry the SAME
+    quantized coefficients, so decoders must reconstruct them identically
+    — the property the tests pin.
     """
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] not in (1, 3):
         raise ValueError("jpeg: expected HxWx{1,3} uint8")
+    if progressive and restart_interval:
+        raise ValueError("jpeg: restart intervals unsupported with progressive")
     h, w, nchan = arr.shape
     gray = nchan == 1
     qy = _quality_scale(QUANT_LUMA, quality).astype(np.float64)
@@ -427,41 +593,108 @@ def encode_jpeg(
         for p, (sh, sv) in zip(planes, sampling)
     ]
 
+    qtabs = [qy if q == 0 else qc for q in qsel]
+    coefs_list = [_plane_coefs(p, qtabs[ci]) for ci, p in enumerate(padded)]
+    # Natural (unpadded-to-MCU) block grid per component: the domain of
+    # non-interleaved progressive scans.
+    nat = []
+    for sh, sv in sampling:
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        nat.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    if progressive:
+        ac_bits_l, ac_vals_l = _prog_ac_tables(AC_LUMA_BITS, AC_LUMA_VALS)
+        ac_bits_c, ac_vals_c = _prog_ac_tables(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    else:
+        ac_bits_l, ac_vals_l = AC_LUMA_BITS, AC_LUMA_VALS
+        ac_bits_c, ac_vals_c = AC_CHROMA_BITS, AC_CHROMA_VALS
     dc_codes = [canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
-    ac_codes = [canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    ac_codes = [canonical_codes(ac_bits_l, ac_vals_l)]
     if not gray:
         dc_codes.append(canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
         ac_codes.append(canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+        ac_codes[1] = canonical_codes(ac_bits_c, ac_vals_c)
 
-    writer = _BitWriter()
-    dc_pred = [0] * len(planes)
-    qtabs = [qy if q == 0 else qc for q in qsel]
-    mcu_count = 0
-    rst_idx = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                writer.pad_to_byte()
-                writer.out += bytes([0xFF, 0xD0 + (rst_idx % 8)])
-                rst_idx += 1
-                dc_pred = [0] * len(planes)
-            for ci, ((sh, sv), plane) in enumerate(zip(sampling, padded)):
-                tsel = 0 if qsel[ci] == 0 else 1
-                for by in range(sv):
-                    for bx in range(sh):
-                        r0 = (my * sv + by) * 8
-                        c0 = (mx * sh + bx) * 8
-                        block = plane[r0 : r0 + 8, c0 : c0 + 8]
-                        dc_pred[ci] = _encode_block(
-                            block,
-                            qtabs[ci],
-                            dc_pred[ci],
-                            dc_codes[tsel],
-                            ac_codes[tsel],
-                            writer,
-                        )
-            mcu_count += 1
-    writer.pad_to_byte()
+    ncomp = len(planes)
+    tsel = [0 if q == 0 else 1 for q in qsel]
+
+    def sos_segment(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
+        return _marker_segment(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    scans: list[bytes] = []  # each = SOS segment + entropy bytes
+
+    if not progressive:
+        writer = _BitWriter()
+        dc_pred = [0] * ncomp
+        mcu_count = 0
+        rst_idx = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    writer.pad_to_byte()
+                    writer.out += bytes([0xFF, 0xD0 + (rst_idx % 8)])
+                    rst_idx += 1
+                    dc_pred = [0] * ncomp
+                for ci, (sh, sv) in enumerate(sampling):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            zz = coefs_list[ci][my * sv + by, mx * sh + bx]
+                            dc_pred[ci] = _emit_block_sequential(
+                                writer, zz, dc_pred[ci],
+                                dc_codes[tsel[ci]], ac_codes[tsel[ci]],
+                            )
+                mcu_count += 1
+        writer.pad_to_byte()
+        scans.append(sos_segment(list(range(ncomp)), 0, 63, 0, 0) + bytes(writer.out))
+    else:
+        def dc_scan(ah: int, al: int) -> bytes:
+            writer = _BitWriter()
+            pred = [0] * ncomp
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, (sh, sv) in enumerate(sampling):
+                        for by in range(sv):
+                            for bx in range(sh):
+                                dc = int(coefs_list[ci][my * sv + by, mx * sh + bx][0])
+                                if ah == 0:
+                                    v = dc >> al  # arithmetic: pairs with <<
+                                    diff = v - pred[ci]
+                                    pred[ci] = v
+                                    size, bits = _magnitude(diff)
+                                    code, length = dc_codes[tsel[ci]][size]
+                                    writer.write(code, length)
+                                    if size:
+                                        writer.write(bits, size)
+                                else:
+                                    writer.write((dc >> al) & 1, 1)
+            writer.pad_to_byte()
+            return sos_segment(list(range(ncomp)), 0, 0, ah, al) + bytes(writer.out)
+
+        def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+            em = _ScanEmitter(ac_codes[tsel[ci]])
+            bh_nat, bw_nat = nat[ci]
+            for by in range(bh_nat):
+                for bx in range(bw_nat):
+                    zz = coefs_list[ci][by, bx]
+                    if ah == 0:
+                        em.ac_first_block(zz, ss, se, al)
+                    else:
+                        em.ac_refine_block(zz, ss, se, al)
+            return sos_segment([ci], ss, se, ah, al) + em.finish()
+
+        scans.append(dc_scan(0, 1))
+        bands = [(1, 5), (6, 63)]
+        for ci in range(ncomp):
+            for ss, se in bands:
+                scans.append(ac_scan(ci, ss, se, 0, 1))
+        for ci in range(ncomp):
+            for ss, se in bands:
+                scans.append(ac_scan(ci, ss, se, 1, 0))
+        scans.append(dc_scan(1, 0))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _marker_segment(
@@ -478,27 +711,20 @@ def encode_jpeg(
     for ci, (sh, sv) in enumerate(sampling):
         comps += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
     out += _marker_segment(
-        0xC0, struct.pack(">BHHB", 8, h, w, len(sampling)) + comps
+        0xC2 if progressive else 0xC0,
+        struct.pack(">BHHB", 8, h, w, len(sampling)) + comps,
     )
     out += _marker_segment(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
-    out += _marker_segment(0xC4, _dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    out += _marker_segment(0xC4, _dht_payload(1, 0, ac_bits_l, ac_vals_l))
     if not gray:
         out += _marker_segment(
             0xC4, _dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         )
-        out += _marker_segment(
-            0xC4, _dht_payload(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
-        )
+        out += _marker_segment(0xC4, _dht_payload(1, 1, ac_bits_c, ac_vals_c))
     if restart_interval:
         out += _marker_segment(0xDD, struct.pack(">H", restart_interval))
-    scomps = b""
-    for ci in range(len(sampling)):
-        tsel = 0 if qsel[ci] == 0 else 1
-        scomps += bytes([ci + 1, (tsel << 4) | tsel])
-    out += _marker_segment(
-        0xDA, bytes([len(sampling)]) + scomps + bytes([0, 63, 0])
-    )
-    out += writer.out
+    for scan in scans:
+        out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -507,27 +733,194 @@ def encode_jpeg(
 # Decoder.
 # --------------------------------------------------------------------------
 
+def _visit_block_first(
+    reader: _BitReader,
+    vec: np.ndarray,
+    dc_tab: _HuffDecoder | None,
+    ac_tab: _HuffDecoder | None,
+    pred: int,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> tuple[int, int]:
+    """First-pass (Ah=0) visit: sequential scans are the Ss=0,Se=63,Al=0
+    special case. Returns (new DC predictor, new EOBRUN)."""
+    if ss == 0:
+        size = dc_tab.decode(reader)
+        pred += _extend(reader.read_bits(size), size)
+        vec[0] = pred << al
+        k = 1
+    else:
+        k = ss
+    if se >= k:
+        if eobrun > 0:
+            eobrun -= 1
+        else:
+            while k <= se:
+                rs = ac_tab.decode(reader)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += reader.read_bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("jpeg: AC index overflow")
+                vec[k] = _extend(reader.read_bits(size), size) << al
+                k += 1
+    return pred, eobrun
+
+
+def _visit_block_refine(
+    reader: _BitReader,
+    vec: np.ndarray,
+    ac_tab: _HuffDecoder | None,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Successive-approximation refinement visit (Ah>0), T.81 G.1.2.3 /
+    the libjpeg-documented algorithm. Returns the new EOBRUN."""
+    p1 = 1 << al
+    m1 = -p1
+    if ss == 0:  # DC refinement: one bit per block
+        if reader.read_bit():
+            vec[0] |= p1
+        return eobrun
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_tab.decode(reader)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size:
+                newval = p1 if reader.read_bit() else m1
+            elif run != 15:
+                eobrun = 1 << run
+                if run:
+                    eobrun += reader.read_bits(run)
+                break
+            # advance over `run` zero-history coefficients, emitting
+            # correction bits for every nonzero-history one passed
+            while k <= se:
+                if vec[k] != 0:
+                    if reader.read_bit() and (vec[k] & p1) == 0:
+                        vec[k] += p1 if vec[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("jpeg: AC refine index overflow")
+                vec[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if vec[k] != 0:
+                if reader.read_bit() and (vec[k] & p1) == 0:
+                    vec[k] += p1 if vec[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    scan: list[dict],
+    comps_by_id: dict,
+    mcus_y: int,
+    mcus_x: int,
+    coefs: dict,
+    dc_tabs: dict,
+    ac_tabs: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> int:
+    """Decode one scan's entropy data; returns the next marker offset."""
+    chunks, end_pos = _split_entropy(data, pos)
+    chunk_idx = 0
+    reader = _FastBits(chunks[0])
+    interleaved = len(scan) > 1
+    preds = {s["id"]: 0 for s in scan}
+    eobrun = 0
+    if interleaved:
+        units = mcus_y * mcus_x
+    else:
+        comp = comps_by_id[scan[0]["id"]]
+        units = comp["bh_nat"] * comp["bw_nat"]
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            chunk_idx += 1
+            if chunk_idx >= len(chunks):
+                raise ValueError("jpeg: missing restart marker")
+            reader = _FastBits(chunks[chunk_idx])
+            preds = {s["id"]: 0 for s in scan}
+            eobrun = 0
+        for s in scan:
+            comp = comps_by_id[s["id"]]
+            dc_tab = dc_tabs.get(s["dc"]) if ss == 0 else None
+            ac_tab = ac_tabs.get(s["ac"]) if se > 0 else None
+            if interleaved:
+                my, mx = divmod(u, mcus_x)
+                blocks = [
+                    (my * comp["v"] + by, mx * comp["h"] + bx)
+                    for by in range(comp["v"])
+                    for bx in range(comp["h"])
+                ]
+            else:
+                blocks = [divmod(u, comp["bw_nat"])]
+            for by, bx in blocks:
+                vec = coefs[s["id"]][by, bx]
+                if ah == 0:
+                    preds[s["id"]], eobrun = _visit_block_first(
+                        reader, vec, dc_tab, ac_tab, preds[s["id"]], ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _visit_block_refine(
+                        reader, vec, ac_tab, ss, se, al, eobrun
+                    )
+    return end_pos  # _split_entropy already stopped at the next marker
+
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG bytes -> HxWx3 RGB (or HxWx1 gray) uint8."""
+    """JFIF JPEG bytes -> HxWx3 RGB (or HxWx1 gray) uint8.
+
+    Handles baseline sequential (SOF0/1) and progressive (SOF2) streams;
+    arithmetic-coded and hierarchical frames are rejected explicitly."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
+    n = len(data)
     qtables: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, _HuffDecoder] = {}
     ac_tabs: dict[int, _HuffDecoder] = {}
     restart_interval = 0
-    frame = None  # (h, w, components) from SOF0
-    scan = None
+    frame = None
+    coefs: dict[int, np.ndarray] = {}
+    geom: dict | None = None
 
-    while pos + 1 < len(data):
+    while pos + 1 < n:
         if data[pos] != 0xFF:
             raise ValueError("jpeg: marker sync lost")
+        while pos + 1 < n and data[pos + 1] == 0xFF:  # fill bytes
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         payload = data[pos + 2 : pos + seglen]
@@ -550,11 +943,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 1
                 bits = list(payload[p : p + 16])
                 p += 16
-                n = sum(bits)
-                vals = list(payload[p : p + n])
-                p += n
+                cnt = sum(bits)
+                vals = list(payload[p : p + cnt])
+                p += cnt
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -562,86 +955,76 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                cw = (fw * c["h"] + hmax - 1) // hmax
+                ch = (fh * c["v"] + vmax - 1) // vmax
+                c["bw_nat"] = (cw + 7) // 8
+                c["bh_nat"] = (ch + 7) // 8
+                coefs[c["id"]] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+                )
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline sequential (SOF0) supported")
+            geom = {"hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg: only baseline sequential (SOF0/1) and progressive "
+                "(SOF2) Huffman frames supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows the segment
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
             ns = payload[0]
-            sel = []
+            scan = []
             for i in range(ns):
                 cs, tt = payload[1 + 2 * i : 3 + 2 * i]
-                sel.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
-            scan = sel
-            pos += seglen
-            break
+                scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            comps_by_id = {c["id"]: c for c in frame[2]}
+            pos = _decode_scan(
+                data,
+                pos + seglen,
+                scan,
+                comps_by_id,
+                geom["mcus_y"],
+                geom["mcus_x"],
+                coefs,
+                dc_tabs,
+                ac_tabs,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 0x0F,
+                restart_interval,
+            )
+            continue
         # APPn / COM / others: skip
         pos += seglen
 
-    if frame is None or scan is None:
+    if frame is None or not coefs:
         raise ValueError("jpeg: missing SOF/SOS")
     fh, fw, comps = frame
-    by_id = {c["id"]: c for c in comps}
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    hmax, vmax = geom["hmax"], geom["vmax"]
 
-    planes = {
-        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    }
-    reader = _BitReader(data, pos)
-    dc_pred = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.sync_restart()
-                dc_pred = {c["id"]: 0 for c in comps}
-            for s in scan:
-                comp = by_id[s["id"]]
-                dc_tab = dc_tabs[s["dc"]]
-                ac_tab = ac_tabs[s["ac"]]
-                qtab = qtables[comp["tq"]]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        size = dc_tab.decode(reader)
-                        diff = _extend(reader.read_bits(size), size)
-                        dc_pred[s["id"]] += diff
-                        zz[0] = dc_pred[s["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = ac_tab.decode(reader)
-                            run, size = rs >> 4, rs & 0x0F
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            zz[k] = _extend(reader.read_bits(size), size)
-                            k += 1
-                        coef = (zz * qtab.flatten()[ZIGZAG])[UNZIGZAG].reshape(8, 8)
-                        block = DCT_M.T @ coef @ DCT_M + 128.0
-                        r0 = (my * comp["v"] + by) * 8
-                        c0 = (mx * comp["h"] + bx) * 8
-                        planes[s["id"]][r0 : r0 + 8, c0 : c0 + 8] = block
-            mcu_count += 1
-
-    # Upsample every component to full resolution and crop.
+    # Batch reconstruction: dequantize, unzigzag, IDCT all blocks at once.
     full = []
     for c in comps:
-        p = planes[c["id"]]
+        qzig = qtables[c["tq"]].flatten()[ZIGZAG]
+        vecs = coefs[c["id"]].astype(np.float64) * qzig
+        bh, bw = vecs.shape[0], vecs.shape[1]
+        blocks = vecs[..., UNZIGZAG].reshape(bh, bw, 8, 8)
+        spatial = np.einsum("ij,xyjk,kl->xyil", DCT_M.T, blocks, DCT_M) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         rep_y = vmax // c["v"]
         rep_x = hmax // c["h"]
         if rep_y > 1 or rep_x > 1:
-            p = np.repeat(np.repeat(p, rep_y, axis=0), rep_x, axis=1)
-        full.append(p[:fh, :fw])
+            plane = np.repeat(np.repeat(plane, rep_y, axis=0), rep_x, axis=1)
+        full.append(plane[:fh, :fw])
 
     if len(full) == 1:
         gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)

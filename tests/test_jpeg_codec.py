@@ -16,8 +16,11 @@ Independence strategy (no PIL/libjpeg in the container):
 - The decoder reads DQT/DHT from the stream (never shares tables
   out-of-band with the encoder) — re-encoding at a different quality
   changes the DQT bytes and must still decode.
-- Progressive (SOF2) streams are rejected with a clear error, and the
-  byte-stuffing path is asserted to actually occur on noisy content.
+- Progressive (SOF2) streams get an EXACT gate: the progressive and
+  sequential encoders emit the same quantized coefficients, so decodes
+  must be bit-identical; a real libjpeg-produced progressive photo is
+  the interop target. Arithmetic/hierarchical frames are rejected, and
+  the byte-stuffing path is asserted to actually occur on noisy content.
 """
 
 from __future__ import annotations
@@ -181,13 +184,67 @@ class TestRoundtrip:
         assert errs == sorted(errs, reverse=True)
 
 
+class TestProgressive:
+    """SOF2 spectral-selection + successive-approximation streams.
+
+    The exactness gate: progressive and sequential encodings carry the
+    SAME quantized coefficients, so a correct decoder must reconstruct
+    them bit-identically — no tolerance band."""
+
+    def test_progressive_equals_sequential_exactly(self):
+        img = _gradient(33, 47)
+        seq = decode_jpeg(encode_jpeg(img, quality=85))
+        blob = encode_jpeg(img, quality=85, progressive=True)
+        assert blob.count(b"\xff\xda") > 6  # a real multi-scan script
+        sof = blob.find(b"\xff\xc2")
+        assert sof >= 0 and b"\xff\xc0" not in blob[: sof + 2]
+        assert np.array_equal(decode_jpeg(blob), seq)
+
+    def test_progressive_420_exact(self):
+        img = _gradient(33, 47)
+        seq = decode_jpeg(encode_jpeg(img, quality=85, subsample=True))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=85, subsample=True, progressive=True)
+        )
+        assert np.array_equal(prog, seq)
+
+    def test_progressive_grayscale_exact(self):
+        y, x = np.mgrid[0:21, 0:37]
+        g = ((x * 7 + y * 2) % 200).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(g, quality=85, progressive=True)),
+            decode_jpeg(encode_jpeg(g, quality=85)),
+        )
+
+    def test_progressive_noise_exact(self):
+        # dense coefficients: stresses ZRL, refinement correction bits
+        rng = np.random.default_rng(3)
+        noise = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(noise, quality=50, progressive=True)),
+            decode_jpeg(encode_jpeg(noise, quality=50)),
+        )
+
+    def test_progressive_flat_exercises_eobrun(self):
+        # all-zero AC bands: every block is an end-of-band, so the
+        # encoder's EOBRUN accumulation (EOB1/EOB2 symbols) is in play
+        flat = np.full((48, 64, 3), 117, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(flat, quality=90, progressive=True))
+        assert _maxdiff(out, flat) == 0
+
+    def test_progressive_rejects_restart_intervals(self):
+        with pytest.raises(ValueError, match="restart"):
+            encode_jpeg(_gradient(16, 16), progressive=True, restart_interval=2)
+
+
 class TestRobustness:
-    def test_rejects_progressive(self):
-        blob = bytearray(encode_jpeg(_gradient(16, 16), quality=90))
-        sof = bytes(blob).find(b"\xff\xc0")
-        blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2
-        with pytest.raises(ValueError, match="baseline"):
-            decode_jpeg(bytes(blob))
+    def test_rejects_arithmetic_and_hierarchical(self):
+        for sof in (0xC9, 0xC3, 0xCB):  # arithmetic seq, lossless, arith prog
+            blob = bytearray(encode_jpeg(_gradient(16, 16), quality=90))
+            pos = bytes(blob).find(b"\xff\xc0")
+            blob[pos + 1] = sof
+            with pytest.raises(ValueError, match="SOF0/1"):
+                decode_jpeg(bytes(blob))
 
     def test_rejects_bad_soi(self):
         with pytest.raises(ValueError, match="SOI"):
@@ -250,14 +307,13 @@ class TestRealWorldInterop:
         assert arr.shape == (477, 720, 3)
         assert 20 < arr.mean() < 235 and arr.std() > 20
 
-    def test_progressive_file_rejected_clearly(self):
-        import os
-
-        path = (
+    def test_real_world_progressive_jpeg(self):
+        # f3.jpg is a libjpeg-produced PROGRESSIVE photo: the strongest
+        # available interop target for the SOF2 path (multi-scan,
+        # EOBRUN-heavy, tool-chosen Huffman tables).
+        arr = self._decode_existing(
             "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
             "doc/rust/html/embedded-book/assets/f3.jpg"
         )
-        if not os.path.exists(path):
-            pytest.skip("f3.jpg not present")
-        with pytest.raises(ValueError, match="baseline"):
-            decode_jpeg(open(path, "rb").read())
+        assert arr.shape == (477, 720, 3)
+        assert 20 < arr.mean() < 235 and arr.std() > 20
