@@ -50,17 +50,21 @@ import zlib
 import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel (8-bit)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # color type -> samples per pixel (8-bit)
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → HxWxC uint8 array (8-bit gray/RGB/RGBA, interlace 0)."""
+    """PNG bytes → HxWxC uint8 array.
+
+    8-bit gray/RGB/RGBA plus 8-bit palette (PLTE, with tRNS alpha →
+    RGBA output), interlace 0."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     width = height = None
     color_type = bit_depth = interlace = None
     idat = bytearray()
+    plte = trns = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -70,6 +74,10 @@ def decode_png(data: bytes) -> np.ndarray:
             width, height, bit_depth, color_type, _, _, interlace = (
                 struct.unpack(">IIBBBBB", chunk)
             )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(chunk, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.extend(chunk)
         elif ctype == b"IEND":
@@ -79,8 +87,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if bit_depth != 8 or color_type not in _CHANNELS or interlace != 0:
         raise ValueError(
             f"unsupported PNG: depth={bit_depth} color={color_type} "
-            f"interlace={interlace} (decoder covers 8-bit gray/RGB/RGBA)"
+            f"interlace={interlace} (decoder covers 8-bit gray/RGB/RGBA/palette)"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("PNG: palette image without PLTE")
     ch = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = width * ch
@@ -125,7 +135,18 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"PNG: unknown filter {ftype}")
         out[y] = cur
-    return out.reshape(height, width, ch)
+    img = out.reshape(height, width, ch)
+    if color_type == 3:
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG: palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: len(trns)] = trns
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    return img
 
 
 def encode_png(arr: np.ndarray) -> bytes:
@@ -157,7 +178,10 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """24-bit uncompressed BI_RGB BMP bytes → HxWx3 uint8 (RGB order)."""
+    """BMP bytes → HxWx3 (or HxWx4 when an alpha mask exists) uint8, RGB.
+
+    24-bit uncompressed BI_RGB plus 32-bit BI_RGB / BI_BITFIELDS
+    (byte-aligned 8-bit channel masks, the layout V4/V5 writers emit)."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP: bad magic")
     (pixel_offset,) = struct.unpack("<I", data[10:14])
@@ -167,17 +191,43 @@ def decode_bmp(data: bytes) -> np.ndarray:
     width, height = struct.unpack("<ii", data[18:26])
     planes, bpp = struct.unpack("<HH", data[26:30])
     (compression,) = struct.unpack("<I", data[30:34])
-    if bpp != 24 or compression != 0:
+    if not (
+        (bpp == 24 and compression == 0)
+        or (bpp == 32 and compression in (0, 3))
+    ):
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
     bottom_up = height > 0
     height = abs(height)
-    row_bytes = (width * 3 + 3) & ~3  # rows padded to 4 bytes
-    out = np.zeros((height, width, 3), dtype=np.uint8)
-    for y in range(height):
-        start = pixel_offset + y * row_bytes
-        row = np.frombuffer(data[start : start + width * 3], dtype=np.uint8)
-        dest = height - 1 - y if bottom_up else y
-        out[dest] = row.reshape(width, 3)[:, ::-1]  # BGR -> RGB
+    if bpp == 24:
+        row_bytes = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+        out = np.zeros((height, width, 3), dtype=np.uint8)
+        for y in range(height):
+            start = pixel_offset + y * row_bytes
+            row = np.frombuffer(data[start : start + width * 3], dtype=np.uint8)
+            dest = height - 1 - y if bottom_up else y
+            out[dest] = row.reshape(width, 3)[:, ::-1]  # BGR -> RGB
+        return out
+    # 32bpp: channel masks follow the info header for BI_BITFIELDS
+    # (BITMAPINFOHEADER) or live in the V4/V5 header fields — byte 54
+    # either way; BI_RGB fixes the classic BGRX layout.
+    if compression == 3:
+        masks = struct.unpack("<4I", data[54:70])  # R, G, B, A (A may be 0)
+    else:
+        masks = (0x00FF0000, 0x0000FF00, 0x000000FF, 0)
+    shifts = []
+    for m in masks:
+        if m and (m >> (m.bit_length() - 8)) != 0xFF:
+            raise ValueError("BMP: non-8-bit channel masks unsupported")
+        shifts.append(m.bit_length() - 8 if m else 0)
+    px = np.frombuffer(
+        data[pixel_offset : pixel_offset + height * width * 4], dtype="<u4"
+    ).reshape(height, width)
+    planes_out = [((px >> sh) & 0xFF).astype(np.uint8) for sh in shifts[:3]]
+    if masks[3]:
+        planes_out.append(((px >> shifts[3]) & 0xFF).astype(np.uint8))
+    out = np.stack(planes_out, axis=-1)
+    if bottom_up:
+        out = out[::-1]
     return out
 
 

@@ -434,3 +434,94 @@ def test_gif_lzw_property_roundtrip():
         assert _gif_lzw_decode(mcs, _gif_lzw_encode(mcs, indices)) == indices
 
     law()
+
+
+def test_png_palette_hand_built():
+    """Palette PNG constructed by hand: PLTE + tRNS + filter-0 indices."""
+    import zlib as _z
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", _z.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    trns = bytes([255, 128])  # red opaque, green half, blue defaults 255
+    rows = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 2, 0])
+    blob = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"tRNS", trns)
+        + chunk(b"IDAT", _z.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    assert out.shape == (2, 3, 4)
+    assert out[0, 0].tolist() == [255, 0, 0, 255]
+    assert out[0, 1].tolist() == [0, 255, 0, 128]
+    assert out[0, 2].tolist() == [0, 0, 255, 255]
+    assert out[1, 0].tolist() == [0, 0, 255, 255]
+    # out-of-range palette index must be rejected, not wrapped
+    bad = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", _z.compress(b"\x00\x07"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+
+
+def test_bmp_32bpp_bitfields_hand_built():
+    """32bpp BI_BITFIELDS BMP with the standard BGRA masks, built by hand."""
+    w, h = 2, 2
+    px = [  # (r, g, b, a) rows top-down
+        [(10, 20, 30, 255), (40, 50, 60, 128)],
+        [(70, 80, 90, 0), (100, 110, 120, 255)],
+    ]
+    rows = b""
+    for row in reversed(px):  # bottom-up
+        for r, g, b, a in row:
+            rows += struct.pack("<I", (a << 24) | (r << 16) | (g << 8) | b)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 124 + len(rows), 0, 0, 14 + 124)
+        + struct.pack("<IiiHHIIiiII", 124, w, h, 1, 32, 3, len(rows), 0, 0, 0, 0)
+        + struct.pack("<4I", 0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
+        + bytes(124 - 40 - 16)
+    )
+    out = decode_bmp(header + rows)
+    assert out.shape == (2, 2, 4)
+    for y in range(2):
+        for x in range(2):
+            assert out[y, x].tolist() == list(px[y][x])
+
+
+def test_cross_format_ground_truth_stdlib_logo():
+    """CPython's email test data ships the SAME image as python.bmp
+    (32bpp V5), python.png (8-bit palette + tRNS) and python.gif: three
+    independent decoders must agree — BMP vs PNG exactly on every opaque
+    pixel, GIF within palette-quantization distance."""
+    import os
+
+    import test.test_email as te
+
+    d = os.path.join(os.path.dirname(te.__file__), "data")
+    if not os.path.exists(os.path.join(d, "python.bmp")):
+        pytest.skip("stdlib email test data not present")
+    bm = decode_bmp(open(os.path.join(d, "python.bmp"), "rb").read())
+    pg = decode_png(open(os.path.join(d, "python.png"), "rb").read())
+    gf = decode_gif(open(os.path.join(d, "python.gif"), "rb").read())[0]
+    assert bm.shape == (16, 16, 4) and pg.shape == (16, 16, 4)
+    opaque = (bm[:, :, 3] == 255) & (pg[:, :, 3] == 255)
+    assert opaque.mean() > 0.3  # the logo body is actually compared
+    assert np.array_equal(bm[:, :, :3][opaque], pg[:, :, :3][opaque])
+    gif_diff = np.abs(
+        gf.astype(np.int64) - pg[:, :, :3].astype(np.int64)
+    )[opaque]
+    assert gif_diff.max() <= 8  # 256-color quantization, not decode error
