@@ -1,0 +1,243 @@
+"""Versioned parquet snapshots with an atomic commit log.
+
+Training-data reproducibility needs an answer to "exactly which files
+made up the corpus this run trained on?" — mutable directories of
+parquet cannot answer it. This module implements the public
+transaction-log idea (a numbered JSON commit log whose replay defines
+each version's live file set — the concept behind the open lakehouse
+formats, reimplemented minimally and independently here):
+
+```
+table_dir/
+  _log/00000000.json   one JSON-lines file per commit: add / remove /
+  _log/00000001.json   meta actions
+  data/...parquet      immutable data files, never rewritten in place
+```
+
+- ``commit`` appends the next numbered log file with ``os.O_EXCL`` —
+  the filesystem's atomic create-if-absent is the whole concurrency
+  protocol. A racing writer loses the create and gets
+  ``SnapshotConflict`` (optimistic concurrency); ``expected_version``
+  turns stale-read-then-write into a detected conflict instead of a
+  lost update.
+- ``read_snapshot(spark, dir, version=K)`` replays the log to K and
+  reads exactly that file set — time travel is free because data files
+  are immutable and removes are logical.
+- ``write_snapshot`` materializes a DataFrame as new data files plus
+  one commit (mode="overwrite" logically removes the previous live set;
+  mode="append" only adds).
+- ``compact`` rewrites the live set into fewer files in ONE commit
+  (remove+add together), so readers at any version never see a torn
+  table.
+
+Scale notes (100 TB): the log holds file-level metadata only (KBs per
+commit); data I/O is all Spark-side parquet. Listing a snapshot is a
+driver-side log replay — no directory scans, which is precisely what
+makes object-store tables with millions of files workable. Immutable
+files + logical removes also mean old versions remain readable until an
+explicit vacuum (not implemented — retention policy is a deployment
+decision).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_log"
+
+
+class SnapshotConflict(Exception):
+    """Another writer committed the version this writer raced for."""
+
+
+def _log_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, LOG_DIR, f"{version:08d}.json")
+
+
+def current_version(table_dir: str) -> int:
+    """Latest committed version, or -1 for an empty/nonexistent table."""
+    log = os.path.join(table_dir, LOG_DIR)
+    if not os.path.isdir(log):
+        return -1
+    versions = [
+        int(name[:8])
+        for name in os.listdir(log)
+        if name.endswith(".json") and name[:8].isdigit()
+    ]
+    return max(versions, default=-1)
+
+
+def commit(
+    table_dir: str,
+    actions: list[dict],
+    message: str = "",
+    expected_version: int | None = None,
+) -> int:
+    """Atomically append one commit; returns its version number.
+
+    ``expected_version`` is the version this writer based its work on —
+    if someone else committed since, raise instead of silently stacking
+    a lost update on top."""
+    os.makedirs(os.path.join(table_dir, LOG_DIR), exist_ok=True)
+    cur = current_version(table_dir)
+    if expected_version is not None and cur != expected_version:
+        raise SnapshotConflict(
+            f"table at version {cur}, writer expected {expected_version}"
+        )
+    version = cur + 1
+    lines = [json.dumps({"action": "meta", "message": message})]
+    for a in actions:
+        if a.get("action") not in ("add", "remove"):
+            raise ValueError(f"snapshot: unknown action {a.get('action')!r}")
+        lines.append(json.dumps(a, sort_keys=True))
+    payload = ("\n".join(lines) + "\n").encode()
+    path = _log_path(table_dir, version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise SnapshotConflict(f"version {version} was committed concurrently")
+    try:
+        os.write(fd, payload)
+    finally:
+        os.close(fd)
+    return version
+
+
+def _replay(table_dir: str, version: int | None) -> tuple[dict[str, dict], int]:
+    cur = current_version(table_dir)
+    if cur < 0:
+        raise ValueError(f"snapshot: no table at {table_dir}")
+    if version is None:
+        version = cur
+    if version > cur or version < 0:
+        raise ValueError(f"snapshot: version {version} does not exist (latest {cur})")
+    live: dict[str, dict] = {}
+    for v in range(version + 1):
+        with open(_log_path(table_dir, v)) as f:
+            for line in f:
+                a = json.loads(line)
+                if a["action"] == "add":
+                    live[a["path"]] = a
+                elif a["action"] == "remove":
+                    live.pop(a["path"], None)
+    return live, version
+
+
+def live_files(table_dir: str, version: int | None = None) -> list[dict]:
+    """The file-set defining a version (sorted by path, deterministic)."""
+    live, _ = _replay(table_dir, version)
+    return [live[p] for p in sorted(live)]
+
+
+def history(table_dir: str) -> list[dict]:
+    """Per-commit metadata: version, message, counts of adds/removes."""
+    out = []
+    for v in range(current_version(table_dir) + 1):
+        adds = removes = 0
+        message = ""
+        with open(_log_path(table_dir, v)) as f:
+            for line in f:
+                a = json.loads(line)
+                if a["action"] == "add":
+                    adds += 1
+                elif a["action"] == "remove":
+                    removes += 1
+                elif a["action"] == "meta":
+                    message = a.get("message", "")
+        out.append(
+            {"version": v, "message": message, "adds": adds, "removes": removes}
+        )
+    return out
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """DataFrame over exactly one version's file set (time travel)."""
+    files, _ = _replay(table_dir, version)
+    paths = [os.path.join(table_dir, p) for p in sorted(files)]
+    if not paths:
+        raise ValueError("snapshot: version has no live files")
+    return spark.read.parquet(*paths)
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    message: str = "",
+    mode: str = "overwrite",
+    max_retries: int = 3,
+) -> int:
+    """Materialize ``df`` as immutable data files + one commit.
+
+    ``mode="overwrite"`` logically removes the previous live set in the
+    same commit; ``mode="append"`` only adds. Data lands under a
+    uuid-named subdirectory, so a conflicting commit retries WITHOUT
+    rewriting data — only the log race is retried."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"snapshot: unknown mode {mode!r}")
+    os.makedirs(table_dir, exist_ok=True)
+    rel_dir = os.path.join("data", uuid.uuid4().hex)
+    out_dir = os.path.join(table_dir, rel_dir)
+    df.write.mode("errorifexists").parquet(out_dir)
+    adds = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(out_dir, name)
+        adds.append(
+            {
+                "action": "add",
+                "path": os.path.join(rel_dir, name),
+                "size": os.path.getsize(full),
+            }
+        )
+    if not adds:
+        raise ValueError("snapshot: write produced no parquet files")
+    for attempt in range(max_retries + 1):
+        base = current_version(table_dir)
+        actions = list(adds)
+        if mode == "overwrite" and base >= 0:
+            for f in live_files(table_dir, base):
+                actions.append({"action": "remove", "path": f["path"]})
+        try:
+            return commit(
+                table_dir, actions, message=message, expected_version=base
+            )
+        except SnapshotConflict:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    message: str = "compact",
+) -> int:
+    """Rewrite the live set into ``target_files`` files in one commit.
+
+    Readers at the old version still see the old files (immutable); the
+    new version atomically swaps the whole set."""
+    base = current_version(table_dir)
+    df = read_snapshot(spark, table_dir, base)
+    rel_dir = os.path.join("data", uuid.uuid4().hex)
+    out_dir = os.path.join(table_dir, rel_dir)
+    df.coalesce(target_files).write.mode("errorifexists").parquet(out_dir)
+    actions = [
+        {
+            "action": "add",
+            "path": os.path.join(rel_dir, name),
+            "size": os.path.getsize(os.path.join(out_dir, name)),
+        }
+        for name in sorted(os.listdir(out_dir))
+        if name.endswith(".parquet")
+    ]
+    for f in live_files(table_dir, base):
+        actions.append({"action": "remove", "path": f["path"]})
+    return commit(table_dir, actions, message=message, expected_version=base)
