@@ -460,12 +460,74 @@ def _logical_fixups(schema):
     return fixups
 
 
-def read_avro(spark: SparkSession, avro_glob: str) -> DataFrame:
-    """Avro container files -> DataFrame (schema read from the files).
+# Spec schema-resolution promotions (writer type -> allowed reader types).
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
 
-    The writer schema is taken from the lexicographically first matching
-    file's header (one driver-side metadata read); files whose schema
-    disagrees fail their task with a clear error."""
+
+def _base_type(schema):
+    if isinstance(schema, list):
+        schema = _union_value_branch(schema)
+    return schema["type"] if isinstance(schema, dict) else schema
+
+
+def _promote(value, wt: str, rt: str):
+    if value is None or wt == rt:
+        return value
+    if rt == "long" and wt == "int":
+        return int(value)
+    if rt in ("float", "double"):
+        return float(value)
+    if rt == "bytes" and wt == "string":
+        return value.encode("utf-8")
+    if rt == "string" and wt == "bytes":
+        return bytes(value).decode("utf-8")
+    return value
+
+
+def resolve_record(rec: dict, writer_schema: dict, reader_schema: dict) -> dict:
+    """Adapt one decoded record to the reader schema (spec 'Schema
+    Resolution'): reader-only fields take their declared default,
+    writer-only fields are dropped, matching fields apply the numeric /
+    string-bytes promotions. Complex-typed fields must match exactly
+    (top-level resolution is what mixed-generation dumps need)."""
+    wtypes = {f["name"]: f["type"] for f in writer_schema["fields"]}
+    out = {}
+    for f in reader_schema["fields"]:
+        name = f["name"]
+        if name in wtypes:
+            wt, rt = _base_type(wtypes[name]), _base_type(f["type"])
+            if wt != rt and rt not in _PROMOTIONS.get(wt, ()):
+                raise ValueError(
+                    f"avro: cannot resolve field {name!r}: {wt} -> {rt}"
+                )
+            out[name] = _promote(rec.get(name), wt, rt)
+        elif "default" in f:
+            out[name] = f["default"]
+        else:
+            raise ValueError(
+                f"avro: reader field {name!r} absent from writer schema "
+                "and has no default"
+            )
+    return out
+
+
+def read_avro(
+    spark: SparkSession, avro_glob: str, reader_schema: dict | None = None
+) -> DataFrame:
+    """Avro container files -> DataFrame.
+
+    Without ``reader_schema``, the writer schema is taken from the
+    lexicographically first matching file's header (one driver-side
+    metadata read) and files whose schema disagrees fail their task with
+    a clear error. With ``reader_schema``, each file is decoded under its
+    OWN writer schema and resolved to the reader schema per the spec's
+    evolution rules — mixed-generation dumps read as one table."""
     import glob as _glob
 
     paths = sorted(_glob.glob(avro_glob))
@@ -473,12 +535,16 @@ def read_avro(spark: SparkSession, avro_glob: str) -> DataFrame:
         raise ValueError(f"avro: no files match {avro_glob}")
     with open(paths[0], "rb") as f:
         head = f.read(1 << 20)
-    schema, _, _, _ = read_header(head)
+    if reader_schema is None:
+        schema, _, _, _ = read_header(head)
+    else:
+        schema = reader_schema
     if (schema.get("type") if isinstance(schema, dict) else None) != "record":
         raise ValueError("avro: top-level schema must be a record")
     spark_schema = avro_to_spark_type(schema)[len("struct<") : -1]
     fixups = _logical_fixups(schema)
     schema_json = json.dumps(schema, sort_keys=True)
+    resolving = reader_schema is not None
 
     import python_kinesis_streaming_spark.sources.avro_codec as _self
     from pyspark import cloudpickle
@@ -486,6 +552,7 @@ def read_avro(spark: SparkSession, avro_glob: str) -> DataFrame:
     cloudpickle.register_pickle_by_value(_self)
     parse_container = _self.read_container
     parse_header = _self.read_header
+    resolve = _self.resolve_record
 
     files = spark.read.format("binaryFile").load(avro_glob)
 
@@ -501,9 +568,12 @@ def read_avro(spark: SparkSession, avro_glob: str) -> DataFrame:
             for content in pdf["content"]:
                 data = bytes(content)
                 fschema, _, _, _ = parse_header(data)
-                if json.dumps(fschema, sort_keys=True) != schema_json:
+                same = json.dumps(fschema, sort_keys=True) == schema_json
+                if not same and not resolving:
                     raise ValueError("avro: file schema differs from the first file")
                 for rec in parse_container(data):
+                    if resolving and not same:
+                        rec = resolve(rec, fschema, schema)
                     for col, logical in fixups.items():
                         v = rec.get(col)
                         if v is None:

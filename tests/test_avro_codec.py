@@ -266,3 +266,82 @@ class TestSparkSeam:
         (out / "part-00001.avro").write_bytes(write_container([{"b": 1}], s2))
         with pytest.raises(Exception, match="schema differs"):
             read_avro(spark, str(out / "part-*.avro")).collect()
+
+
+class TestSchemaResolution:
+    """Spec 'Schema Resolution': mixed-generation files read as one table."""
+
+    OLD = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "score", "type": "int"},
+            {"name": "legacy", "type": "string"},
+        ],
+    }
+    NEW = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},        # int -> long promotion
+            {"name": "score", "type": "double"},   # int -> double promotion
+            {"name": "lang", "type": ["null", "string"], "default": None},
+            # 'legacy' dropped
+        ],
+    }
+
+    def test_resolve_record_rules(self):
+        from python_kinesis_streaming_spark.sources.avro_codec import (
+            resolve_record,
+        )
+
+        rec = resolve_record(
+            {"id": 7, "score": 3, "legacy": "x"}, self.OLD, self.NEW
+        )
+        assert rec == {"id": 7, "score": 3.0, "lang": None}
+        assert isinstance(rec["score"], float)
+
+        missing_default = {
+            "type": "record",
+            "name": "doc",
+            "fields": [{"name": "brand_new", "type": "long"}],
+        }
+        with pytest.raises(ValueError, match="no default"):
+            resolve_record({"id": 1}, self.OLD, missing_default)
+
+        bad_promo = {
+            "type": "record",
+            "name": "doc",
+            "fields": [{"name": "legacy", "type": "long"}],
+        }
+        with pytest.raises(ValueError, match="cannot resolve"):
+            resolve_record({"legacy": "x"}, self.OLD, bad_promo)
+
+    def test_mixed_generation_files_one_table(self, spark, tmp_path):
+        old_rows = [{"id": i, "score": i * 2, "legacy": "old"} for i in range(4)]
+        new_rows = [
+            {"id": 100 + i, "score": 0.5 * i, "lang": "en"} for i in range(3)
+        ]
+        (tmp_path / "part-00000.avro").write_bytes(
+            write_container(old_rows, self.OLD)
+        )
+        (tmp_path / "part-00001.avro").write_bytes(
+            write_container(new_rows, self.NEW)
+        )
+        df = read_avro(spark, str(tmp_path / "part-*.avro"), reader_schema=self.NEW)
+        got = {r["id"]: r for r in df.collect()}
+        assert len(got) == 7
+        assert got[2]["score"] == 4.0 and got[2]["lang"] is None
+        assert got[101]["score"] == 0.5 and got[101]["lang"] == "en"
+        assert "legacy" not in df.columns
+
+    def test_without_reader_schema_mixed_files_still_fail(self, spark, tmp_path):
+        (tmp_path / "part-00000.avro").write_bytes(
+            write_container([{"id": 1, "score": 2, "legacy": "x"}], self.OLD)
+        )
+        (tmp_path / "part-00001.avro").write_bytes(
+            write_container([{"id": 2, "score": 0.5, "lang": None}], self.NEW)
+        )
+        with pytest.raises(Exception, match="schema differs"):
+            read_avro(spark, str(tmp_path / "part-*.avro")).collect()
