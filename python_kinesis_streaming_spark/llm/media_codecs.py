@@ -262,6 +262,90 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples.reshape(-1, channels), rate
 
 
+def _float80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF sample rates) -> float."""
+    exp = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:10])[0]
+    sign = -1.0 if exp & 0x8000 else 1.0
+    exp &= 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF / AIFF-C bytes -> (samples int16 [n, channels], sample_rate).
+
+    Manual FORM chunk walk (COMM with the 80-bit extended-float rate,
+    SSND with offset/blocksize); AIFF-C compression types NONE (PCM16
+    big-endian) and sowt (PCM16 little-endian) are supported."""
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF: bad FORM header")
+    is_aifc = data[8:12] == b"AIFC"
+    pos = 12
+    comm = ssnd = None
+    comp = b"NONE"
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are even-padded
+        if cid == b"COMM":
+            channels, nframes, bits = struct.unpack(">hIh", body[:8])
+            rate = _float80(body[8:18])
+            if is_aifc and len(body) >= 22:
+                comp = body[18:22]
+            comm = (channels, nframes, bits, rate)
+        elif cid == b"SSND":
+            offset, _block = struct.unpack(">II", body[:8])
+            ssnd = body[8 + offset :]
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF: missing COMM/SSND chunk")
+    channels, nframes, bits, rate = comm
+    if bits != 16 or comp not in (b"NONE", b"sowt"):
+        raise ValueError(f"unsupported AIFF: bits={bits} comp={comp!r}")
+    dtype = "<i2" if comp == b"sowt" else ">i2"
+    samples = np.frombuffer(ssnd[: nframes * channels * 2], dtype=dtype)
+    return samples.astype(np.int16).reshape(-1, channels), int(round(rate))
+
+
+# G.711 mu-law expansion, computed from the spec formula (not a copied
+# table): byte -> linear PCM16.
+def _ulaw_table() -> np.ndarray:
+    u = np.arange(256, dtype=np.int64) ^ 0xFF  # spec: bytes stored inverted
+    sign = u >> 7
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign == 1, -magnitude, magnitude).astype(np.int16)
+
+
+_ULAW = _ulaw_table()
+
+
+def decode_au(data: bytes) -> tuple[np.ndarray, int]:
+    """Sun/NeXT .au bytes -> (samples int16 [n, channels], sample_rate).
+
+    Encodings: 1 (G.711 mu-law), 2 (PCM8 signed), 3 (PCM16 big-endian)."""
+    if data[:4] != b".snd":
+        raise ValueError("not an AU file: bad magic")
+    offset, size, encoding, rate, channels = struct.unpack(">5I", data[4:24])
+    body = data[offset : offset + size if size != 0xFFFFFFFF else len(data)]
+    if encoding == 1:
+        samples = _ULAW[np.frombuffer(body, dtype=np.uint8)]
+    elif encoding == 2:
+        samples = (
+            np.frombuffer(body, dtype=np.int8).astype(np.int16) << 8
+        )
+    elif encoding == 3:
+        samples = np.frombuffer(
+            body[: len(body) // 2 * 2], dtype=">i2"
+        ).astype(np.int16)
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    return samples.reshape(-1, channels), int(rate)
+
+
 def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
     """GIF-variant LZW: LSB-first bit packing, CLEAR/EOI codes, code width
     growing to 12 bits, deferred-clear tolerated (no growth past 4096)."""
@@ -595,8 +679,13 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
                         gif_frames = decode_gif(blob)
                         base.update(image_features(gif_frames[0]))
                         base["n_frames"] = len(gif_frames)
-                    elif fmt == "wav":
-                        samples, rate = decode_wav(blob)
+                    elif fmt in ("wav", "aiff", "au"):
+                        decoder = {
+                            "wav": decode_wav,
+                            "aiff": decode_aiff,
+                            "au": decode_au,
+                        }[fmt]
+                        samples, rate = decoder(blob)
                         base["n_samples"] = int(samples.shape[0])
                         base["sample_rate"] = int(rate)
                         base["channels"] = int(samples.shape[1])
