@@ -22,14 +22,56 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from python_kinesis_streaming_spark.llm.bpe import (
+    apply_bpe,
+    train_bpe,
+    word_frequencies,
+)
 from python_kinesis_streaming_spark.llm.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     word_shingles,
 )
+from python_kinesis_streaming_spark.llm.media_codecs import media_features_frame
+from python_kinesis_streaming_spark.llm.shards import (
+    read_tar_shards,
+    write_tar_shards,
+)
 from python_kinesis_streaming_spark.llm.similarity import cosine, dot, l2norm
+from python_kinesis_streaming_spark.llm.warc import read_warc
+from python_kinesis_streaming_spark.sources.avro_codec import (
+    read_avro,
+    write_avro,
+)
+from python_kinesis_streaming_spark.sources.snapshots import (
+    compact as compact_snapshot,
+)
+from python_kinesis_streaming_spark.sources.snapshots import (
+    read_snapshot,
+    write_snapshot,
+)
 
-__all__ = [
+# Corpus/ingestion surface (round 6): already general functions over
+# arbitrary DataFrames/paths, re-exported verbatim — their own test
+# modules (test_warc/test_shards/test_avro_codec/test_snapshots/
+# test_bpe/test_media_codecs) are the gate, there is no fixture-bound
+# registry twin to mirror.
+_CORPUS_SURFACE = [
+    "read_warc",
+    "write_tar_shards",
+    "read_tar_shards",
+    "read_avro",
+    "write_avro",
+    "write_snapshot",
+    "read_snapshot",
+    "compact_snapshot",
+    "train_bpe",
+    "apply_bpe",
+    "word_frequencies",
+    "media_features_frame",
+]
+
+__all__ = _CORPUS_SURFACE + [
     "asof_join",
     "sessionize",
     "dedup_exact",

@@ -4,12 +4,24 @@ decode for real):
 
 - ``decode_png``  — full PNG decode: chunk walk, zlib IDAT inflate, all
   five scanline filters (None/Sub/Up/Average/Paeth) unfiltered per the
-  spec; 8-bit gray/RGB/RGBA, non-interlaced. zlib is stdlib, so this is a
-  genuine image decoder, not a stand-in.
+  spec; 8-bit gray/RGB/RGBA plus palette (PLTE + tRNS alpha),
+  non-interlaced. zlib is stdlib, so this is a genuine image decoder,
+  not a stand-in.
 - ``encode_png`` — minimal valid PNG writer (filter 0 + zlib + CRC32
   chunks) used for roundtrip property tests and payload synthesis.
-- ``decode_bmp``  — 24-bit uncompressed BI_RGB Windows bitmaps (header
-  parse, 4-byte row padding, bottom-up/top-down, BGR→RGB).
+- ``decode_bmp``  — 24-bit uncompressed BI_RGB plus 32-bit
+  BI_RGB/BI_BITFIELDS Windows bitmaps (channel masks, alpha, 4-byte row
+  padding, bottom-up/top-down, BGR→RGB).
+- ``decode_tiff`` — baseline TIFF 6.0: II/MM IFD walk, strip layout,
+  none/PackBits/LZW (EarlyChange) compressions, horizontal-differencing
+  predictor, gray(+white-is-zero)/RGB(A)/palette photometrics. The
+  stdlib email test data gives FOUR-way ground truth: its
+  tiff/bmp/png/gif renderings of one logo must agree across four
+  independent decoders (tiff==bmp exactly, alpha included).
+- ``decode_aiff`` / ``decode_au`` — AIFF/AIFF-C (80-bit extended-float
+  rates, NONE/sowt) and Sun AU (G.711 mu-law derived from the spec
+  formula, PCM8/PCM16-BE), both bit-matched against the stdlib
+  aifc/sunau reference implementations on CPython's shipped audio.
 - ``decode_gif`` / ``encode_gif`` — GIF87a/89a with a full LZW
   codec (LSB-first packing, growing code width, KwKwK case, deferred
   clear), global/local palettes, interlace, transparency, and frame
@@ -260,6 +272,157 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if channels is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
     return samples.reshape(-1, channels), rate
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773): literal/repeat runs."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 128:  # copy ctrl+1 literal bytes
+            out += data[i : i + ctrl + 1]
+            i += ctrl + 1
+        elif ctrl > 128:  # repeat next byte 257-ctrl times
+            out += data[i : i + 1] * (257 - ctrl)
+            i += 1
+        # ctrl == 128: no-op
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF LZW (spec section 13): MSB-first bit packing, 8-bit symbols,
+    9-bit initial codes, EarlyChange width bump at 2^n - 1."""
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("TIFF: invalid LZW code")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:  # EarlyChange
+                width += 1
+            if len(out) >= expected:
+                return bytes(out)
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF 6.0 bytes -> HxWxC uint8 (first IFD).
+
+    II/MM byte orders; 8-bit gray (incl. white-is-zero), RGB/RGBA and
+    palette photometrics; strip layout; compressions none / PackBits /
+    LZW; horizontal-differencing predictor."""
+    if data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF: bad byte-order mark")
+    bo = "<" if data[:2] == b"II" else ">"
+    if struct.unpack(bo + "H", data[2:4])[0] != 42:
+        raise ValueError("not a TIFF: bad magic")
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    _SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = data[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        if typ not in _SIZES:
+            continue
+        total = _SIZES[typ] * cnt
+        raw = e[8:12] if total <= 4 else data[
+            struct.unpack(bo + "I", e[8:12])[0] :
+        ][:total]
+        if typ == 3:
+            vals = list(struct.unpack(bo + f"{cnt}H", raw[: 2 * cnt]))
+        elif typ == 4:
+            vals = list(struct.unpack(bo + f"{cnt}I", raw[: 4 * cnt]))
+        elif typ == 1:
+            vals = list(raw[:cnt])
+        else:  # ascii / rational: not needed, keep raw ints
+            vals = [0]
+        tags[tag] = vals
+
+    def one(tag: int, default=None):
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF: missing required tag {tag}")
+        return default
+
+    width, height = one(256), one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise ValueError(f"TIFF: only 8 bits/sample supported, got {bits}")
+    compression = one(259, 1)
+    photometric = one(262)
+    predictor = one(317, 1)
+    if one(284, 1) != 1:
+        raise ValueError("TIFF: planar configuration 2 unsupported")
+    offsets = tags[273]
+    counts = tags[279]
+    rows_per_strip = one(278, height)
+
+    raw = bytearray()
+    expected_total = width * height * spp
+    for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = data[off : off + cnt]
+        nrows = min(rows_per_strip, height - idx * rows_per_strip)
+        expect = nrows * width * spp
+        if compression == 1:
+            raw += strip[:expect]
+        elif compression == 32773:
+            raw += _packbits_decode(strip, expect)
+        elif compression == 5:
+            raw += _tiff_lzw_decode(strip, expect)
+        else:
+            raise ValueError(f"TIFF: unsupported compression {compression}")
+    if len(raw) < expected_total:
+        raise ValueError("TIFF: truncated strip data")
+    img = np.frombuffer(bytes(raw[:expected_total]), dtype=np.uint8).reshape(
+        height, width, spp
+    )
+    if predictor == 2:  # horizontal differencing: undo with a cumsum
+        img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+    if photometric == 0:  # white-is-zero gray
+        img = (255 - img.astype(np.int64)).astype(np.uint8)
+    elif photometric == 3:  # palette: colormap is 3*2^bits 16-bit values
+        cmap = tags.get(320)
+        if not cmap:
+            raise ValueError("TIFF: palette image without colormap")
+        third = len(cmap) // 3
+        lut = (np.array(cmap, dtype=np.int64).reshape(3, third).T // 257).astype(
+            np.uint8
+        )
+        img = lut[img[:, :, 0]]
+    elif photometric not in (1, 2):
+        raise ValueError(f"TIFF: unsupported photometric {photometric}")
+    return img
 
 
 def _float80(b: bytes) -> float:
@@ -671,6 +834,9 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
                         base["n_frames"] = 1
                     elif fmt == "bmp":
                         base.update(image_features(decode_bmp(blob)))
+                        base["n_frames"] = 1
+                    elif fmt == "tiff":
+                        base.update(image_features(decode_tiff(blob)))
                         base["n_frames"] = 1
                     elif fmt == "jpeg":
                         base.update(image_features(decode_jpeg_kernel(blob)))

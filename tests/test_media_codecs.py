@@ -613,3 +613,164 @@ def test_aiff_hand_built_sowt_little_endian():
     samples, rate = decode_aiff(blob)
     assert rate == 44100
     assert np.array_equal(samples, pcm)
+
+
+def test_tiff_packbits_spec_example():
+    """The PackBits worked example from the public spec documents."""
+    from python_kinesis_streaming_spark.llm.media_codecs import (
+        _packbits_decode,
+    )
+
+    packed = bytes.fromhex("FEAA0280002AFDAA038000 2A22F7AA".replace(" ", ""))
+    expect = bytes.fromhex(
+        "AAAAAA80002AAAAAAAAA80002A22" + "AA" * 10
+    )
+    assert _packbits_decode(packed, len(expect)) == expect
+
+
+def test_tiff_matches_bmp_exactly_on_stdlib_logo():
+    """Fourth independent format of the same image: TIFF strip RGBA must
+    equal the 32bpp BMP decode byte for byte, alpha included."""
+    import os
+
+    import test.test_email as te
+
+    from python_kinesis_streaming_spark.llm.media_codecs import decode_tiff
+
+    d = os.path.join(os.path.dirname(te.__file__), "data")
+    if not os.path.exists(os.path.join(d, "python.tiff")):
+        pytest.skip("stdlib email test data not present")
+    tf = decode_tiff(open(os.path.join(d, "python.tiff"), "rb").read())
+    bm = decode_bmp(open(os.path.join(d, "python.bmp"), "rb").read())
+    assert tf.shape == (16, 16, 4)
+    assert np.array_equal(tf, bm)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Test-side TIFF LZW encoder (independent direction): MSB packing,
+    CLEAR first, EOI last, EarlyChange width bump."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # EarlyChange symmetry: the decoder's table lags the encoder's by
+        # one entry, so its len==2^w-1 bump lines up with next_code==2^w
+        # here — one code position earlier than GIF's schedule.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _build_tiff(
+    width, height, spp, photometric, payload, compression=1, extra_tags=()
+):
+    entries = [
+        (256, 3, 1, width),
+        (257, 3, 1, height),
+        (259, 3, 1, compression),
+        (262, 3, 1, photometric),
+        (273, 4, 1, None),  # strip offset patched below
+        (277, 3, 1, spp),
+        (278, 3, 1, height),
+        (279, 4, 1, len(payload)),
+    ] + list(extra_tags)
+    entries.sort()
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(entries))
+    trailing = bytearray()
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = data_off
+        if typ == 3 and cnt == 1:
+            raw = struct.pack("<HH", val, 0)
+        elif typ == 4 and cnt == 1:
+            raw = struct.pack("<I", val)
+        elif typ == 3:  # short array stored after payload
+            arr = struct.pack(f"<{cnt}H", *val)
+            raw = struct.pack("<I", data_off + len(payload) + len(trailing))
+            trailing += arr
+        out += struct.pack("<HHI", tag, typ, cnt) + raw
+    out += struct.pack("<I", 0)  # next IFD
+    out += payload
+    out += trailing
+    return bytes(out)
+
+
+def test_tiff_hand_built_gray_and_white_is_zero():
+    from python_kinesis_streaming_spark.llm.media_codecs import decode_tiff
+
+    px = bytes([0, 64, 128, 255])
+    img = decode_tiff(_build_tiff(2, 2, 1, 1, px))
+    assert img[:, :, 0].ravel().tolist() == [0, 64, 128, 255]
+    inv = decode_tiff(_build_tiff(2, 2, 1, 0, px))  # white-is-zero
+    assert inv[:, :, 0].ravel().tolist() == [255, 191, 127, 0]
+
+
+def test_tiff_palette_colormap():
+    from python_kinesis_streaming_spark.llm.media_codecs import decode_tiff
+
+    # 2-entry-used colormap: 16-bit values scale down by 257
+    cmap = [0] * 768
+    cmap[0], cmap[256], cmap[512] = 65535, 0, 0  # index0 -> red
+    cmap[1], cmap[257], cmap[513] = 0, 65535, 32896  # index1 -> (0,255,128)
+    img = decode_tiff(
+        _build_tiff(2, 1, 1, 3, bytes([0, 1]), extra_tags=[(320, 3, 768, cmap)])
+    )
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 128]
+
+
+def test_tiff_lzw_roundtrip_against_test_side_encoder():
+    from python_kinesis_streaming_spark.llm.media_codecs import (
+        _tiff_lzw_decode,
+        decode_tiff,
+    )
+
+    rng = np.random.default_rng(5)
+    # low-entropy bytes drive real table growth and width bumps
+    raw = bytes(rng.integers(0, 6, 4000, dtype=np.uint8))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(raw), len(raw)) == raw
+
+    # and as a full LZW-compressed RGB TIFF
+    px = bytes(rng.integers(0, 4, 12 * 10 * 3, dtype=np.uint8))
+    blob = _build_tiff(12, 10, 3, 2, _tiff_lzw_encode(px), compression=5)
+    img = decode_tiff(blob)
+    assert img.tobytes() == px
+
+
+def test_tiff_packbits_full_image():
+    from python_kinesis_streaming_spark.llm.media_codecs import decode_tiff
+
+    # 4x1 gray image [7,7,7,9] packed as: repeat 7 x3, literal 9
+    payload = bytes([0xFE, 7, 0x00, 9])
+    img = decode_tiff(_build_tiff(4, 1, 1, 1, payload, compression=32773))
+    assert img[:, :, 0].ravel().tolist() == [7, 7, 7, 9]
