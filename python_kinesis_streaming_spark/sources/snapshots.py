@@ -154,12 +154,92 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
+def _file_column_stats(path: str) -> dict:
+    """Per-column min/max/null_count from the parquet footer (metadata
+    read only, no data pages). Nested columns and types that don't
+    JSON-serialize cleanly are skipped — pruning treats missing stats as
+    'keep the file' so this is always safe."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def jsonable(v):
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return None
+
+    md = pq.ParquetFile(path).metadata
+    stats: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for j in range(group.num_columns):
+            col = group.column(j)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                continue
+            mn, mx = jsonable(s.min), jsonable(s.max)
+            if mn is None or mx is None:
+                continue
+            nulls = s.null_count if s.has_null_count else None
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = {"min": mn, "max": mx, "nulls": nulls}
+            else:
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+                if nulls is not None and cur["nulls"] is not None:
+                    cur["nulls"] += nulls
+    return stats
+
+
+def prune_files(
+    table_dir: str,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> list[dict]:
+    """Live files whose [min,max] for ``column`` intersects [lo, hi].
+
+    Manifest-level skipping: at scale this is what avoids even LISTING
+    irrelevant files — footer pruning only helps after the scan already
+    opened the file. Files without stats for the column are kept
+    (conservative, never wrong)."""
+    out = []
+    for f in live_files(table_dir, version):
+        s = (f.get("stats") or {}).get(column)
+        if s is not None:
+            if lo is not None and s["max"] < lo:
+                continue
+            if hi is not None and s["min"] > hi:
+                continue
+        out.append(f)
+    return out
+
+
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
-    """DataFrame over exactly one version's file set (time travel)."""
-    files, _ = _replay(table_dir, version)
-    paths = [os.path.join(table_dir, p) for p in sorted(files)]
+    """DataFrame over exactly one version's file set (time travel).
+
+    ``prune=(column, lo, hi)`` applies manifest-level file skipping
+    before the scan — correctness still requires the caller's own
+    filter, exactly like partition pruning."""
+    if prune is not None:
+        column, lo, hi = prune
+        files = prune_files(table_dir, column, lo, hi, version)
+        paths = [os.path.join(table_dir, f["path"]) for f in files]
+    else:
+        live, _ = _replay(table_dir, version)
+        paths = [os.path.join(table_dir, p) for p in sorted(live)]
     if not paths:
         raise ValueError("snapshot: version has no live files")
     return spark.read.parquet(*paths)
@@ -194,6 +274,7 @@ def write_snapshot(
                 "action": "add",
                 "path": os.path.join(rel_dir, name),
                 "size": os.path.getsize(full),
+                "stats": _file_column_stats(full),
             }
         )
     if not adds:
@@ -234,6 +315,7 @@ def compact(
             "action": "add",
             "path": os.path.join(rel_dir, name),
             "size": os.path.getsize(os.path.join(out_dir, name)),
+            "stats": _file_column_stats(os.path.join(out_dir, name)),
         }
         for name in sorted(os.listdir(out_dir))
         if name.endswith(".parquet")

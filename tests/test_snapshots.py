@@ -132,3 +132,49 @@ def test_compact_preserves_rows_and_history(spark, tmp_path):
     )
     # pre-compaction version still readable (immutable data files)
     assert len(read_snapshot(spark, t, version=v - 1).collect()) == 50
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """Range-partitioned files carry disjoint min/max in the commit log;
+    manifest-level pruning must skip non-intersecting files while a
+    pruned read still returns exactly the filtered rows."""
+    from pyspark.sql import functions as F
+
+    from python_kinesis_streaming_spark.sources.snapshots import prune_files
+
+    t = str(tmp_path / "corpus")
+    df = spark.range(1000).withColumn("id", F.col("id").cast("long"))
+    write_snapshot(df.repartitionByRange(5, "id"), t)
+
+    all_files = live_files(t)
+    assert len(all_files) == 5
+    assert all(f.get("stats", {}).get("id") for f in all_files)
+
+    # a 50-wide window intersects at most 2 of the 5 range files
+    pruned = prune_files(t, "id", lo=100, hi=150)
+    assert 0 < len(pruned) < len(all_files)
+
+    got = (
+        read_snapshot(spark, t, prune=("id", 100, 150))
+        .where("id between 100 and 150")
+        .collect()
+    )
+    assert sorted(r["id"] for r in got) == list(range(100, 151))
+
+    # files without stats are conservatively kept
+    from python_kinesis_streaming_spark.sources.snapshots import commit
+
+    commit(t, [{"action": "add", "path": all_files[0]["path"] + ".nostats",
+                "size": 0}])
+    assert any(
+        f["path"].endswith(".nostats") for f in prune_files(t, "id", lo=10**9)
+    )
+
+
+def test_stats_survive_compaction(spark, tmp_path):
+    t = str(tmp_path / "corpus")
+    write_snapshot(spark.range(100).repartition(4), t)
+    compact(spark, t, target_files=1)
+    (f,) = live_files(t)
+    assert f["stats"]["id"]["min"] == 0
+    assert f["stats"]["id"]["max"] == 99
