@@ -27,6 +27,9 @@ from python_kinesis_streaming_spark.llm.bpe import (
     train_bpe,
     word_frequencies,
 )
+from python_kinesis_streaming_spark.llm.html_extract import (
+    extract_text_frame,
+)
 from python_kinesis_streaming_spark.llm.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
@@ -69,6 +72,7 @@ _CORPUS_SURFACE = [
     "apply_bpe",
     "word_frequencies",
     "media_features_frame",
+    "extract_text_frame",
 ]
 
 __all__ = _CORPUS_SURFACE + [
