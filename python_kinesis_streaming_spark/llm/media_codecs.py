@@ -868,3 +868,67 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
         "sample_rate int, n_frames int"
     )
     return df.mapInPandas(decode_batches, schema=schema)
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (index-map gather; any channel count)."""
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return arr[ys][:, xs]
+
+
+def to_gray(arr: np.ndarray) -> np.ndarray:
+    """HxWxC uint8 -> HxW float64 luma (BT.601, matching the JPEG path)."""
+    a = arr.astype(np.float64)
+    if arr.ndim == 2 or arr.shape[2] == 1:
+        return a.reshape(arr.shape[0], arr.shape[1])
+    return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+
+def phash64(arr: np.ndarray) -> int:
+    """Perceptual hash (public pHash recipe): 32x32 gray -> 2-D DCT ->
+    low-frequency 8x8 block (DC excluded from the median) -> 64-bit
+    above-median bitmap. Robust to brightness shifts (median threshold)
+    and small noise (low-frequency crop); Hamming distance between
+    hashes is the near-duplicate metric."""
+    gray = resize_nearest(to_gray(arr), 32, 32)
+    # 32-point orthonormal DCT-II matrix, built like jpeg_codec's 8-point
+    j = np.arange(32)
+    c = np.cos((2 * j[None, :] + 1) * j[:, None] * np.pi / 64) / 4.0
+    c[0, :] = 1.0 / np.sqrt(32.0)
+    coef = c @ gray @ c.T
+    low = coef[:8, :8].flatten()
+    median = np.median(low[1:])  # DC excluded: brightness invariance
+    bits = 0
+    for i, v in enumerate(low):
+        if i == 0:
+            continue
+        if v > median:
+            bits |= 1 << (i - 1)
+    return bits
+
+
+def audio_features(samples: np.ndarray, rate: int) -> dict:
+    """Deterministic per-clip features: RMS level, zero-crossing rate,
+    spectral centroid (Hz, rFFT magnitude-weighted mean frequency) over
+    the mono mixdown."""
+    mono = samples.astype(np.float64).mean(axis=1) if samples.ndim == 2 else (
+        samples.astype(np.float64)
+    )
+    n = len(mono)
+    if n == 0:
+        return {"rms": 0.0, "zcr": 0.0, "spectral_centroid_hz": 0.0}
+    rms = float(np.sqrt(np.mean(mono**2)))
+    signs = np.sign(mono)
+    signs[signs == 0] = 1
+    zcr = float(np.mean(signs[1:] != signs[:-1]))
+    mag = np.abs(np.fft.rfft(mono - mono.mean()))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    total = mag.sum()
+    centroid = float((freqs * mag).sum() / total) if total > 0 else 0.0
+    return {
+        "rms": round(rms, 4),
+        "zcr": round(zcr, 6),
+        "spectral_centroid_hz": round(centroid, 2),
+    }

@@ -774,3 +774,67 @@ def test_tiff_packbits_full_image():
     payload = bytes([0xFE, 7, 0x00, 9])
     img = decode_tiff(_build_tiff(4, 1, 1, 1, payload, compression=32773))
     assert img[:, :, 0].ravel().tolist() == [7, 7, 7, 9]
+
+
+class TestPerceptualFeatures:
+    def _img(self, seed=1, shape=(48, 64, 3)):
+        return np.random.default_rng(seed).integers(
+            0, 256, shape, dtype=np.uint8
+        )
+
+    def test_phash_invariances_and_discrimination(self):
+        from python_kinesis_streaming_spark.llm.media_codecs import (
+            phash64,
+            resize_nearest,
+        )
+
+        img = self._img()
+        h = phash64(img)
+        assert 0 <= h < 2**63 or h < 2**64
+        # brightness shift: median threshold keeps nearly every bit
+        bright = np.clip(img.astype(np.int64) + 25, 0, 255).astype(np.uint8)
+        assert bin(h ^ phash64(bright)).count("1") <= 6
+        # resize: identical after 2x nearest upscale (same index map)
+        assert phash64(resize_nearest(img, 96, 128)) == h
+        # unrelated image: far in Hamming space
+        assert bin(h ^ phash64(self._img(seed=99))).count("1") >= 16
+
+    def test_resize_nearest_exact_factors(self):
+        from python_kinesis_streaming_spark.llm.media_codecs import (
+            resize_nearest,
+        )
+
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        up = resize_nearest(img, 8, 8)
+        assert up.shape == (8, 8)
+        assert np.array_equal(up[::2, ::2], img)  # every source pixel kept
+        down = resize_nearest(up, 4, 4)
+        assert np.array_equal(down, img)
+
+    def test_audio_features_known_signal(self):
+        from python_kinesis_streaming_spark.llm.media_codecs import (
+            audio_features,
+        )
+
+        t = np.arange(8000) / 8000.0
+        sine = (10000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int16)
+        f = audio_features(sine, 8000)
+        # 1 kHz sine at 8 kHz: centroid at 1000 Hz, zcr = 2*f/rate = 0.25,
+        # rms = amplitude / sqrt(2)
+        assert abs(f["spectral_centroid_hz"] - 1000.0) < 1.0
+        assert abs(f["zcr"] - 0.25) < 0.001
+        assert abs(f["rms"] - 10000 / np.sqrt(2)) < 5.0
+        # silence
+        z = audio_features(np.zeros(100, dtype=np.int16), 8000)
+        assert z["rms"] == 0.0 and z["spectral_centroid_hz"] == 0.0
+
+    def test_audio_features_stereo_mixdown(self):
+        from python_kinesis_streaming_spark.llm.media_codecs import (
+            audio_features,
+        )
+
+        t = np.arange(4000) / 8000.0
+        left = 8000 * np.sin(2 * np.pi * 500 * t)
+        stereo = np.stack([left, -left], axis=1).astype(np.int16)
+        f = audio_features(stereo, 8000)
+        assert f["rms"] < 10  # anti-phase channels cancel in the mixdown
