@@ -1032,3 +1032,64 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if len(full) == 3:
         return _ycbcr_to_rgb(full[0], full[1], full[2])
     raise ValueError(f"jpeg: unsupported component count {len(full)}")
+
+
+def exif_orientation(data: bytes) -> int:
+    """EXIF orientation (1-8) from a JPEG's APP1 segment, 1 if absent.
+
+    APP1 wraps a little/big-endian TIFF stream ("Exif\\0\\0" + II/MM
+    header + IFD0); orientation is tag 274. Only the IFD walk is needed
+    — no thumbnail or sub-IFD decoding."""
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n and data[pos] == 0xFF:
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xDA:
+            break  # entropy data: no more headers
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = data[pos + 10 : pos + 2 + seglen]
+            if tiff[:2] not in (b"II", b"MM"):
+                return 1
+            bo = "<" if tiff[:2] == b"II" else ">"
+            (ifd,) = struct.unpack(bo + "I", tiff[4:8])
+            if ifd + 2 > len(tiff):
+                return 1
+            (cnt,) = struct.unpack(bo + "H", tiff[ifd : ifd + 2])
+            for i in range(cnt):
+                e = tiff[ifd + 2 + 12 * i : ifd + 14 + 12 * i]
+                if len(e) < 12:
+                    break
+                tag, typ = struct.unpack(bo + "HH", e[:4])
+                if tag == 274 and typ == 3:
+                    return struct.unpack(bo + "H", e[8:10])[0]
+            return 1
+        pos += 2 + seglen
+    return 1
+
+
+def apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Normalize pixels per the 8 EXIF orientation codes (TIFF tag 274)."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1, :]
+    if orientation == 5:
+        return np.transpose(arr, (1, 0, 2))
+    if orientation == 6:
+        return np.transpose(arr, (1, 0, 2))[:, ::-1]
+    if orientation == 7:
+        return np.transpose(arr, (1, 0, 2))[::-1, ::-1]
+    if orientation == 8:
+        return np.transpose(arr, (1, 0, 2))[::-1, :]
+    return arr
+
+
+def decode_jpeg_oriented(data: bytes) -> np.ndarray:
+    """decode_jpeg + EXIF orientation normalization (what viewers show)."""
+    return apply_orientation(decode_jpeg(data), exif_orientation(data))

@@ -317,3 +317,56 @@ class TestRealWorldInterop:
         )
         assert arr.shape == (477, 720, 3)
         assert 20 < arr.mean() < 235 and arr.std() > 20
+
+
+class TestExifOrientation:
+    def _with_exif(self, blob: bytes, orientation: int) -> bytes:
+        # APP1 EXIF segment with a 1-entry IFD0 carrying tag 274 (LE)
+        tiff = (
+            b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHIHH", 274, 3, 1, orientation, 0)
+            + struct.pack("<I", 0)
+        )
+        payload = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+        return blob[:2] + app1 + blob[2:]
+
+    def test_orientation_parse_and_default(self):
+        from python_kinesis_streaming_spark.llm.jpeg_codec import (
+            exif_orientation,
+        )
+
+        blob = encode_jpeg(_gradient(16, 24), quality=90)
+        assert exif_orientation(blob) == 1  # our encoder writes no EXIF
+        for o in (1, 3, 6, 8):
+            assert exif_orientation(self._with_exif(blob, o)) == o
+
+    def test_oriented_decode_matches_numpy_transform(self):
+        from python_kinesis_streaming_spark.llm.jpeg_codec import (
+            apply_orientation,
+            decode_jpeg_oriented,
+        )
+
+        img = _gradient(16, 24)
+        blob = encode_jpeg(img, quality=95)
+        base = decode_jpeg(blob)
+        # rotation orientations swap the output dimensions
+        rot90 = decode_jpeg_oriented(self._with_exif(blob, 6))
+        assert rot90.shape == (24, 16, 3)
+        assert np.array_equal(rot90, np.transpose(base, (1, 0, 2))[:, ::-1])
+        flipped = decode_jpeg_oriented(self._with_exif(blob, 3))
+        assert np.array_equal(flipped, base[::-1, ::-1])
+
+    def test_orientation_transforms_are_bijective(self):
+        from python_kinesis_streaming_spark.llm.jpeg_codec import (
+            apply_orientation,
+        )
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        for o in range(1, 9):
+            out = apply_orientation(img, o)
+            assert sorted(out.ravel()) == sorted(img.ravel())
+            if o in (5, 6, 7, 8):
+                assert out.shape == (7, 5, 3)
