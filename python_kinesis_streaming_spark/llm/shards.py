@@ -131,15 +131,12 @@ def write_tar_shards(
     return manifest
 
 
-def read_tar_shards(spark: SparkSession, shard_glob: str) -> DataFrame:
-    """Unpack WebDataset-style tar shards into sample rows.
+_SAMPLE_SCHEMA = "shard string, key string, parts map<string,binary>"
 
-    Returns ``shard string, key string, parts map<string,binary>`` — one
-    row per sample key, ``parts`` keyed by member extension. Shard-level
-    parallelism comes from the binaryFile source (one task per file);
-    unpacking is partition-local with zero shuffle.
-    """
-    files = spark.read.format("binaryFile").load(shard_glob)
+
+def _make_unpack():
+    """Build the Arrow-batched tar-unpack task (nested fn: cloudpickle
+    ships it by value, bare-session safe)."""
 
     def unpack(batches):
         import io
@@ -170,6 +167,45 @@ def read_tar_shards(spark: SparkSession, shard_glob: str) -> DataFrame:
                         )
             yield pd.DataFrame(rows)
 
+    return unpack
+
+
+def read_tar_shards(spark: SparkSession, shard_glob: str) -> DataFrame:
+    """Unpack WebDataset-style tar shards into sample rows.
+
+    Returns ``shard string, key string, parts map<string,binary>`` — one
+    row per sample key, ``parts`` keyed by member extension. Shard-level
+    parallelism comes from the binaryFile source (one task per file);
+    unpacking is partition-local with zero shuffle.
+    """
+    files = spark.read.format("binaryFile").load(shard_glob)
     return files.select("path", "content").mapInPandas(
-        unpack, schema="shard string, key string, parts map<string,binary>"
+        _make_unpack(), schema=_SAMPLE_SCHEMA
+    )
+
+
+def stream_tar_shards(
+    spark: SparkSession, shard_dir: str, path_glob: str = "shard-*.tar"
+) -> DataFrame:
+    """Structured-Streaming variant: watch a directory for new shards and
+    emit their samples incrementally.
+
+    The binaryFile file-stream source tracks seen files in the
+    checkpoint, so each shard's samples are delivered EXACTLY ONCE
+    across restarts — the natural continuous-ingestion shape for a
+    corpus that lands as shard files (the same unpack kernel as the
+    batch reader; one task per newly-arrived file, zero shuffle)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's is
+        # fixed by the format
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .option("pathGlobFilter", path_glob)
+        .load(shard_dir)
+    )
+    return files.select("path", "content").mapInPandas(
+        _make_unpack(), schema=_SAMPLE_SCHEMA
     )
