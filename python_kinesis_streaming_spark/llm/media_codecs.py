@@ -786,11 +786,12 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
     """Arrow-batched REAL decode over (id, format, payload binary) rows —
     the multimodal_decode seam carrying actual codecs.
 
-    Returns (id, format, height, width, channels, mean_px, min_px, max_px,
-    n_samples, sample_rate): image columns null for audio rows and vice
-    versa, decode errors surfaced as format='error:<reason>' rows rather
-    than task failures (quarantine-not-crash, the dq_row_quarantine
-    discipline).
+    Returns shape/stat columns plus perceptual features in the same
+    pass: ``phash`` (DCT perceptual hash, signed-64 representation) for
+    images, ``rms``/``zcr``/``spectral_centroid_hz`` for audio. Image
+    columns are null for audio rows and vice versa; decode errors
+    surface as format='error:<reason>' rows rather than task failures
+    (quarantine-not-crash, the dq_row_quarantine discipline).
     """
     from pyspark import cloudpickle
 
@@ -826,24 +827,29 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
                     "n_samples": None,
                     "sample_rate": None,
                     "n_frames": None,
+                    "phash": None,
+                    "rms": None,
+                    "zcr": None,
+                    "spectral_centroid_hz": None,
                 }
                 try:
                     blob = bytes(payload)
+                    arr = None
                     if fmt == "png":
-                        base.update(image_features(decode_png(blob)))
+                        arr = decode_png(blob)
                         base["n_frames"] = 1
                     elif fmt == "bmp":
-                        base.update(image_features(decode_bmp(blob)))
+                        arr = decode_bmp(blob)
                         base["n_frames"] = 1
                     elif fmt == "tiff":
-                        base.update(image_features(decode_tiff(blob)))
+                        arr = decode_tiff(blob)
                         base["n_frames"] = 1
                     elif fmt == "jpeg":
-                        base.update(image_features(decode_jpeg_kernel(blob)))
+                        arr = decode_jpeg_kernel(blob)
                         base["n_frames"] = 1
                     elif fmt == "gif":
                         gif_frames = decode_gif(blob)
-                        base.update(image_features(gif_frames[0]))
+                        arr = gif_frames[0]
                         base["n_frames"] = len(gif_frames)
                     elif fmt in ("wav", "aiff", "au"):
                         decoder = {
@@ -855,8 +861,14 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
                         base["n_samples"] = int(samples.shape[0])
                         base["sample_rate"] = int(rate)
                         base["channels"] = int(samples.shape[1])
+                        base.update(audio_features(samples, rate))
                     else:
                         base["format"] = f"error:unknown-format-{fmt}"
+                    if arr is not None:
+                        base.update(image_features(arr))
+                        ph = phash64(arr)
+                        # two's-complement into a signed 64-bit column
+                        base["phash"] = ph - (1 << 64) if ph >= 1 << 63 else ph
                 except ValueError as e:
                     base["format"] = f"error:{e}"
                 rows.append(base)
@@ -865,7 +877,8 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
     schema = (
         "id long, format string, height int, width int, channels int, "
         "mean_px double, min_px int, max_px int, n_samples int, "
-        "sample_rate int, n_frames int"
+        "sample_rate int, n_frames int, phash long, rms double, "
+        "zcr double, spectral_centroid_hz double"
     )
     return df.mapInPandas(decode_batches, schema=schema)
 

@@ -203,6 +203,13 @@ def test_media_features_frame_mixed_formats(spark):
     # task failure (gif became a real format in r6, so this is no longer
     # the unknown-format path)
     assert out[5]["format"].startswith("error:GIF")
+    # same pixels via two formats -> identical perceptual hash; the
+    # jpeg re-encode of those pixels stays within a few Hamming bits
+    assert out[1]["phash"] == out[2]["phash"]
+    assert bin((out[1]["phash"] ^ out[6]["phash"]) & (2**64 - 1)).count("1") <= 10
+    # audio rows carry signal features instead
+    assert out[3]["rms"] is not None and out[3]["zcr"] is not None
+    assert out[1]["rms"] is None and out[3]["phash"] is None
     # jpeg is lossy: dimensions are exact, mean within a small band
     assert (out[6]["height"], out[6]["width"], out[6]["channels"]) == (9, 4, 3)
     assert abs(out[6]["mean_px"] - expected_mean) < 3.0
