@@ -178,3 +178,48 @@ def test_stats_survive_compaction(spark, tmp_path):
     (f,) = live_files(t)
     assert f["stats"]["id"]["min"] == 0
     assert f["stats"]["id"]["max"] == 99
+
+
+def test_log_replay_matches_reference_model(tmp_path):
+    """Property: for ANY commit sequence, live_files at every version
+    equals a plain-dict replay of the same actions (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    paths = [f"data/f{i}.parquet" for i in range(6)]
+    action_st = st.lists(
+        st.tuples(st.sampled_from(["add", "remove"]), st.sampled_from(paths)),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(commits=st.lists(action_st, min_size=1, max_size=8))
+    def run(commits):
+        import shutil
+        import tempfile
+
+        t = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            reference: dict[str, bool] = {}
+            ref_versions = []
+            for actions in commits:
+                acts = [
+                    {"action": a, "path": p, "size": 1} if a == "add"
+                    else {"action": a, "path": p}
+                    for a, p in actions
+                ]
+                commit(t, acts)
+                for a, p in actions:
+                    if a == "add":
+                        reference[p] = True
+                    else:
+                        reference.pop(p, None)
+                ref_versions.append(sorted(reference))
+            for v, expect in enumerate(ref_versions):
+                got = [f["path"] for f in live_files(t, v)]
+                assert got == expect
+        finally:
+            shutil.rmtree(t)
+
+    run()
