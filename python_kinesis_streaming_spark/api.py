@@ -36,6 +36,7 @@ from python_kinesis_streaming_spark.llm.dedup import (
     word_shingles,
 )
 from python_kinesis_streaming_spark.llm.media_codecs import media_features_frame
+from python_kinesis_streaming_spark.llm.quality_rules import gopher_rules
 from python_kinesis_streaming_spark.llm.shards import (
     read_tar_shards,
     write_tar_shards,
@@ -73,6 +74,7 @@ _CORPUS_SURFACE = [
     "word_frequencies",
     "media_features_frame",
     "extract_text_frame",
+    "gopher_rules",
 ]
 
 __all__ = _CORPUS_SURFACE + [
