@@ -139,3 +139,69 @@ def test_warc_to_shards_to_snapshot(spark, tmp_path):
         "initial crawl",
         "delta crawl",
     ]
+
+
+def test_full_toolkit_composition(spark, tmp_path):
+    """The round-6 toolkit end to end: WARC -> real HTML extraction ->
+    Gopher quality gate -> BPE tokenizer trained on the survivors ->
+    tokenized corpus packed into shards, with a versioned snapshot of
+    the token statistics."""
+    from pyspark.sql import functions as F
+
+    from python_kinesis_streaming_spark.llm.bpe import apply_bpe, train_bpe
+    from python_kinesis_streaming_spark.llm.html_extract import (
+        extract_text_frame,
+    )
+    from python_kinesis_streaming_spark.llm.quality_rules import gopher_rules
+
+    prose = (
+        "The river keeps its slow pace through the valley and the town "
+        "grows quiet when the evening light settles over the water. "
+    ) * 4
+    pages = []
+    for i in range(12):
+        body = f"<html><head><title>Page {i}</title></head><body><p>{prose} Page number {i}.</p></body></html>"
+        pages.append(body)
+    # two junk pages: one nav-only, one symbol soup
+    pages.append("<html><body><nav>" + "".join(f'<a href="/{i}">l{i}</a>' for i in range(30)) + "</nav></body></html>")
+    pages.append("<html><body><p>" + "# " * 120 + "</p></body></html>")
+
+    recs = [
+        {
+            "type": "response",
+            "uri": f"https://site.example/p{i}",
+            "date": "2024-03-01T00:00:00Z",
+            "payload": (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + page.encode()
+            ),
+            "content_type": "application/http; msgtype=response",
+        }
+        for i, page in enumerate(pages)
+    ]
+    (tmp_path / "crawl-00000.warc.gz").write_bytes(build_warc(recs))
+
+    docs = read_warc(spark, str(tmp_path / "crawl-*.warc.gz")).where(
+        F.col("http_status") == 200
+    )
+    extracted = extract_text_frame(docs, "http_body")
+    gated = gopher_rules(extracted, "main_text", min_words=30)
+    kept = gated.where(F.col("gopher_keep"))
+    assert kept.count() == 12  # both junk pages dropped by the gate
+
+    merges = train_bpe(kept, "main_text", num_merges=15)
+    assert len(merges) == 15
+    tokenized = apply_bpe(
+        kept.select("target_uri", "main_text"), "main_text", merges
+    )
+    rows = tokenized.collect()
+    assert all(r["n_tokens"] > 0 for r in rows)
+    # compression: learned merges beat character count comfortably
+    assert all(r["n_tokens"] < len(r["main_text"]) * 0.8 for r in rows)
+
+    # snapshot the per-doc token stats; time-travelable corpus metadata
+    table = str(tmp_path / "tokstats")
+    v = write_snapshot(
+        tokenized.select("target_uri", "n_tokens"), table, message="tokenized v1"
+    )
+    assert read_snapshot(spark, table, version=v).count() == 12
