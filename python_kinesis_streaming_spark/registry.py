@@ -64,61 +64,8 @@ _loaded = False
 # CORRECTNESS_r*.json: fixed-this-round ops first (regrade), then the
 # never-graded block, then the next-up block for the following round.
 _GRADING_PRIORITY = [
-    # round-6 window: next 50 never-driver-graded ops (r05 was 50/50 green,
-    # so no regrades; the 50 r05-graded names rotated to the back).
-    "udtf_python_lateral",
-    "stream_topk_per_window",
-    "stream_metrics_progress",
-    "fn_url",
-    "agg_regression",
-    "sim_rerank_two_stage",
-    "events_bounce_rate",
-    "stream_dedup_within_watermark",
-    "stream_union_sources",
-    "emb_centroid_diagnostics",
-    "market_basket_lift",
-    "fn_collation",
-    "agg_decimal_exact",
-    "edge_empty_inputs",
-    "events_peak_concurrency",
-    "join_lateral_topn",
-    "events_hourly_heatmap",
-    "stream_state_metrics",
-    "fn_variant_json",
-    "ts_changepoint_cusum",
-    "agg_gini_revenue",
-    "agg_bitmap_distinct",
-    "emb_outlier_gate",
-    "set_ops_all_variants",
-    "win_rolling_median",
-    "text_zipf_fit",
-    "events_ab_test_lift",
-    "orders_dormancy_winback",
-    "li_supplier_hhi",
-    "text_lang_confusion",
-    "events_cohort_ltv",
-    "events_error_rate_alert",
-    "feat_target_encode",
-    "feat_quantile_bin",
-    "feat_minmax_scale",
-    "feat_onehot_topk",
-    "feat_hashing_trick",
-    "dq_null_profile",
-    "dq_freshness",
-    "graph_degree_stats",
-    "sim_pq_assign",
-    "join_bloom_prefilter",
-    "corpus_shard_assign",
-    "multimodal_phash_bands",
-    "ts_holt_linear",
-    "merge_into_upsert",
-    "sim_threshold_sweep",
-    "feat_winsorize",
-    "dq_referential_integrity",
-    "dq_distribution_drift",
-    # round-7 queue and beyond (never graded, in rotation order;
-    # the final 25 names were previously unlisted and are appended
-    # in registration order so the whole 201-op backlog is explicit)
+    # round-7 window: next 50 never-driver-graded ops (r06 was 50/50 green,
+    # so no regrades; the 50 r06-graded names rotated to the back).
     "corpus_epoch_plan",
     "ts_hopping_agg",
     "text_ngram_novelty",
@@ -270,7 +217,58 @@ _GRADING_PRIORITY = [
     "text_heaps_law",
     "text_collocations_pmi",
     "corpus_sample_weighted",
-    # everything after: driver-green ops, registration order
+    # round-6 window (driver-green in CORRECTNESS_r06, 50/50) rotated back
+    "udtf_python_lateral",
+    "stream_topk_per_window",
+    "stream_metrics_progress",
+    "fn_url",
+    "agg_regression",
+    "sim_rerank_two_stage",
+    "events_bounce_rate",
+    "stream_dedup_within_watermark",
+    "stream_union_sources",
+    "emb_centroid_diagnostics",
+    "market_basket_lift",
+    "fn_collation",
+    "agg_decimal_exact",
+    "edge_empty_inputs",
+    "events_peak_concurrency",
+    "join_lateral_topn",
+    "events_hourly_heatmap",
+    "stream_state_metrics",
+    "fn_variant_json",
+    "ts_changepoint_cusum",
+    "agg_gini_revenue",
+    "agg_bitmap_distinct",
+    "emb_outlier_gate",
+    "set_ops_all_variants",
+    "win_rolling_median",
+    "text_zipf_fit",
+    "events_ab_test_lift",
+    "orders_dormancy_winback",
+    "li_supplier_hhi",
+    "text_lang_confusion",
+    "events_cohort_ltv",
+    "events_error_rate_alert",
+    "feat_target_encode",
+    "feat_quantile_bin",
+    "feat_minmax_scale",
+    "feat_onehot_topk",
+    "feat_hashing_trick",
+    "dq_null_profile",
+    "dq_freshness",
+    "graph_degree_stats",
+    "sim_pq_assign",
+    "join_bloom_prefilter",
+    "corpus_shard_assign",
+    "multimodal_phash_bands",
+    "ts_holt_linear",
+    "merge_into_upsert",
+    "sim_threshold_sweep",
+    "feat_winsorize",
+    "dq_referential_integrity",
+    "dq_distribution_drift",
+    # everything after: earlier-round driver-green ops, registration order
 ]
 _PRIORITY_INDEX = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
 
