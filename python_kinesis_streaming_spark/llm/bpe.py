@@ -40,9 +40,13 @@ def word_frequencies(
     df: DataFrame, text_col: str, min_word_freq: int = 1
 ) -> DataFrame:
     """Corpus -> (word, freq) table: the one corpus-sized job."""
+    # Column-API regexp_extract_all, NOT F.expr with the pattern inside a
+    # SQL string literal: SQL literal unescaping would turn \s into s, so
+    # whitespace runs ("a  b", "a\nb") would tokenize as words and the
+    # training statistics would diverge from apply_bpe's Python-side re.
     words = df.select(
         F.explode(
-            F.expr(f"regexp_extract_all({text_col}, '{PRETOKEN_RE}', 0)")
+            F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), F.lit(0))
         ).alias("word")
     )
     out = words.groupBy("word").agg(F.count("*").alias("freq"))

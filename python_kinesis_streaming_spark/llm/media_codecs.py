@@ -869,7 +869,20 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
                         ph = phash64(arr)
                         # two's-complement into a signed 64-bit column
                         base["phash"] = ph - (1 << 64) if ph >= 1 << 63 else ph
-                except ValueError as e:
+                except (
+                    # Truncated/corrupt payloads surface differently per
+                    # decoder: struct.error/IndexError/EOFError from short
+                    # reads, zlib.error from broken PNG deflate streams,
+                    # OSError from stream wrappers. All of them must become
+                    # an error:<reason> ROW, never a task failure — one bad
+                    # blob in a 100 TB scan must not kill the job.
+                    ValueError,
+                    struct.error,
+                    zlib.error,
+                    IndexError,
+                    EOFError,
+                    OSError,
+                ) as e:
                     base["format"] = f"error:{e}"
                 rows.append(base)
             yield pd.DataFrame(rows)

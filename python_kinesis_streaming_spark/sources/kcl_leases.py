@@ -261,6 +261,7 @@ def coordinated_poll(
     client,
     stream: str,
     coordinator: LeaseCoordinator,
+    limit: int = 1000,
 ) -> list[dict]:
     """One poll cycle under lease coordination: take/renew leases, drain
     ONLY the owned shards, checkpoint through the lease table (fenced).
@@ -286,10 +287,21 @@ def coordinated_poll(
                 coordinator.checkpoint(sid, seq)
 
         try:
-            out.extend(
-                poll_shard(
-                    client, stream, shard_id, checkpointer=_LeaseCheckpointer()
-                )
+            # Drain directly into ``out`` (the sink): if the lease is
+            # stolen mid-drain, checkpoints for earlier batches have
+            # already committed, so the successor resumes AFTER them —
+            # discarding this worker's drained records with the exception
+            # would mean no worker ever emits them (at-least-once broken).
+            # With the sink they stay delivered here; the one batch whose
+            # checkpoint lost the fence race is re-delivered by the
+            # successor (a duplicate, which at-least-once permits).
+            poll_shard(
+                client,
+                stream,
+                shard_id,
+                checkpointer=_LeaseCheckpointer(),
+                limit=limit,
+                sink=out,
             )
         except LeaseLostError:
             continue  # stolen mid-drain: successor resumes from the fence

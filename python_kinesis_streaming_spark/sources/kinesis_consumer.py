@@ -142,6 +142,7 @@ def poll_shard(
     max_empty_polls: int = 1,
     backoff_base_s: float = 0.02,
     max_attempts: int = 8,
+    sink: list | None = None,
 ) -> list[dict]:
     """Drain one shard's currently-available records (at-least-once).
 
@@ -151,6 +152,14 @@ def poll_shard(
     ProvisionedThroughputExceededException loop). The checkpoint is saved
     AFTER records are returned to the caller's batch list — a crash
     between delivery and checkpoint re-delivers, never skips.
+
+    ``sink``: caller-owned list the drained records are appended to
+    batch-by-batch (and also the return value). Pass it when the
+    checkpointer can raise mid-drain (fenced lease steal): records from
+    batches whose checkpoint already committed stay delivered in the
+    caller's list instead of vanishing with the exception — dropping
+    them would break at-least-once, because the successor resumes after
+    the fence checkpoint and never re-reads them.
     """
     seq = checkpointer.load(shard_id) if checkpointer else None
     if seq is not None:
@@ -160,7 +169,7 @@ def poll_shard(
     else:
         it = client.get_shard_iterator(stream, shard_id, starting_position)
 
-    out: list[dict] = []
+    out: list[dict] = [] if sink is None else sink
     empty = 0
     attempt = 0
     while empty < max_empty_polls:
@@ -282,9 +291,18 @@ def distributed_poll(
 
     The shard list becomes a repartitioned DataFrame (one shard per
     partition); each mapInPandas task runs the poll loop against its
-    single shard, writing its own checkpoint file. The task body is fully
-    self-contained (stdlib only, cloudpickle by value — bare-session
-    safe, CLAUDE.md invariant 1: no package import on the worker).
+    single shard. The task body is fully self-contained (stdlib only,
+    cloudpickle by value — bare-session safe, CLAUDE.md invariant 1: no
+    package import on the worker).
+
+    Checkpointing is two-phase: tasks only READ ``checkpoint_dir`` to
+    pick their resume point; nothing is written during the drain. After
+    the caller has materialized (and durably persisted) the result, it
+    advances the checkpoints with ``commit_poll_checkpoints``. Writing
+    from inside the task would advance the checkpoint before the task's
+    output is committed, so a task retry — or a second evaluation of
+    this lazy DataFrame — would resume past records the failed attempt
+    never delivered and silently drop them.
     """
     client = KinesisClient(endpoint_url)
     shard_ids = client.list_shard_ids(stream)
@@ -336,13 +354,6 @@ def distributed_poll(
             except FileNotFoundError:
                 return None
 
-        def cp_save(shard_id, seq):
-            _os.makedirs(cp_dir, exist_ok=True)
-            tmp = cp_path(shard_id) + ".tmp"
-            with open(tmp, "w") as f:
-                _json.dump({"sequence_number": seq}, f)
-            _os.replace(tmp, cp_path(shard_id))
-
         def drain(shard_id):
             seq = cp_load(shard_id) if cp_dir else None
             body = {
@@ -375,8 +386,6 @@ def distributed_poll(
                 attempt = 0
                 recs = resp["Records"]
                 out.extend(recs)
-                if recs and cp_dir:
-                    cp_save(shard_id, recs[-1]["SequenceNumber"])
                 if resp.get("NextShardIterator") is None:
                     return out  # closed shard fully drained
                 if not recs and resp.get("MillisBehindLatest", 0) == 0:
@@ -409,3 +418,24 @@ def distributed_poll(
                 )
 
     return shards_df.mapInPandas(poll_partition, schema=POLLED_SCHEMA)
+
+
+def commit_poll_checkpoints(rows, checkpoint_dir: str) -> dict[str, str]:
+    """Advance per-shard checkpoints from a MATERIALIZED ``distributed_poll``
+    result (driver-side, after the caller has persisted the records —
+    checkpoint-after-delivery, the same ordering ``poll_shard`` documents).
+
+    ``rows``: an iterable of row-likes carrying ``shard_id`` and
+    ``sequence_number`` (``DataFrame.collect()`` output, dicts, or an
+    iterable of pandas rows). Returns the {shard_id: sequence_number}
+    map that was written.
+    """
+    latest: dict[str, str] = {}
+    for r in rows:
+        sid, seq = r["shard_id"], r["sequence_number"]
+        if sid not in latest or int(seq) > int(latest[sid]):
+            latest[sid] = seq
+    cp = ShardCheckpointer(checkpoint_dir)
+    for sid, seq in latest.items():
+        cp.save(sid, seq)
+    return latest

@@ -96,14 +96,28 @@ def commit(
         lines.append(json.dumps(a, sort_keys=True))
     payload = ("\n".join(lines) + "\n").encode()
     path = _log_path(table_dir, version)
+    # Write the payload to a private temp file first, then os.link() it to
+    # the final name: link() is create-if-absent-or-fail (the same loser-
+    # detects-conflict contract as O_CREAT|O_EXCL) but the commit becomes
+    # visible to concurrent readers only with its COMPLETE contents — an
+    # O_EXCL create followed by write() exposes an empty/partial log file
+    # that a racing current_version()/_replay() would crash on or silently
+    # replay short.
+    tmp = f"{path}.tmp.{os.getpid()}.{id(lines)}"
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise SnapshotConflict(f"version {version} was committed concurrently")
-    try:
-        os.write(fd, payload)
+        try:
+            os.write(fd, payload)
+        finally:
+            os.close(fd)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise SnapshotConflict(
+                f"version {version} was committed concurrently"
+            )
     finally:
-        os.close(fd)
+        os.unlink(tmp)
     return version
 
 

@@ -92,6 +92,21 @@ def test_word_frequencies_match_counter(spark):
     assert got == dict(Counter(w for t in CORPUS for w in rx.findall(t)))
 
 
+def test_word_frequencies_multi_whitespace(spark):
+    # Regression: the pattern's \s must survive into the JVM regex. With
+    # the old F.expr SQL-literal interpolation, SQL unescaping turned \s
+    # into s, so whitespace runs ("  ", "\t", "\n") counted as words.
+    texts = ["a  b\tc!?", "line one\nline  two", "x   y"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r["word"]: r["freq"] for r in word_frequencies(df, "text").collect()}
+    rx = re.compile(PRETOKEN_RE)
+    expect = dict(Counter(w for t in texts for w in rx.findall(t)))
+    assert got == expect
+    assert not any(w.strip(" ") == "" for w in got), got
+    # every token is " ?"-prefixed content: no tabs/newlines leak through
+    assert all("\t" not in w and "\n" not in w for w in got)
+
+
 def test_apply_bpe_lossless_and_compressing(spark):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "id long, text string")
     merges = train_bpe(df, "text", num_merges=30)

@@ -164,3 +164,46 @@ def test_fleet_covers_stream_exactly_once_and_survives_death(tmp_path):
         # exactly the 60 new ones, nothing re-read, nothing lost
         assert ids2 == list(range(120, 180))
         assert b.renew() == sorted(client.list_shard_ids(STREAM))
+
+
+def test_mid_drain_steal_keeps_checkpointed_records(tmp_path):
+    """Regression (ADVICE r6): a lease stolen MID-drain must not lose the
+    records whose checkpoints already committed. Pre-fix, poll_shard's
+    local output list vanished with the LeaseLostError while the fence
+    checkpoint already covered those batches — the successor resumed
+    after them and no worker ever emitted them."""
+    clock = FakeClock()
+    table = LeaseTable(str(tmp_path / "leases"))
+    with MockKinesisServer() as srv:
+        client = KinesisClient(srv.endpoint_url)
+        client.call("CreateStream", {"StreamName": STREAM, "ShardCount": 1})
+        _put(client, 30)
+        a = LeaseCoordinator(table, "worker-a", lease_ttl_s=10, now_fn=clock)
+        b = LeaseCoordinator(table, "worker-b", lease_ttl_s=10, now_fn=clock)
+
+        # steal the lease right after a's FIRST successful checkpoint, so
+        # a's second batch checkpoint hits the fence mid-drain
+        orig_checkpoint = a.checkpoint
+        saves = {"n": 0}
+
+        def checkpoint_then_steal(shard_id, seq):
+            orig_checkpoint(shard_id, seq)
+            saves["n"] += 1
+            if saves["n"] == 1:
+                clock.t += 30  # a's lease looks expired
+                assert b.take_leases(client.list_shard_ids(STREAM))
+
+        a.checkpoint = checkpoint_then_steal
+        got_a = coordinated_poll(client, STREAM, a, limit=10)
+        ids_a = sorted(json.loads(r["data"])["event_id"] for r in got_a)
+        # the checkpointed first batch (10 records) stayed delivered, and
+        # the fenced second batch is delivered here too (it will be
+        # re-read by the successor — a permitted at-least-once duplicate)
+        assert saves["n"] == 1
+        assert set(ids_a) >= set(range(10)), ids_a
+        # successor resumes from the fence: union covers every record
+        got_b = coordinated_poll(client, STREAM, b, limit=10)
+        ids_b = [json.loads(r["data"])["event_id"] for r in got_b]
+        assert set(ids_a) | set(ids_b) == set(range(30))
+        # nothing BEFORE the fence is re-read by the successor
+        assert set(ids_b).isdisjoint(range(10))

@@ -183,6 +183,12 @@ def test_media_features_frame_mixed_formats(spark):
         (6, "jpeg", bytearray(encode_jpeg(img, quality=95))),
         (7, "jpeg", bytearray(encode_jpeg(img, quality=90, subsample=True))),
         (8, "jpeg", bytearray(b"\xff\xd8 truncated jpeg")),
+        # regression (ADVICE r6): non-ValueError decoder failures must be
+        # quarantined too — truncated PNG raises struct/zlib errors, a
+        # corrupt-deflate PNG raises zlib.error, a cut WAV struct.error
+        (9, "png", bytearray(encode_png(img)[: len(encode_png(img)) // 2])),
+        (10, "wav", bytearray(buf.getvalue()[:30])),
+        (11, "bmp", bytearray(_write_bmp(img)[:20])),
     ]
     df = spark.createDataFrame(rows, "doc_id long, fmt string, payload binary")
     out = {
@@ -215,6 +221,8 @@ def test_media_features_frame_mixed_formats(spark):
     assert abs(out[6]["mean_px"] - expected_mean) < 3.0
     assert (out[7]["height"], out[7]["width"]) == (9, 4)  # 4:2:0 path
     assert out[8]["format"].startswith("error:")
+    for rid in (9, 10, 11):
+        assert out[rid]["format"].startswith("error:"), out[rid]
 
 
 @pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3), (6, 4)])

@@ -69,6 +69,33 @@ def test_commit_race_detected_by_o_excl(tmp_path):
         )
 
 
+def test_commit_is_invisible_until_complete(tmp_path, monkeypatch):
+    """Regression (ADVICE r6): the log file must appear under its final
+    name only with COMPLETE contents. Pre-fix, commit O_EXCL-created the
+    final name and then wrote the payload, so a writer crash (or a racing
+    reader) between the two left an empty 00000001.json that poisoned
+    current_version/_replay. Now a mid-write crash leaves no visible
+    commit at all."""
+    t = str(tmp_path / "corpus")
+    commit(t, [{"action": "add", "path": "data/a.parquet", "size": 1}])
+
+    real_write = os.write
+
+    def crashing_write(fd, data):
+        raise OSError("disk died mid-write")
+
+    monkeypatch.setattr(os, "write", crashing_write)
+    with pytest.raises(OSError, match="mid-write"):
+        commit(t, [{"action": "add", "path": "data/b.parquet", "size": 1}])
+    monkeypatch.setattr(os, "write", real_write)
+
+    # no partial/empty version surfaced; no tmp litter; table still usable
+    log = os.path.join(t, "_log")
+    assert sorted(os.listdir(log)) == ["00000000.json"]
+    assert current_version(t) == 0
+    assert commit(t, [{"action": "add", "path": "data/b.parquet", "size": 1}]) == 1
+
+
 def test_stale_expected_version_rejected(tmp_path):
     t = str(tmp_path / "corpus")
     commit(t, [{"action": "add", "path": "data/a.parquet", "size": 1}])
