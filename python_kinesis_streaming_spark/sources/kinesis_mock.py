@@ -7,7 +7,9 @@ body; JSON responses; HTTP 400 + ``{"__type": "<Exception>"}`` for errors
 
     CreateStream, ListShards, DescribeStreamSummary,
     PutRecord, PutRecords, GetShardIterator, GetRecords,
-    SplitShard, MergeShards
+    SplitShard, MergeShards,
+    RegisterStreamConsumer, DescribeStreamConsumer, ListStreamConsumers,
+    DeregisterStreamConsumer, SubscribeToShard (enhanced fan-out)
 
 Semantics mirror the public service behavior the reference genre depends
 on (docs.aws.amazon.com/kinesis/latest/APIReference):
@@ -26,6 +28,22 @@ on (docs.aws.amazon.com/kinesis/latest/APIReference):
   HTTP 200 — the real partial-failure shape producers must retry);
 - PutRecords enforces the documented 500-entries-per-call limit
   (ValidationException);
+- enhanced fan-out: RegisterStreamConsumer returns CREATING and the
+  consumer turns ACTIVE on a later DescribeStreamConsumer (the real
+  asynchronous activation the register-then-poll loop exists for);
+  SubscribeToShard validates the consumer ARN, allows at most ONE active
+  subscription per (consumer, shard) (ResourceInUseException otherwise,
+  as documented), and PUSHES SubscribeToShardEvent frames — each with
+  Records, ContinuationSequenceNumber and MillisBehindLatest; a fully
+  drained CLOSED shard ends with a null ContinuationSequenceNumber (the
+  real shard-end signal). Transport: the real service speaks HTTP/2 with
+  eventstream framing; this loopback double pushes the same event
+  payloads as newline-delimited JSON over HTTP/1.1 chunked transfer —
+  a transport stand-in, the event semantics and shapes are the real
+  ones. The mock compresses the 5-minute subscription window: the event
+  stream ends once the subscriber is caught up (callers re-subscribe
+  from the continuation, exactly as they must at the real 5-minute
+  boundary);
 - resharding: SplitShard closes the parent (ListShards shows its
   EndingSequenceNumber + the children's ParentShardId; writes route to
   the open children) and GetRecords on a fully-drained closed shard
@@ -59,6 +77,15 @@ class _Record:
     partition_key: str
     data_b64: str
     arrival_ts: float
+
+
+@dataclass
+class _Consumer:
+    name: str
+    arn: str
+    stream: str
+    status: str = "CREATING"
+    creation_ts: float = 0.0
 
 
 @dataclass
@@ -181,6 +208,18 @@ class MockKinesisService:
         self._get_records_calls = 0
         self._put_fail_every = put_fail_every
         self._put_record_attempts = 0
+        self._consumers: dict[str, _Consumer] = {}  # ARN -> consumer
+        self._active_subs: set[tuple[str, str]] = set()  # (ARN, shard)
+
+    @staticmethod
+    def _stream_arn(name: str) -> str:
+        return f"arn:aws:kinesis:mock:000000000000:stream/{name}"
+
+    @staticmethod
+    def _stream_from_arn(arn: str) -> str:
+        # arn:aws:kinesis:REGION:ACCT:stream/NAME[/consumer/...]
+        tail = arn.split(":stream/", 1)[-1]
+        return tail.split("/", 1)[0]
 
     # -- actions -----------------------------------------------------------
 
@@ -339,6 +378,164 @@ class MockKinesisService:
             "MillisBehindLatest": 0 if caught_up else 1,
         }
 
+    # -- enhanced fan-out --------------------------------------------------
+
+    def register_stream_consumer(self, body: dict) -> dict:
+        stream = self._stream_from_arn(body["StreamARN"])
+        self._stream(stream)  # validates existence
+        name = body["ConsumerName"]
+        with self._lock:
+            for c in self._consumers.values():
+                if c.stream == stream and c.name == name:
+                    raise _ApiError(
+                        "ResourceInUseException",
+                        f"Consumer {name} already exists on {stream}",
+                    )
+            ts = time.time()
+            arn = f"{self._stream_arn(stream)}/consumer/{name}:{int(ts)}"
+            self._consumers[arn] = _Consumer(name, arn, stream, "CREATING", ts)
+        # real API: registration is asynchronous — returns CREATING, the
+        # caller polls DescribeStreamConsumer until ACTIVE
+        return {"Consumer": self._consumer_desc(self._consumers[arn])}
+
+    @staticmethod
+    def _consumer_desc(c: _Consumer) -> dict:
+        return {
+            "ConsumerName": c.name,
+            "ConsumerARN": c.arn,
+            "ConsumerStatus": c.status,
+            "ConsumerCreationTimestamp": c.creation_ts,
+        }
+
+    def _find_consumer(self, body: dict) -> _Consumer:
+        arn = body.get("ConsumerARN")
+        if arn is None and "StreamARN" in body and "ConsumerName" in body:
+            stream = self._stream_from_arn(body["StreamARN"])
+            for c in self._consumers.values():
+                if c.stream == stream and c.name == body["ConsumerName"]:
+                    return c
+            raise _ApiError(
+                "ResourceNotFoundException",
+                f"Consumer {body['ConsumerName']} not found",
+            )
+        c = self._consumers.get(arn)
+        if c is None:
+            raise _ApiError(
+                "ResourceNotFoundException", f"Consumer {arn} not found"
+            )
+        return c
+
+    def describe_stream_consumer(self, body: dict) -> dict:
+        with self._lock:
+            c = self._find_consumer(body)
+            desc = self._consumer_desc(c)
+            if c.status == "CREATING":
+                # activation completes between this poll and the next —
+                # the first describe still sees CREATING (async contract)
+                c.status = "ACTIVE"
+        return {"ConsumerDescription": desc}
+
+    def list_stream_consumers(self, body: dict) -> dict:
+        stream = self._stream_from_arn(body["StreamARN"])
+        self._stream(stream)
+        with self._lock:
+            return {
+                "Consumers": [
+                    self._consumer_desc(c)
+                    for c in self._consumers.values()
+                    if c.stream == stream
+                ]
+            }
+
+    def deregister_stream_consumer(self, body: dict) -> dict:
+        with self._lock:
+            c = self._find_consumer(body)
+            del self._consumers[c.arn]
+        return {}
+
+    def subscribe_to_shard_events(self, body: dict, batch_limit: int = 100):
+        """Validate a SubscribeToShard call and return an event GENERATOR
+        (the transport layer frames each yielded dict). Validation errors
+        raise _ApiError before any event is produced, so the HTTP layer
+        can still answer 400 + JSON for them."""
+        with self._lock:
+            c = self._find_consumer(body)
+            if c.status != "ACTIVE":
+                raise _ApiError(
+                    "ResourceInUseException", f"Consumer {c.name} not ACTIVE"
+                )
+        st = self._stream(c.stream)
+        shard = self._shard(st, body["ShardId"])
+        sp = body["StartingPosition"]
+        stype = sp["Type"]
+        if stype == "TRIM_HORIZON":
+            pos = 0
+        elif stype == "LATEST":
+            pos = shard.next_seq
+        elif stype == "AT_SEQUENCE_NUMBER":
+            pos = int(sp["SequenceNumber"])
+        elif stype == "AFTER_SEQUENCE_NUMBER":
+            pos = int(sp["SequenceNumber"]) + 1
+        else:
+            raise _ApiError(
+                "InvalidArgumentException", f"StartingPosition {stype}"
+            )
+        key = (c.arn, shard.shard_id)
+        with self._lock:
+            if key in self._active_subs:
+                # documented: one active subscription per consumer+shard
+                raise _ApiError(
+                    "ResourceInUseException",
+                    f"Active subscription exists for {key}",
+                )
+            self._active_subs.add(key)
+
+        def events():
+            p = pos
+            try:
+                while True:
+                    with self._lock:
+                        batch = [
+                            r
+                            for r in shard.records
+                            if r.sequence_number >= p
+                        ][:batch_limit]
+                        tip = shard.next_seq
+                        closed = shard.closed
+                    last = batch[-1].sequence_number if batch else p - 1
+                    caught_up = last >= tip - 1
+                    drained_closed = closed and caught_up
+                    yield {
+                        "SubscribeToShardEvent": {
+                            "Records": [
+                                {
+                                    "SequenceNumber": str(r.sequence_number),
+                                    "PartitionKey": r.partition_key,
+                                    "Data": r.data_b64,
+                                    "ApproximateArrivalTimestamp": (
+                                        r.arrival_ts
+                                    ),
+                                }
+                                for r in batch
+                            ],
+                            # next position to resume AT_SEQUENCE_NUMBER;
+                            # null = closed shard fully drained (real
+                            # shard-end signal)
+                            "ContinuationSequenceNumber": (
+                                None if drained_closed else str(last + 1)
+                            ),
+                            "MillisBehindLatest": 0 if caught_up else 1,
+                        }
+                    }
+                    if caught_up:
+                        return  # compressed 5-minute window: end of stream
+                    p = last + 1
+            finally:
+                with self._lock:
+                    self._active_subs.discard(key)
+
+        return events()
+
     # -- helpers -----------------------------------------------------------
 
     def _stream(self, name: str) -> _StreamState:
@@ -381,6 +578,10 @@ class MockKinesisService:
         "GetRecords": get_records,
         "SplitShard": split_shard,
         "MergeShards": merge_shards,
+        "RegisterStreamConsumer": register_stream_consumer,
+        "DescribeStreamConsumer": describe_stream_consumer,
+        "ListStreamConsumers": list_stream_consumers,
+        "DeregisterStreamConsumer": deregister_stream_consumer,
     }
 
     def dispatch(self, target: str, body: dict) -> dict:
@@ -402,11 +603,16 @@ class _ApiError(Exception):
 
 class _Handler(BaseHTTPRequestHandler):
     service: MockKinesisService  # injected by server factory
+    # HTTP/1.1 so chunked transfer (the SubscribeToShard push channel)
+    # is legal; every non-streaming response still sets Content-Length.
+    protocol_version = "HTTP/1.1"
 
     def do_POST(self):  # noqa: N802 (stdlib casing)
         length = int(self.headers.get("Content-Length", 0))
         body = json.loads(self.rfile.read(length) or b"{}")
         target = self.headers.get("X-Amz-Target", "")
+        if target.split(".", 1)[-1] == "SubscribeToShard":
+            return self._do_subscribe(body)
         try:
             payload = self.service.dispatch(target, body)
             code = 200
@@ -419,6 +625,39 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(raw)))
         self.end_headers()
         self.wfile.write(raw)
+
+    def _do_subscribe(self, body: dict) -> None:
+        """Push SubscribeToShardEvent frames as NDJSON over chunked
+        transfer (HTTP/1.1 stand-in for the real HTTP/2 eventstream)."""
+        try:
+            events = self.service.subscribe_to_shard_events(body)
+        except _ApiError as e:
+            raw = json.dumps({"__type": e.type, "message": e.message}).encode()
+            self.send_response(400)
+            self.send_header("Content-Type", "application/x-amz-json-1.1")
+            self.send_header("Content-Length", str(len(raw)))
+            self.end_headers()
+            self.wfile.write(raw)
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-amz-json-1.1")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def chunk(data: bytes) -> None:
+            self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+            self.wfile.flush()
+
+        try:
+            for event in events:
+                chunk(json.dumps(event).encode() + b"\n")
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            # subscriber went away mid-push: the events generator's
+            # finally has already released the subscription slot; a
+            # dropped connection is a normal consumer lifecycle event,
+            # not a server error
+            self.close_connection = True
 
     def log_message(self, fmt, *args):  # silence request logging in tests
         pass

@@ -15,6 +15,7 @@ from python_kinesis_streaming_spark.sources.kinesis_consumer import (
     KinesisApiError,
     KinesisClient,
     ShardCheckpointer,
+    commit_poll_checkpoints,
     distributed_poll,
     poll_stream,
     poll_to_dataframe,
@@ -156,8 +157,16 @@ def test_distributed_poll_one_task_per_shard(mock_stream, spark, tmp_path):
     )
     assert ids == list(range(150))
     assert {r["shard_id"] for r in rows} == set(client.list_shard_ids(STREAM))
-    # executor tasks wrote one checkpoint per shard; a second distributed
-    # poll resumes and sees nothing new
+    # tasks never write checkpoints (two-phase): re-evaluating the SAME
+    # lazy DataFrame re-delivers everything — pre-fix the first
+    # evaluation's executor-side saves made a re-run come back empty,
+    # silently dropping records on any task retry (ADVICE r6)
+    assert not list((tmp_path / "dcp").glob("*.json"))
+    rows_again = df.collect()
+    assert len(rows_again) == 150
+    # the caller commits AFTER materializing; one checkpoint per shard
+    committed = commit_poll_checkpoints(rows, cp)
+    assert len(committed) == 4
     assert len(list((tmp_path / "dcp").glob("*.json"))) == 4
     _put_batch(client, 10, offset=150)
     again = distributed_poll(
@@ -516,3 +525,213 @@ def test_merge_shards_consumer_crosses_cleanly(mock_stream, tmp_path):
         "InvalidArgumentException",
         "ResourceNotFoundException",
     )
+
+
+# ---- enhanced fan-out (SubscribeToShard push delivery) ---------------------
+
+
+def test_efo_register_lifecycle(mock_stream):
+    from python_kinesis_streaming_spark.sources.kinesis_efo import (
+        register_consumer,
+        stream_arn,
+    )
+
+    srv, client = mock_stream
+    # registration is asynchronous: the register reply is CREATING and a
+    # describe poll is what observes the ACTIVE flip
+    out = client.call(
+        "RegisterStreamConsumer",
+        {"StreamARN": stream_arn(STREAM), "ConsumerName": "app-a"},
+    )
+    assert out["Consumer"]["ConsumerStatus"] == "CREATING"
+    # duplicate name on the same stream is rejected while it exists
+    with pytest.raises(KinesisApiError, match="ResourceInUse"):
+        client.call(
+            "RegisterStreamConsumer",
+            {"StreamARN": stream_arn(STREAM), "ConsumerName": "app-a"},
+        )
+    arn_b = register_consumer(client, STREAM, "app-b")
+    listed = client.call(
+        "ListStreamConsumers", {"StreamARN": stream_arn(STREAM)}
+    )["Consumers"]
+    assert {c["ConsumerName"] for c in listed} == {"app-a", "app-b"}
+    client.call("DeregisterStreamConsumer", {"ConsumerARN": arn_b})
+    listed = client.call(
+        "ListStreamConsumers", {"StreamARN": stream_arn(STREAM)}
+    )["Consumers"]
+    assert {c["ConsumerName"] for c in listed} == {"app-a"}
+    with pytest.raises(KinesisApiError, match="ResourceNotFound"):
+        client.call("DescribeStreamConsumer", {"ConsumerARN": arn_b})
+
+
+def test_efo_drain_and_resume(mock_stream, tmp_path):
+    """The VERDICT r6 case: full EFO drain, then a checkpointed resume
+    delivers only the new records — push transport, poll_shard checkpoint
+    semantics."""
+    from python_kinesis_streaming_spark.sources.kinesis_efo import (
+        efo_poll_stream,
+        register_consumer,
+    )
+
+    srv, client = mock_stream
+    _put_batch(client, 150)
+    arn = register_consumer(client, STREAM, "analytics")
+    cp = str(tmp_path / "efo-cp")
+    got = efo_poll_stream(client, STREAM, arn, checkpoint_dir=cp)
+    ids = sorted(json.loads(r["data"])["event_id"] for r in got)
+    assert ids == list(range(150))
+    assert {r["shard_id"] for r in got} == set(client.list_shard_ids(STREAM))
+    # resume: only the new records arrive, nothing re-read, nothing lost
+    _put_batch(client, 30, offset=150)
+    again = efo_poll_stream(client, STREAM, arn, checkpoint_dir=cp)
+    ids2 = sorted(json.loads(r["data"])["event_id"] for r in again)
+    assert ids2 == list(range(150, 180))
+    # and the drain matches the poll path record-for-record
+    polled = poll_stream(client, STREAM)
+    assert sorted(
+        (r["shard_id"], r["sequence_number"]) for r in got + again
+    ) == sorted((r["shard_id"], r["sequence_number"]) for r in polled)
+
+
+def test_efo_single_active_subscription_per_consumer_shard(mock_stream):
+    from python_kinesis_streaming_spark.sources.kinesis_efo import (
+        register_consumer,
+        subscribe_to_shard,
+    )
+
+    srv, client = mock_stream
+    # The subscription slot is held while the server is still pushing; to
+    # keep it busy past the first event, the shard needs more pending
+    # bytes than the loopback socket buffers — pad the payloads and pin
+    # them all to ONE shard via a single partition key.
+    probe = client.call(
+        "PutRecord",
+        {
+            "StreamName": STREAM,
+            "PartitionKey": "pinned",
+            "Data": base64.b64encode(b"probe").decode(),
+        },
+    )
+    shard = probe["ShardId"]
+    pad = base64.b64encode(b"x" * 16384).decode()
+    for _ in range(6):
+        out = client.call(
+            "PutRecords",
+            {
+                "StreamName": STREAM,
+                "Records": [
+                    {"PartitionKey": "pinned", "Data": pad}
+                    for _ in range(100)
+                ],
+            },
+        )
+        assert out["FailedRecordCount"] == 0
+    arn = register_consumer(client, STREAM, "exclusive")
+    first = subscribe_to_shard(
+        srv.endpoint_url, arn, shard, {"Type": "TRIM_HORIZON"}
+    )
+    next(first)  # subscription now active server-side (and still pushing)
+    with pytest.raises(KinesisApiError, match="ResourceInUse"):
+        # second concurrent subscription on the same (consumer, shard)
+        next(
+            subscribe_to_shard(
+                srv.endpoint_url, arn, shard, {"Type": "TRIM_HORIZON"}
+            )
+        )
+    # a DIFFERENT consumer may subscribe to the same shard concurrently
+    arn2 = register_consumer(client, STREAM, "other")
+    evt = next(
+        subscribe_to_shard(
+            srv.endpoint_url, arn2, shard, {"Type": "TRIM_HORIZON"}
+        )
+    )
+    assert evt["Records"]
+    # draining the first to completion releases its slot for re-subscribe
+    for _ in first:
+        pass
+    evt = next(
+        subscribe_to_shard(
+            srv.endpoint_url, arn, shard, {"Type": "TRIM_HORIZON"}
+        )
+    )
+    assert evt["Records"]
+
+
+def test_efo_closed_shard_ends_with_null_continuation(mock_stream):
+    from python_kinesis_streaming_spark.sources.kinesis_efo import (
+        efo_poll_shard,
+        register_consumer,
+        subscribe_to_shard,
+    )
+
+    srv, client = mock_stream
+    _put_batch(client, 40)
+    shards_before = client.list_shard_ids(STREAM)
+    parent = shards_before[0]
+    # split the parent: it closes but keeps its records for draining
+    hashes = client.call("ListShards", {"StreamName": STREAM})["Shards"]
+    rng = next(
+        s["HashKeyRange"] for s in hashes if s["ShardId"] == parent
+    )
+    mid = (int(rng["StartingHashKey"]) + int(rng["EndingHashKey"])) // 2 + 1
+    client.call(
+        "SplitShard",
+        {
+            "StreamName": STREAM,
+            "ShardToSplit": parent,
+            "NewStartingHashKey": str(mid),
+        },
+    )
+    arn = register_consumer(client, STREAM, "reshard-reader")
+    events = list(
+        subscribe_to_shard(
+            srv.endpoint_url, arn, parent, {"Type": "TRIM_HORIZON"}
+        )
+    )
+    # the last event of a fully-drained CLOSED shard carries the real
+    # shard-end signal: a null ContinuationSequenceNumber
+    assert events[-1]["ContinuationSequenceNumber"] is None
+    # and efo_poll_shard stops cleanly on it
+    recs = efo_poll_shard(client, arn, parent)
+    assert {json.loads(r["data"])["event_id"] for r in recs} == {
+        json.loads(base64.b64decode(rec["Data"]))["event_id"]
+        for e in events
+        for rec in e["Records"]
+    }
+
+
+def test_efo_mid_drain_checkpoint_failure_keeps_delivered(mock_stream, tmp_path):
+    """Same at-least-once contract as poll_shard: a checkpointer that
+    dies mid-drain must not take already-delivered records with it when
+    the caller passes a sink."""
+    from python_kinesis_streaming_spark.sources.kinesis_efo import (
+        efo_poll_shard,
+        register_consumer,
+    )
+
+    srv, client = mock_stream
+    for off in range(0, 1200, 400):  # several >100-record push events
+        _put_batch(client, 400, offset=off)
+    arn = register_consumer(client, STREAM, "fenced")
+    shard = client.list_shard_ids(STREAM)[0]
+
+    class DyingCheckpointer:
+        def __init__(self):
+            self.saves = 0
+
+        def load(self, sid):
+            return None
+
+        def save(self, sid, seq):
+            self.saves += 1
+            if self.saves >= 2:
+                raise RuntimeError("lease lost")
+
+    sink: list = []
+    with pytest.raises(RuntimeError, match="lease lost"):
+        efo_poll_shard(
+            client, arn, shard, checkpointer=DyingCheckpointer(), sink=sink
+        )
+    # the first event's records (checkpointed) and the second event's
+    # (delivered, checkpoint failed) both survive in the caller's list
+    assert len(sink) >= 101
