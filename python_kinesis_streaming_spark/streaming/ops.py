@@ -319,7 +319,12 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the tumbling agg in append/update/complete; one summary row per
     mode: rows emitted to the sink + distinct windows among them."""
-    rows = []
+    # Each mode's streaming query must run to completion (run_to_memory
+    # blocks on awaitTermination), but the per-mode SUMMARY stays a lazy
+    # 1-row aggregate over that mode's uniquely-named memory-sink table —
+    # the three summaries union into one batch plan with no driver-side
+    # collect.
+    parts = []
     for mode in ["append", "update", "complete"]:
         s = replay_stream(spark, sf_dir)
         base = s.withWatermark("ts", "10 minutes") if mode != "complete" else s
@@ -329,14 +334,18 @@ def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         mem = run_to_memory(
             agg.select(F.col("w.start").alias("w_start"), "event_type", "n"), mode
         )
-        summary = mem.agg(
-            F.count("*").alias("rows_emitted"),
-            F.countDistinct("w_start").alias("n_windows"),
-        ).collect()[0]
-        rows.append((mode, summary.rows_emitted, summary.n_windows))
-    return spark.createDataFrame(
-        rows, "output_mode string, rows_emitted long, n_windows long"
-    )
+        parts.append(
+            mem.agg(
+                F.count("*").alias("rows_emitted"),
+                F.countDistinct("w_start").alias("n_windows"),
+            ).select(
+                F.lit(mode).alias("output_mode"), "rows_emitted", "n_windows"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @op(
