@@ -14,13 +14,14 @@ polling quota, and at most ONE subscription per (consumer, shard) may be
 active at a time.
 
 This module implements that consumer side over the loopback mock
-(``kinesis_mock.py``), which pushes the same event payloads as
-newline-delimited JSON over HTTP/1.1 chunked transfer — a transport
-stand-in for the real HTTP/2 eventstream framing; everything above the
-framing (registration lifecycle, event shapes, continuation/resume rules,
-the single-active-subscription constraint, the null-continuation shard-end
-signal) matches the public API, so swapping the transport for HTTP/2 is a
-wire change, not a protocol change.
+(``kinesis_mock.py``), which pushes genuine
+``application/vnd.amazon.eventstream`` frames (``eventstream.py``) over
+HTTP/1.1 chunked transfer; registration lifecycle, event shapes,
+continuation/resume rules, the single-active-subscription constraint and
+the null-continuation shard-end signal all match the public API, and the
+framing is the real wire bytes — botocore's ``subscribe_to_shard`` parses
+the mock's stream unmodified. The only residue vs AWS is the carrying
+protocol (HTTP/1.1 vs HTTP/2) and SigV4/TLS, as for the polling path.
 
 Checkpoint semantics intentionally MATCH ``poll_shard``: the checkpoint is
 saved only after the event's records are appended to the caller-visible
@@ -44,6 +45,9 @@ import time
 import urllib.error
 import urllib.request
 
+from python_kinesis_streaming_spark.sources.eventstream import (
+    EventStreamDecoder,
+)
 from python_kinesis_streaming_spark.sources.kinesis_consumer import (
     KinesisApiError,
     KinesisClient,
@@ -123,10 +127,23 @@ def subscribe_to_shard(
             payload.get("__type", "UnknownError"),
             payload.get("message", str(e)),
         ) from None
+    decoder = EventStreamDecoder()
     with resp:
-        for line in resp:
-            if line.strip():
-                yield json.loads(line)["SubscribeToShardEvent"]
+        while True:
+            chunk = resp.read(16384)
+            if not chunk:
+                break
+            for headers, payload in decoder.feed(chunk):
+                mtype = headers.get(":message-type")
+                if mtype == "exception":
+                    body = json.loads(payload or b"{}")
+                    raise KinesisApiError(
+                        headers.get(":exception-type", "UnknownError"),
+                        body.get("message", ""),
+                    )
+                if headers.get(":event-type") == "SubscribeToShardEvent":
+                    yield json.loads(payload)
+    decoder.close()  # a mid-frame EOF is a broken stream, surface it
 
 
 def efo_poll_shard(

@@ -36,14 +36,17 @@ on (docs.aws.amazon.com/kinesis/latest/APIReference):
   as documented), and PUSHES SubscribeToShardEvent frames — each with
   Records, ContinuationSequenceNumber and MillisBehindLatest; a fully
   drained CLOSED shard ends with a null ContinuationSequenceNumber (the
-  real shard-end signal). Transport: the real service speaks HTTP/2 with
-  eventstream framing; this loopback double pushes the same event
-  payloads as newline-delimited JSON over HTTP/1.1 chunked transfer —
-  a transport stand-in, the event semantics and shapes are the real
-  ones. The mock compresses the 5-minute subscription window: the event
-  stream ends once the subscriber is caught up (callers re-subscribe
-  from the continuation, exactly as they must at the real 5-minute
-  boundary);
+  real shard-end signal). The push body is GENUINE
+  application/vnd.amazon.eventstream framing (sources/eventstream.py —
+  prelude + CRCs + typed headers), the same bytes the real service
+  sends, so botocore's subscribe_to_shard parses it unmodified
+  (tests/test_kinesis_protocol.py proves that interop); the only
+  difference from AWS is the carrying protocol (HTTP/1.1 chunked here,
+  HTTP/2 there), which the SDK treats identically since it parses the
+  response body stream. The mock compresses the 5-minute subscription
+  window: the event stream ends once the subscriber is caught up
+  (callers re-subscribe from the continuation, exactly as they must at
+  the real 5-minute boundary);
 - resharding: SplitShard closes the parent (ListShards shows its
   EndingSequenceNumber + the children's ParentShardId; writes route to
   the open children) and GetRecords on a fully-drained closed shard
@@ -627,8 +630,14 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(raw)
 
     def _do_subscribe(self, body: dict) -> None:
-        """Push SubscribeToShardEvent frames as NDJSON over chunked
-        transfer (HTTP/1.1 stand-in for the real HTTP/2 eventstream)."""
+        """Push SubscribeToShardEvent frames in real eventstream framing
+        over chunked transfer (HTTP/1.1 carrier for the HTTP/2 wire
+        bytes; SDK parsers read the body stream either way)."""
+        from python_kinesis_streaming_spark.sources.eventstream import (
+            encode_event,
+            encode_message,
+        )
+
         try:
             events = self.service.subscribe_to_shard_events(body)
         except _ApiError as e:
@@ -640,7 +649,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(raw)
             return
         self.send_response(200)
-        self.send_header("Content-Type", "application/x-amz-json-1.1")
+        self.send_header("Content-Type", "application/vnd.amazon.eventstream")
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
 
@@ -649,8 +658,25 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.flush()
 
         try:
+            # the real service opens every subscription with an
+            # initial-response event (SDK parsers require it before any
+            # SubscribeToShardEvent arrives)
+            chunk(
+                encode_message(
+                    {
+                        ":message-type": "event",
+                        ":event-type": "initial-response",
+                        ":content-type": "application/x-amz-json-1.1",
+                    },
+                    b"{}",
+                )
+            )
             for event in events:
-                chunk(json.dumps(event).encode() + b"\n")
+                frame = encode_event(
+                    "SubscribeToShardEvent",
+                    json.dumps(event["SubscribeToShardEvent"]).encode(),
+                )
+                chunk(frame)
             self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):
             # subscriber went away mid-push: the events generator's

@@ -735,3 +735,43 @@ def test_efo_mid_drain_checkpoint_failure_keeps_delivered(mock_stream, tmp_path)
     # the first event's records (checkpointed) and the second event's
     # (delivered, checkpoint failed) both survive in the caller's list
     assert len(sink) >= 101
+
+
+def test_real_aws_sdk_subscribes_to_shard():
+    """Interop: boto3's subscribe_to_shard — which parses the genuine
+    application/vnd.amazon.eventstream framing — consumes the mock's push
+    stream unmodified, proving the wire bytes are the real ones (not a
+    private dialect our own consumer happens to understand)."""
+    boto3 = pytest.importorskip("boto3")
+    from python_kinesis_streaming_spark.sources.kinesis_efo import (
+        register_consumer,
+    )
+
+    with MockKinesisServer() as srv:
+        client = KinesisClient(srv.endpoint_url)
+        client.call("CreateStream", {"StreamName": STREAM, "ShardCount": 2})
+        _put_batch(client, 80)
+        arn = register_consumer(client, STREAM, "sdk-reader")
+
+        k = boto3.client(
+            "kinesis",
+            endpoint_url=srv.endpoint_url,
+            region_name="us-east-1",
+            aws_access_key_id="test",
+            aws_secret_access_key="test",
+        )
+        got = []
+        for shard in client.list_shard_ids(STREAM):
+            resp = k.subscribe_to_shard(
+                ConsumerARN=arn,
+                ShardId=shard,
+                StartingPosition={"Type": "TRIM_HORIZON"},
+            )
+            for event in resp["EventStream"]:
+                sub = event["SubscribeToShardEvent"]
+                assert sub["ContinuationSequenceNumber"] is None or isinstance(
+                    sub["ContinuationSequenceNumber"], str
+                )
+                for r in sub["Records"]:
+                    got.append(json.loads(r["Data"])["event_id"])
+        assert sorted(got) == list(range(80))
