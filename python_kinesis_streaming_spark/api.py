@@ -54,6 +54,17 @@ from python_kinesis_streaming_spark.sources.snapshots import (
     read_snapshot,
     write_snapshot,
 )
+from python_kinesis_streaming_spark.sources.lakehouse import (
+    checkpoint as checkpoint_snapshot,
+)
+from python_kinesis_streaming_spark.sources.lakehouse import (
+    cluster_zorder,
+    delete_where,
+    merge_upsert,
+    purge_deletes,
+    read_table,
+    vacuum,
+)
 
 # Corpus/ingestion surface (round 6): already general functions over
 # arbitrary DataFrames/paths, re-exported verbatim — their own test
@@ -69,6 +80,13 @@ _CORPUS_SURFACE = [
     "write_snapshot",
     "read_snapshot",
     "compact_snapshot",
+    "read_table",
+    "delete_where",
+    "merge_upsert",
+    "purge_deletes",
+    "cluster_zorder",
+    "checkpoint_snapshot",
+    "vacuum",
     "train_bpe",
     "apply_bpe",
     "word_frequencies",

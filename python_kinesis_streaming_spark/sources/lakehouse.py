@@ -1,0 +1,721 @@
+"""Mutation layer over versioned snapshots: deletes, MERGE, clustering.
+
+``sources/snapshots.py`` gives immutable versioned tables (commit log,
+time travel, stats pruning). A 100 TB training-data corpus additionally
+needs *mutations* that do not rewrite 100 TB:
+
+- ``delete_where`` — takedown / right-to-be-forgotten deletes. Default
+  mode writes **positional deletion vectors** (the merge-on-read idea
+  from the public lakehouse formats, re-implemented from scratch): a
+  tiny sidecar per affected file listing deleted row positions, applied
+  at read time. Deleting 1k documents from a 100 TB table touches KBs,
+  not the data files. ``mode="rewrite"`` is the copy-on-write twin that
+  rewrites only the affected files — the two modes must produce
+  identical tables (tested).
+- ``read_table`` — DV-aware reader: clean files scan untouched; dirty
+  files drop deleted positions via a broadcast anti-join on
+  ``(_metadata.file_path, _metadata.row_index)`` — all JVM-side, no
+  Python in the row path.
+- ``merge_upsert`` — copy-on-write MERGE keyed on ``key_cols``: only
+  files that actually CONTAIN a matching key are rewritten (manifest
+  min/max prune first, then an exact ``_metadata.file_path`` semi-join),
+  so upserting 1M rows into a 10B-row table rewrites a handful of files.
+- ``cluster_zorder`` — multi-column layout clustering: quantile-bucketize
+  each column (bounded ``approxQuantile`` driver round-trip), interleave
+  the bucket bits into a Z-value with pure JVM bit arithmetic, range-
+  repartition + sort on it, and commit the swap. After clustering,
+  manifest min/max pruning skips files for predicates on EVERY clustered
+  column, not just the sort leader — measured in the tests.
+- ``checkpoint`` / ``vacuum`` / ``purge_deletes`` — O(1)-replay log
+  checkpoints for long-lived tables, physical cleanup of unreferenced
+  files, and DV materialization.
+
+DV sidecar format (from scratch, no library): ``b"DV01"`` magic,
+uvarint count, then strictly-increasing positions delta-encoded as
+uvarints (first absolute, then ``delta - 1``). A million deleted rows is
+~2–4 MB; vectors ride in a driver-built broadcast.
+
+Scale notes (100 TB): every mutation's data I/O is proportional to the
+affected rows/files, never the table. The only driver round-trips are
+bounded metadata: matched (file, position) pairs for a delete (sized by
+the delete, not the table), the touched-file list for a merge, and
+256 quantile cut points per clustered column.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .snapshots import (
+    SnapshotConflict,  # noqa: F401  (re-exported: the conflict contract)
+    _checkpoint_path,
+    _file_column_stats,
+    _replay_full,
+    commit,
+    current_version,
+    live_files,
+    prune_files,
+    write_snapshot,
+)
+
+DV_DIR = "dv"
+_DV_MAGIC = b"DV01"
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector sidecar codec
+# ---------------------------------------------------------------------------
+
+
+def _uvarint(n: int) -> bytes:
+    if n < 0:
+        raise ValueError("uvarint: negative")
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_uvarint(buf: bytes, off: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = buf[off]
+        off += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, off
+        shift += 7
+
+
+def encode_dv(positions: list[int]) -> bytes:
+    """Serialize sorted unique row positions (delta-uvarint)."""
+    pos = sorted(set(positions))
+    if pos and pos[0] < 0:
+        raise ValueError("dv: negative row position")
+    out = bytearray(_DV_MAGIC)
+    out += _uvarint(len(pos))
+    prev = None
+    for p in pos:
+        out += _uvarint(p if prev is None else p - prev - 1)
+        prev = p
+    return bytes(out)
+
+
+def decode_dv(blob: bytes) -> list[int]:
+    if blob[:4] != _DV_MAGIC:
+        raise ValueError("dv: bad magic")
+    count, off = _read_uvarint(blob, 4)
+    out: list[int] = []
+    prev = -1
+    for _ in range(count):
+        d, off = _read_uvarint(blob, off)
+        prev = d if prev < 0 else prev + d + 1
+        out.append(prev)
+    if off != len(blob):
+        raise ValueError("dv: trailing bytes")
+    return out
+
+
+def _write_dv_file(table_dir: str, positions: list[int]) -> tuple[str, int]:
+    os.makedirs(os.path.join(table_dir, DV_DIR), exist_ok=True)
+    rel = os.path.join(DV_DIR, f"{uuid.uuid4().hex}.dv")
+    blob = encode_dv(positions)
+    with open(os.path.join(table_dir, rel), "wb") as f:
+        f.write(blob)
+    return rel, len(blob)
+
+
+# ---------------------------------------------------------------------------
+# Reading
+# ---------------------------------------------------------------------------
+
+
+def _norm_path_col(col):
+    # _metadata.file_path is a URI ("file:///abs/..."); normalize to a
+    # plain absolute path so it equi-joins against os.path.abspath output.
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
+def _deleted_positions(table_dir: str, dvs: dict[str, dict]) -> list[tuple]:
+    rows = []
+    for data_rel, action in dvs.items():
+        abs_data = os.path.abspath(os.path.join(table_dir, data_rel))
+        with open(os.path.join(table_dir, action["dv_path"]), "rb") as f:
+            for p in decode_dv(f.read()):
+                rows.append((abs_data, p))
+    return rows
+
+
+def read_table(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+) -> DataFrame:
+    """DataFrame over one version with deletion vectors applied.
+
+    Files without a DV scan exactly as ``read_snapshot`` would; files
+    with one are anti-joined (broadcast — vectors are delete-sized, not
+    table-sized) on ``(_metadata.file_path, _metadata.row_index)``.
+    """
+    live, dvs, _v = _replay_full(table_dir, version)
+    if not live:
+        raise ValueError("lakehouse: version has no live files")
+    clean = [p for p in sorted(live) if p not in dvs]
+    dirty = [p for p in sorted(live) if p in dvs]
+    parts = []
+    if clean:
+        parts.append(
+            spark.read.parquet(
+                *[os.path.join(table_dir, p) for p in clean]
+            )
+        )
+    if dirty:
+        df = spark.read.parquet(*[os.path.join(table_dir, p) for p in dirty])
+        cols = df.columns
+        deleted = spark.createDataFrame(
+            _deleted_positions(table_dir, dvs), "__fp string, __ri bigint"
+        )
+        kept = (
+            df.withColumn("__fp", _norm_path_col(F.col("_metadata.file_path")))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
+            .select(*cols)
+        )
+        parts.append(kept)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DELETE
+# ---------------------------------------------------------------------------
+
+
+def _file_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    mode: str = "dv",
+    prune: tuple | None = None,
+    message: str = "delete",
+) -> dict:
+    """Delete rows matching a SQL predicate, in one atomic commit.
+
+    ``mode="dv"``: write/extend per-file deletion vectors (merge-on-read;
+    no data file is rewritten). A file whose every row is deleted is
+    logically removed instead. ``mode="rewrite"``: copy-on-write — only
+    files containing a match are rewritten (their existing DVs are
+    folded in). ``prune=(column, lo, hi)`` skips scanning files whose
+    manifest range cannot match, exactly like ``read_snapshot``'s hint.
+
+    Matched positions stream to the driver — cost is bounded by the
+    DELETE's cardinality (takedowns are small), never the table's.
+    """
+    if mode not in ("dv", "rewrite"):
+        raise ValueError(f"lakehouse: unknown delete mode {mode!r}")
+    base = current_version(table_dir)
+    live, dvs, _v = _replay_full(table_dir, base)
+    if prune is not None:
+        column, lo, hi = prune
+        candidates = [f["path"] for f in prune_files(table_dir, column, lo, hi, base)]
+    else:
+        candidates = sorted(live)
+    if not candidates:
+        return {"version": base, "deleted_rows": 0, "files_touched": 0}
+
+    scan = spark.read.parquet(
+        *[os.path.join(table_dir, p) for p in candidates]
+    )
+    # DELETE semantics: remove rows where the predicate is TRUE (NULL
+    # survives). Rows already dead under an existing DV are excluded so
+    # counts are exact and rewrite mode's survivor filter stays simple.
+    matched = scan.where(F.expr(predicate)).select(
+        _norm_path_col(F.col("_metadata.file_path")).alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    cand_dvs = {p: dvs[p] for p in candidates if p in dvs}
+    if cand_dvs:
+        already = spark.createDataFrame(
+            _deleted_positions(table_dir, cand_dvs),
+            "__fp string, __ri bigint",
+        )
+        matched = matched.join(F.broadcast(already), ["__fp", "__ri"], "left_anti")
+    matches = matched.collect()
+    by_file: dict[str, list[int]] = {}
+    abs_to_rel = {
+        os.path.abspath(os.path.join(table_dir, p)): p for p in live
+    }
+    for r in matches:
+        by_file.setdefault(abs_to_rel[r["__fp"]], []).append(r["__ri"])
+    if not by_file:
+        return {"version": base, "deleted_rows": 0, "files_touched": 0}
+
+    actions: list[dict] = []
+    deleted_rows = sum(len(v) for v in by_file.values())
+    if mode == "dv":
+        removed = 0
+        for rel, new_pos in sorted(by_file.items()):
+            old_pos: list[int] = []
+            if rel in dvs:
+                with open(os.path.join(table_dir, dvs[rel]["dv_path"]), "rb") as f:
+                    old_pos = decode_dv(f.read())
+            union = sorted(set(old_pos) | set(new_pos))
+            total = _file_row_count(os.path.join(table_dir, rel))
+            if len(union) >= total:
+                actions.append({"action": "remove", "path": rel})
+                removed += 1
+            else:
+                dv_rel, size = _write_dv_file(table_dir, union)
+                actions.append(
+                    {
+                        "action": "dv",
+                        "path": rel,
+                        "dv_path": dv_rel,
+                        "cardinality": len(union),
+                        "size": size,
+                    }
+                )
+        version = commit(
+            table_dir, actions, message=message, expected_version=base
+        )
+        return {
+            "version": version,
+            "deleted_rows": deleted_rows,
+            "files_touched": len(by_file),
+            "files_removed": removed,
+        }
+
+    # copy-on-write: rewrite ONLY the matched files, folding in their DVs
+    touched = sorted(by_file)
+    df = spark.read.parquet(*[os.path.join(table_dir, p) for p in touched])
+    cols = df.columns
+    touched_dvs = {p: dvs[p] for p in touched if p in dvs}
+    survivors = df.where(~F.coalesce(F.expr(predicate), F.lit(False)))
+    if touched_dvs:
+        deleted = spark.createDataFrame(
+            _deleted_positions(table_dir, touched_dvs),
+            "__fp string, __ri bigint",
+        )
+        survivors = (
+            survivors.withColumn(
+                "__fp", _norm_path_col(F.col("_metadata.file_path"))
+            )
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
+            .select(*cols)
+        )
+    actions = [{"action": "remove", "path": p} for p in touched]
+    actions += _write_data_files(survivors, table_dir)
+    version = commit(table_dir, actions, message=message, expected_version=base)
+    return {
+        "version": version,
+        "deleted_rows": deleted_rows,
+        "files_touched": len(touched),
+        "files_removed": 0,
+    }
+
+
+def _write_data_files(df: DataFrame, table_dir: str) -> list[dict]:
+    """Materialize ``df`` under data/<uuid>/ and return its add actions."""
+    rel_dir = os.path.join("data", uuid.uuid4().hex)
+    out_dir = os.path.join(table_dir, rel_dir)
+    df.write.mode("errorifexists").parquet(out_dir)
+    adds = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(out_dir, name)
+        adds.append(
+            {
+                "action": "add",
+                "path": os.path.join(rel_dir, name),
+                "size": os.path.getsize(full),
+                "stats": _file_column_stats(full),
+            }
+        )
+    return adds
+
+
+def purge_deletes(
+    spark: SparkSession, table_dir: str, message: str = "purge deletes"
+) -> int:
+    """Materialize all deletion vectors: rewrite ONLY the dirty files.
+
+    After this, the table has no DVs and ``read_snapshot`` works again;
+    old versions still time-travel (immutable files)."""
+    base = current_version(table_dir)
+    _live, dvs, _v = _replay_full(table_dir, base)
+    if not dvs:
+        return base
+    dirty = sorted(dvs)
+    df = spark.read.parquet(*[os.path.join(table_dir, p) for p in dirty])
+    cols = df.columns
+    deleted = spark.createDataFrame(
+        _deleted_positions(table_dir, dvs), "__fp string, __ri bigint"
+    )
+    kept = (
+        df.withColumn("__fp", _norm_path_col(F.col("_metadata.file_path")))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+        .join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
+        .select(*cols)
+    )
+    actions = [{"action": "remove", "path": p} for p in dirty]
+    actions += _write_data_files(kept, table_dir)
+    return commit(table_dir, actions, message=message, expected_version=base)
+
+
+# ---------------------------------------------------------------------------
+# MERGE
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+    message: str = "merge",
+) -> dict:
+    """Copy-on-write MERGE: matched target rows are replaced by their
+    source row, unmatched source rows are inserted.
+
+    Only data files that actually contain a matching key are rewritten:
+    single-key merges first prune by the source's [min, max] against the
+    manifest stats, then an exact ``_metadata.file_path`` semi-join
+    yields the touched set. ``source`` must be unique on ``key_cols``.
+    """
+    dup = source.groupBy(*key_cols).count().where("count > 1").limit(1).count()
+    if dup:
+        raise ValueError("merge: source is not unique on key columns")
+    base = current_version(table_dir)
+    if base < 0:
+        version = write_snapshot(source, table_dir, message=message, mode="append")
+        return {"version": version, "files_rewritten": 0, "inserted_table": True}
+
+    live, dvs, _v = _replay_full(table_dir, base)
+    if not live:
+        actions = _write_data_files(source, table_dir)
+        version = commit(
+            table_dir, actions, message=message, expected_version=base
+        )
+        return {"version": version, "files_rewritten": 0, "inserted_table": True}
+    candidates = sorted(live)
+    if len(key_cols) == 1:
+        row = source.agg(
+            F.min(key_cols[0]).alias("lo"), F.max(key_cols[0]).alias("hi")
+        ).collect()[0]
+        if row["lo"] is not None:
+            lo, hi = row["lo"], row["hi"]
+            pruned = {
+                f["path"]
+                for f in prune_files(table_dir, key_cols[0], lo, hi, base)
+            }
+            candidates = [p for p in candidates if p in pruned]
+
+    touched: list[str] = []
+    if candidates:
+        scan = spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in candidates]
+        )
+        abs_to_rel = {
+            os.path.abspath(os.path.join(table_dir, p)): p for p in live
+        }
+        hit = (
+            scan.withColumn(
+                "__fp", _norm_path_col(F.col("_metadata.file_path"))
+            )
+            .join(F.broadcast(source.select(*key_cols).distinct()), key_cols, "left_semi")
+            .select("__fp")
+            .distinct()
+            .collect()
+        )
+        touched = sorted(abs_to_rel[r["__fp"]] for r in hit)
+
+    if touched:
+        df = spark.read.parquet(*[os.path.join(table_dir, p) for p in touched])
+        cols = df.columns
+        touched_dvs = {p: dvs[p] for p in touched if p in dvs}
+        if touched_dvs:
+            deleted = spark.createDataFrame(
+                _deleted_positions(table_dir, touched_dvs),
+                "__fp string, __ri bigint",
+            )
+            df = (
+                df.withColumn(
+                    "__fp", _norm_path_col(F.col("_metadata.file_path"))
+                )
+                .withColumn("__ri", F.col("_metadata.row_index"))
+                .join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
+                .select(*cols)
+            )
+        survivors = df.join(
+            F.broadcast(source.select(*key_cols).distinct()), key_cols, "left_anti"
+        ).select(*cols)
+        rows_out = survivors.unionByName(source.select(*cols))
+    else:
+        # nothing matched anywhere: pure insert
+        sample = spark.read.parquet(
+            *[os.path.join(table_dir, sorted(live)[0])]
+        )
+        rows_out = source.select(*sample.columns)
+
+    actions = [{"action": "remove", "path": p} for p in touched]
+    actions += _write_data_files(rows_out, table_dir)
+    version = commit(table_dir, actions, message=message, expected_version=base)
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_total": len(live),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering
+# ---------------------------------------------------------------------------
+
+
+def _col_bits(df: DataFrame, col: str, bits: int) -> int:
+    """Effective bucket bits for one column: min(bits, lg distinct).
+
+    Bucketizing 64 distinct values into 2^8 quantile buckets leaves most
+    buckets empty and the occupied ones unevenly sized, so file
+    boundaries straddle Z-tiles and pruning degrades. Capping bits at
+    ceil(log2(ndv)) makes the bucket map near-bijective for
+    low-cardinality columns — one bounded approx_count_distinct
+    round-trip (rsd pinned, not the default 5%)."""
+    ndv = df.select(
+        F.approx_count_distinct(col, rsd=0.01).alias("d")
+    ).collect()[0]["d"]
+    need = max(1, int(ndv - 1).bit_length())
+    return max(1, min(bits, need))
+
+
+def _bucketize(df: DataFrame, col: str, bits: int) -> "F.Column":
+    """Map a numeric column to its [0, 2^bits) quantile bucket.
+
+    Cut points come from one bounded ``approxQuantile`` driver round-trip
+    (2^bits - 1 doubles); the per-row bucket is a pure JVM higher-order
+    function (count of cut points <= value) — no Python in the row path.
+    """
+    n = (1 << bits) - 1
+    probs = [(i + 1) / (n + 1) for i in range(n)]
+    cuts = df.approxQuantile(col, probs, 0.001)
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    v = F.col(col).cast("double")
+    # STRICT less-than: a row equal to cut i belongs to bucket i, so when
+    # the cuts enumerate the distinct values of a low-cardinality column
+    # the map is a dense identity. `<=` would shift everything up one,
+    # leave bucket 0 empty, and collide the top two values — and a
+    # row-free bucket makes equal-count file chunks drift off Z-tile
+    # boundaries (compounding across the curve; measured: x-slice kept
+    # 9/16 files instead of 4/16 on a 64x64 grid).
+    bucket = F.size(F.filter(arr, lambda b: b < v))
+    return F.when(v.isNull(), F.lit(0)).otherwise(bucket)
+
+
+def _interleave(buckets: list, col_bits: list[int]) -> "F.Column":
+    """Bit-interleave k bucket columns into one Z-value (JVM bitwise ops).
+
+    Columns may carry different bit widths; a column contributes nothing
+    past its own width, keeping the curve dense."""
+    z = F.lit(0).cast("long")
+    out_pos = 0
+    for i in range(max(col_bits)):
+        for b, w in zip(buckets, col_bits):
+            if i >= w:
+                continue
+            bit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, out_pos))
+            out_pos += 1
+    return z
+
+
+def cluster_zorder(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    target_files: int | None = None,
+    bits: int = 8,
+    message: str | None = None,
+) -> dict:
+    """Rewrite the live set clustered on a Z-order curve over ``cols``.
+
+    A linear sort gives perfect manifest pruning on the leading column
+    and none on the others; the Z-curve gives every clustered column
+    ~equal pruning power — the layout that makes ``prune_files`` useful
+    for multi-dimensional slices of a 100 TB corpus. Deletion vectors
+    are materialized away by the rewrite. One atomic commit.
+    """
+    if not cols:
+        raise ValueError("zorder: need at least one column")
+    base = current_version(table_dir)
+    df = read_table(spark, table_dir, base)
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"zorder: no column {c!r}")
+    if target_files is None:
+        target_files = len(live_files(table_dir, base))
+    widths = [_col_bits(df, c, bits) for c in cols]
+    buckets = [_bucketize(df, c, w) for c, w in zip(cols, widths)]
+    zdf = (
+        df.withColumn("__z", _interleave(buckets, widths))
+        .repartitionByRange(max(1, target_files), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    live, _dvs, _v = _replay_full(table_dir, base)
+    actions = [{"action": "remove", "path": p} for p in sorted(live)]
+    actions += _write_data_files(zdf, table_dir)
+    version = commit(
+        table_dir,
+        actions,
+        message=message or f"zorder on {','.join(cols)}",
+        expected_version=base,
+    )
+    return {"version": version, "files": len(actions) - len(live)}
+
+
+def prune_files_multi(
+    table_dir: str,
+    predicates: dict[str, tuple],
+    version: int | None = None,
+) -> list[dict]:
+    """Live files whose manifest ranges intersect EVERY ``col: (lo, hi)``.
+
+    The multi-column companion to ``snapshots.prune_files`` — this is
+    where a Z-ordered layout pays off (each clustered column's [min,max]
+    per file is narrow)."""
+    out = []
+    for f in live_files(table_dir, version):
+        keep = True
+        for col, (lo, hi) in predicates.items():
+            s = (f.get("stats") or {}).get(col)
+            if s is None:
+                continue
+            if lo is not None and s["max"] < lo:
+                keep = False
+                break
+            if hi is not None and s["min"] > hi:
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Log checkpoints and physical cleanup
+# ---------------------------------------------------------------------------
+
+
+def checkpoint(table_dir: str) -> int:
+    """Write a full-state checkpoint at the current version.
+
+    Replays after this start from the checkpoint, making snapshot
+    resolution O(commits since last checkpoint) — the fix for tables
+    with 100k+ commits. Written via temp-file + ``os.link`` so readers
+    never see a partial checkpoint; concurrently-written duplicates are
+    harmless (same version ⇒ same contents)."""
+    import json
+
+    live, dvs, version = _replay_full(table_dir, None)
+    state = {
+        "version": version,
+        "live": [live[p] for p in sorted(live)],
+        "dvs": [dvs[p] for p in sorted(dvs)],
+    }
+    path = _checkpoint_path(table_dir, version)
+    if os.path.exists(path):
+        return version
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(state, f, sort_keys=True)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def vacuum(
+    table_dir: str,
+    retain_versions: int = 2,
+    min_age_seconds: float = 0.0,
+) -> list[str]:
+    """Physically delete data/DV files unreferenced by the last
+    ``retain_versions`` versions. Versions older than the horizon stop
+    being time-travelable — that is the retention trade, same as every
+    public lakehouse format. ``min_age_seconds`` protects files an
+    in-flight (not-yet-committed) writer just staged."""
+    import time
+
+    if retain_versions < 1:
+        raise ValueError("vacuum: retain_versions must be >= 1")
+    cur = current_version(table_dir)
+    if cur < 0:
+        return []
+    referenced: set[str] = set()
+    for v in range(max(0, cur - retain_versions + 1), cur + 1):
+        live, dvs, _ = _replay_full(table_dir, v)
+        referenced |= set(live)
+        referenced |= {a["dv_path"] for a in dvs.values()}
+    deleted = []
+    now = time.time()
+    for sub in ("data", DV_DIR):
+        root = os.path.join(table_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, names in os.walk(root):
+            for name in names:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, table_dir)
+                if rel in referenced:
+                    continue
+                if name.startswith(("_", ".")) and not name.endswith(
+                    (".parquet", ".dv")
+                ):
+                    # spark _SUCCESS / .crc markers: only reap alongside
+                    # an otherwise-dead directory below
+                    continue
+                if now - os.path.getmtime(full) < min_age_seconds:
+                    continue
+                os.remove(full)
+                deleted.append(rel)
+    # reap now-empty data subdirectories (and their marker files)
+    for sub in ("data", DV_DIR):
+        root = os.path.join(table_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, names in os.walk(root, topdown=False):
+            if dirpath == root:
+                continue
+            live_names = [
+                n for n in names if not n.startswith(("_", "."))
+            ]
+            if not live_names:
+                for n in names:
+                    os.remove(os.path.join(dirpath, n))
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+    return sorted(deleted)

@@ -91,7 +91,7 @@ def commit(
     version = cur + 1
     lines = [json.dumps({"action": "meta", "message": message})]
     for a in actions:
-        if a.get("action") not in ("add", "remove"):
+        if a.get("action") not in ("add", "remove", "dv"):
             raise ValueError(f"snapshot: unknown action {a.get('action')!r}")
         lines.append(json.dumps(a, sort_keys=True))
     payload = ("\n".join(lines) + "\n").encode()
@@ -121,7 +121,34 @@ def commit(
     return version
 
 
-def _replay(table_dir: str, version: int | None) -> tuple[dict[str, dict], int]:
+def _checkpoint_path(table_dir: str, version: int) -> str:
+    return os.path.join(
+        table_dir, LOG_DIR, f"{version:08d}.checkpoint.json"
+    )
+
+
+def _latest_checkpoint(table_dir: str, at_or_below: int) -> int:
+    """Highest checkpointed version <= ``at_or_below``, or -1."""
+    log = os.path.join(table_dir, LOG_DIR)
+    best = -1
+    for name in os.listdir(log):
+        if name.endswith(".checkpoint.json") and name[:8].isdigit():
+            v = int(name[:8])
+            if v <= at_or_below:
+                best = max(best, v)
+    return best
+
+
+def _replay_full(
+    table_dir: str, version: int | None
+) -> tuple[dict[str, dict], dict[str, dict], int]:
+    """Replay the log to ``version``: (live adds, deletion vectors, version).
+
+    Starts from the newest checkpoint at-or-below ``version`` when one
+    exists (written by ``lakehouse.checkpoint`` every N commits), so replay
+    cost is O(commits since checkpoint), not O(table lifetime) — the log of
+    a table written to every 5 minutes for a year is ~100k commits.
+    """
     cur = current_version(table_dir)
     if cur < 0:
         raise ValueError(f"snapshot: no table at {table_dir}")
@@ -130,7 +157,16 @@ def _replay(table_dir: str, version: int | None) -> tuple[dict[str, dict], int]:
     if version > cur or version < 0:
         raise ValueError(f"snapshot: version {version} does not exist (latest {cur})")
     live: dict[str, dict] = {}
-    for v in range(version + 1):
+    dvs: dict[str, dict] = {}
+    start = 0
+    ckpt = _latest_checkpoint(table_dir, version)
+    if ckpt >= 0:
+        with open(_checkpoint_path(table_dir, ckpt)) as f:
+            state = json.load(f)
+        live = {a["path"]: a for a in state["live"]}
+        dvs = {a["path"]: a for a in state.get("dvs", [])}
+        start = ckpt + 1
+    for v in range(start, version + 1):
         with open(_log_path(table_dir, v)) as f:
             for line in f:
                 a = json.loads(line)
@@ -138,6 +174,16 @@ def _replay(table_dir: str, version: int | None) -> tuple[dict[str, dict], int]:
                     live[a["path"]] = a
                 elif a["action"] == "remove":
                     live.pop(a["path"], None)
+                    dvs.pop(a["path"], None)
+                elif a["action"] == "dv":
+                    # a new vector for a file SUPERSEDES the old one (each
+                    # delete writes the union of old + new positions)
+                    dvs[a["path"]] = a
+    return live, dvs, version
+
+
+def _replay(table_dir: str, version: int | None) -> tuple[dict[str, dict], int]:
+    live, _dvs, version = _replay_full(table_dir, version)
     return live, version
 
 
@@ -151,7 +197,7 @@ def history(table_dir: str) -> list[dict]:
     """Per-commit metadata: version, message, counts of adds/removes."""
     out = []
     for v in range(current_version(table_dir) + 1):
-        adds = removes = 0
+        adds = removes = dvs = 0
         message = ""
         with open(_log_path(table_dir, v)) as f:
             for line in f:
@@ -160,10 +206,18 @@ def history(table_dir: str) -> list[dict]:
                     adds += 1
                 elif a["action"] == "remove":
                     removes += 1
+                elif a["action"] == "dv":
+                    dvs += 1
                 elif a["action"] == "meta":
                     message = a.get("message", "")
         out.append(
-            {"version": v, "message": message, "adds": adds, "removes": removes}
+            {
+                "version": v,
+                "message": message,
+                "adds": adds,
+                "removes": removes,
+                "dvs": dvs,
+            }
         )
     return out
 
@@ -247,6 +301,12 @@ def read_snapshot(
     ``prune=(column, lo, hi)`` applies manifest-level file skipping
     before the scan — correctness still requires the caller's own
     filter, exactly like partition pruning."""
+    _live, dvs, _v = _replay_full(table_dir, version)
+    if dvs:
+        raise ValueError(
+            "snapshot: version has deletion vectors — read it with "
+            "lakehouse.read_table (DV-aware) instead of read_snapshot"
+        )
     if prune is not None:
         column, lo, hi = prune
         files = prune_files(table_dir, column, lo, hi, version)
