@@ -65,6 +65,19 @@ from python_kinesis_streaming_spark.sources.lakehouse import (
     read_table,
     vacuum,
 )
+from python_kinesis_streaming_spark.sources.table_schema import (
+    add_column,
+    conform,
+    drop_column,
+    set_schema,
+    table_schema,
+)
+from python_kinesis_streaming_spark.sources.txn import (
+    append_batch,
+    commit_with_rebase,
+    last_committed_batch,
+    streaming_sink,
+)
 
 # Corpus/ingestion surface (round 6): already general functions over
 # arbitrary DataFrames/paths, re-exported verbatim — their own test
@@ -87,6 +100,15 @@ _CORPUS_SURFACE = [
     "cluster_zorder",
     "checkpoint_snapshot",
     "vacuum",
+    "append_batch",
+    "streaming_sink",
+    "last_committed_batch",
+    "commit_with_rebase",
+    "set_schema",
+    "table_schema",
+    "add_column",
+    "drop_column",
+    "conform",
     "train_bpe",
     "apply_bpe",
     "word_frequencies",

@@ -155,46 +155,90 @@ def _deleted_positions(table_dir: str, dvs: dict[str, dict]) -> list[tuple]:
     return rows
 
 
+def _schema_info(st):
+    if not st.schema:
+        return None, {}
+    from pyspark.sql.types import StructType
+
+    return (
+        StructType.fromJson(st.schema["spark"]),
+        dict(st.schema.get("defaults", {})),
+    )
+
+
+def _scan_files(
+    spark: SparkSession,
+    table_dir: str,
+    st,
+    rel_paths: list[str],
+    with_meta: bool = False,
+) -> DataFrame:
+    """One DataFrame over ``rel_paths`` honoring the recorded schema.
+
+    Files are grouped by which defaulted columns predate them (at most a
+    handful of groups); each group's fill is a literal projection.
+    Evolved columns absent from old files read as NULL under the
+    explicit schema; dropped columns are never projected. ``with_meta``
+    adds ``__fp``/``__ri`` (normalized file path, row index) for DV
+    anti-joins and delete-position capture."""
+    from .table_schema import apply_defaults, default_fills
+
+    struct, defaults = _schema_info(st)
+    groups: dict[frozenset, list[str]] = {}
+    for p in rel_paths:
+        fill = default_fills(st.live[p], defaults) if struct else frozenset()
+        groups.setdefault(fill, []).append(p)
+    parts = []
+    for fill in sorted(groups, key=sorted):
+        subset = sorted(groups[fill])
+        reader = spark.read
+        if struct is not None:
+            reader = reader.schema(struct)
+        df = reader.parquet(*[os.path.join(table_dir, p) for p in subset])
+        if with_meta:
+            df = df.withColumn(
+                "__fp", _norm_path_col(F.col("_metadata.file_path"))
+            ).withColumn("__ri", F.col("_metadata.row_index"))
+        if struct is not None and fill:
+            df = apply_defaults(df, struct, fill, defaults)
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_table(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
 ) -> DataFrame:
-    """DataFrame over one version with deletion vectors applied.
+    """DataFrame over one version with deletion vectors and the recorded
+    schema applied.
 
     Files without a DV scan exactly as ``read_snapshot`` would; files
     with one are anti-joined (broadcast — vectors are delete-sized, not
     table-sized) on ``(_metadata.file_path, _metadata.row_index)``.
+    When the log records an evolved schema, old files get their default
+    fills from metadata alone (see ``_scan_files``).
     """
-    live, dvs, _v = _replay_full(table_dir, version)
-    if not live:
+    from .snapshots import _replay_state
+
+    st = _replay_state(table_dir, version)
+    if not st.live:
         raise ValueError("lakehouse: version has no live files")
-    clean = [p for p in sorted(live) if p not in dvs]
-    dirty = [p for p in sorted(live) if p in dvs]
-    parts = []
-    if clean:
-        parts.append(
-            spark.read.parquet(
-                *[os.path.join(table_dir, p) for p in clean]
-            )
-        )
-    if dirty:
-        df = spark.read.parquet(*[os.path.join(table_dir, p) for p in dirty])
-        cols = df.columns
+    df = _scan_files(
+        spark, table_dir, st, sorted(st.live), with_meta=bool(st.dvs)
+    )
+    if st.dvs:
+        cols = [c for c in df.columns if c not in ("__fp", "__ri")]
         deleted = spark.createDataFrame(
-            _deleted_positions(table_dir, dvs), "__fp string, __ri bigint"
+            _deleted_positions(table_dir, st.dvs), "__fp string, __ri bigint"
         )
-        kept = (
-            df.withColumn("__fp", _norm_path_col(F.col("_metadata.file_path")))
-            .withColumn("__ri", F.col("_metadata.row_index"))
-            .join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
-            .select(*cols)
-        )
-        parts.append(kept)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        df = df.join(
+            F.broadcast(deleted), ["__fp", "__ri"], "left_anti"
+        ).select(*cols)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -228,10 +272,13 @@ def delete_where(
     Matched positions stream to the driver — cost is bounded by the
     DELETE's cardinality (takedowns are small), never the table's.
     """
+    from .snapshots import _replay_state
+
     if mode not in ("dv", "rewrite"):
         raise ValueError(f"lakehouse: unknown delete mode {mode!r}")
     base = current_version(table_dir)
-    live, dvs, _v = _replay_full(table_dir, base)
+    st = _replay_state(table_dir, base)
+    live, dvs = st.live, st.dvs
     if prune is not None:
         column, lo, hi = prune
         candidates = [f["path"] for f in prune_files(table_dir, column, lo, hi, base)]
@@ -240,16 +287,11 @@ def delete_where(
     if not candidates:
         return {"version": base, "deleted_rows": 0, "files_touched": 0}
 
-    scan = spark.read.parquet(
-        *[os.path.join(table_dir, p) for p in candidates]
-    )
+    scan = _scan_files(spark, table_dir, st, candidates, with_meta=True)
     # DELETE semantics: remove rows where the predicate is TRUE (NULL
     # survives). Rows already dead under an existing DV are excluded so
     # counts are exact and rewrite mode's survivor filter stays simple.
-    matched = scan.where(F.expr(predicate)).select(
-        _norm_path_col(F.col("_metadata.file_path")).alias("__fp"),
-        F.col("_metadata.row_index").alias("__ri"),
-    )
+    matched = scan.where(F.expr(predicate)).select("__fp", "__ri")
     cand_dvs = {p: dvs[p] for p in candidates if p in dvs}
     if cand_dvs:
         already = spark.createDataFrame(
@@ -303,9 +345,11 @@ def delete_where(
         }
 
     # copy-on-write: rewrite ONLY the matched files, folding in their DVs
+    # (and materializing any schema-evolution default fills — the rewrite
+    # commit postdates every `since`, so the fills must become physical)
     touched = sorted(by_file)
-    df = spark.read.parquet(*[os.path.join(table_dir, p) for p in touched])
-    cols = df.columns
+    df = _scan_files(spark, table_dir, st, touched, with_meta=True)
+    cols = [c for c in df.columns if c not in ("__fp", "__ri")]
     touched_dvs = {p: dvs[p] for p in touched if p in dvs}
     survivors = df.where(~F.coalesce(F.expr(predicate), F.lit(False)))
     if touched_dvs:
@@ -313,14 +357,10 @@ def delete_where(
             _deleted_positions(table_dir, touched_dvs),
             "__fp string, __ri bigint",
         )
-        survivors = (
-            survivors.withColumn(
-                "__fp", _norm_path_col(F.col("_metadata.file_path"))
-            )
-            .withColumn("__ri", F.col("_metadata.row_index"))
-            .join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
-            .select(*cols)
+        survivors = survivors.join(
+            F.broadcast(deleted), ["__fp", "__ri"], "left_anti"
         )
+    survivors = survivors.select(*cols)
     actions = [{"action": "remove", "path": p} for p in touched]
     actions += _write_data_files(survivors, table_dir)
     version = commit(table_dir, actions, message=message, expected_version=base)
@@ -360,22 +400,22 @@ def purge_deletes(
 
     After this, the table has no DVs and ``read_snapshot`` works again;
     old versions still time-travel (immutable files)."""
+    from .snapshots import _replay_state
+
     base = current_version(table_dir)
-    _live, dvs, _v = _replay_full(table_dir, base)
+    st = _replay_state(table_dir, base)
+    dvs = st.dvs
     if not dvs:
         return base
     dirty = sorted(dvs)
-    df = spark.read.parquet(*[os.path.join(table_dir, p) for p in dirty])
-    cols = df.columns
+    df = _scan_files(spark, table_dir, st, dirty, with_meta=True)
+    cols = [c for c in df.columns if c not in ("__fp", "__ri")]
     deleted = spark.createDataFrame(
         _deleted_positions(table_dir, dvs), "__fp string, __ri bigint"
     )
-    kept = (
-        df.withColumn("__fp", _norm_path_col(F.col("_metadata.file_path")))
-        .withColumn("__ri", F.col("_metadata.row_index"))
-        .join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
-        .select(*cols)
-    )
+    kept = df.join(
+        F.broadcast(deleted), ["__fp", "__ri"], "left_anti"
+    ).select(*cols)
     actions = [{"action": "remove", "path": p} for p in dirty]
     actions += _write_data_files(kept, table_dir)
     return commit(table_dir, actions, message=message, expected_version=base)
@@ -401,6 +441,8 @@ def merge_upsert(
     manifest stats, then an exact ``_metadata.file_path`` semi-join
     yields the touched set. ``source`` must be unique on ``key_cols``.
     """
+    from .snapshots import _replay_state
+
     dup = source.groupBy(*key_cols).count().where("count > 1").limit(1).count()
     if dup:
         raise ValueError("merge: source is not unique on key columns")
@@ -409,7 +451,8 @@ def merge_upsert(
         version = write_snapshot(source, table_dir, message=message, mode="append")
         return {"version": version, "files_rewritten": 0, "inserted_table": True}
 
-    live, dvs, _v = _replay_full(table_dir, base)
+    st = _replay_state(table_dir, base)
+    live, dvs = st.live, st.dvs
     if not live:
         actions = _write_data_files(source, table_dir)
         version = commit(
@@ -429,19 +472,20 @@ def merge_upsert(
             }
             candidates = [p for p in candidates if p in pruned]
 
+    from .table_schema import conform
+
     touched: list[str] = []
     if candidates:
-        scan = spark.read.parquet(
-            *[os.path.join(table_dir, p) for p in candidates]
-        )
+        scan = _scan_files(spark, table_dir, st, candidates, with_meta=True)
         abs_to_rel = {
             os.path.abspath(os.path.join(table_dir, p)): p for p in live
         }
         hit = (
-            scan.withColumn(
-                "__fp", _norm_path_col(F.col("_metadata.file_path"))
+            scan.join(
+                F.broadcast(source.select(*key_cols).distinct()),
+                key_cols,
+                "left_semi",
             )
-            .join(F.broadcast(source.select(*key_cols).distinct()), key_cols, "left_semi")
             .select("__fp")
             .distinct()
             .collect()
@@ -449,32 +493,29 @@ def merge_upsert(
         touched = sorted(abs_to_rel[r["__fp"]] for r in hit)
 
     if touched:
-        df = spark.read.parquet(*[os.path.join(table_dir, p) for p in touched])
-        cols = df.columns
+        df = _scan_files(spark, table_dir, st, touched, with_meta=True)
+        cols = [c for c in df.columns if c not in ("__fp", "__ri")]
         touched_dvs = {p: dvs[p] for p in touched if p in dvs}
         if touched_dvs:
             deleted = spark.createDataFrame(
                 _deleted_positions(table_dir, touched_dvs),
                 "__fp string, __ri bigint",
             )
-            df = (
-                df.withColumn(
-                    "__fp", _norm_path_col(F.col("_metadata.file_path"))
-                )
-                .withColumn("__ri", F.col("_metadata.row_index"))
-                .join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
-                .select(*cols)
-            )
+            df = df.join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
         survivors = df.join(
             F.broadcast(source.select(*key_cols).distinct()), key_cols, "left_anti"
         ).select(*cols)
-        rows_out = survivors.unionByName(source.select(*cols))
+        rows_out = survivors.unionByName(conform(source, table_dir).select(*cols))
     else:
         # nothing matched anywhere: pure insert
-        sample = spark.read.parquet(
-            *[os.path.join(table_dir, sorted(live)[0])]
-        )
-        rows_out = source.select(*sample.columns)
+        struct, _defaults = _schema_info(st)
+        if struct is not None:
+            rows_out = conform(source, table_dir)
+        else:
+            sample = spark.read.parquet(
+                *[os.path.join(table_dir, sorted(live)[0])]
+            )
+            rows_out = source.select(*sample.columns)
 
     actions = [{"action": "remove", "path": p} for p in touched]
     actions += _write_data_files(rows_out, table_dir)
@@ -635,11 +676,16 @@ def checkpoint(table_dir: str) -> int:
     harmless (same version ⇒ same contents)."""
     import json
 
-    live, dvs, version = _replay_full(table_dir, None)
+    from .snapshots import _replay_state
+
+    st = _replay_state(table_dir, None)
+    version = st.version
     state = {
         "version": version,
-        "live": [live[p] for p in sorted(live)],
-        "dvs": [dvs[p] for p in sorted(dvs)],
+        "live": [st.live[p] for p in sorted(st.live)],
+        "dvs": [st.dvs[p] for p in sorted(st.dvs)],
+        "txns": st.txns,
+        "schema": st.schema,
     }
     path = _checkpoint_path(table_dir, version)
     if os.path.exists(path):

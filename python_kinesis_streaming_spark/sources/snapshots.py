@@ -91,7 +91,7 @@ def commit(
     version = cur + 1
     lines = [json.dumps({"action": "meta", "message": message})]
     for a in actions:
-        if a.get("action") not in ("add", "remove", "dv"):
+        if a.get("action") not in ("add", "remove", "dv", "txn", "schema"):
             raise ValueError(f"snapshot: unknown action {a.get('action')!r}")
         lines.append(json.dumps(a, sort_keys=True))
     payload = ("\n".join(lines) + "\n").encode()
@@ -139,10 +139,28 @@ def _latest_checkpoint(table_dir: str, at_or_below: int) -> int:
     return best
 
 
-def _replay_full(
-    table_dir: str, version: int | None
-) -> tuple[dict[str, dict], dict[str, dict], int]:
-    """Replay the log to ``version``: (live adds, deletion vectors, version).
+class TableState:
+    """Replayed log state at one version.
+
+    - ``live``: path -> add action (the version's file set)
+    - ``dvs``: path -> dv action (deletion vectors in force)
+    - ``txns``: app -> highest committed txn batch id
+    - ``schema``: the latest ``schema`` action's payload (or None) —
+      Spark StructType JSON plus per-column defaults
+    """
+
+    __slots__ = ("live", "dvs", "txns", "schema", "version")
+
+    def __init__(self, live, dvs, txns, schema, version):
+        self.live = live
+        self.dvs = dvs
+        self.txns = txns
+        self.schema = schema
+        self.version = version
+
+
+def _replay_state(table_dir: str, version: int | None) -> TableState:
+    """Replay the log to ``version``.
 
     Starts from the newest checkpoint at-or-below ``version`` when one
     exists (written by ``lakehouse.checkpoint`` every N commits), so replay
@@ -158,6 +176,8 @@ def _replay_full(
         raise ValueError(f"snapshot: version {version} does not exist (latest {cur})")
     live: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
+    txns: dict[str, int] = {}
+    schema = None
     start = 0
     ckpt = _latest_checkpoint(table_dir, version)
     if ckpt >= 0:
@@ -165,12 +185,19 @@ def _replay_full(
             state = json.load(f)
         live = {a["path"]: a for a in state["live"]}
         dvs = {a["path"]: a for a in state.get("dvs", [])}
+        txns = dict(state.get("txns", {}))
+        schema = state.get("schema")
         start = ckpt + 1
     for v in range(start, version + 1):
         with open(_log_path(table_dir, v)) as f:
             for line in f:
                 a = json.loads(line)
                 if a["action"] == "add":
+                    # tag the commit version: schema evolution needs "was
+                    # this file written before column X existed?" and the
+                    # tag rides into checkpoints with the rest of the action
+                    a = dict(a)
+                    a["_v"] = v
                     live[a["path"]] = a
                 elif a["action"] == "remove":
                     live.pop(a["path"], None)
@@ -179,7 +206,20 @@ def _replay_full(
                     # a new vector for a file SUPERSEDES the old one (each
                     # delete writes the union of old + new positions)
                     dvs[a["path"]] = a
-    return live, dvs, version
+                elif a["action"] == "txn":
+                    app = a["app"]
+                    txns[app] = max(txns.get(app, -1), int(a["batch"]))
+                elif a["action"] == "schema":
+                    # latest schema action wins (full replacement)
+                    schema = {k: v for k, v in a.items() if k != "action"}
+    return TableState(live, dvs, txns, schema, version)
+
+
+def _replay_full(
+    table_dir: str, version: int | None
+) -> tuple[dict[str, dict], dict[str, dict], int]:
+    st = _replay_state(table_dir, version)
+    return st.live, st.dvs, st.version
 
 
 def _replay(table_dir: str, version: int | None) -> tuple[dict[str, dict], int]:
@@ -301,22 +341,31 @@ def read_snapshot(
     ``prune=(column, lo, hi)`` applies manifest-level file skipping
     before the scan — correctness still requires the caller's own
     filter, exactly like partition pruning."""
-    _live, dvs, _v = _replay_full(table_dir, version)
-    if dvs:
+    st = _replay_state(table_dir, version)
+    if st.dvs:
         raise ValueError(
             "snapshot: version has deletion vectors — read it with "
             "lakehouse.read_table (DV-aware) instead of read_snapshot"
+        )
+    if st.schema and st.schema.get("defaults"):
+        raise ValueError(
+            "snapshot: schema has columns with initial defaults — read it "
+            "with lakehouse.read_table (schema-aware) instead"
         )
     if prune is not None:
         column, lo, hi = prune
         files = prune_files(table_dir, column, lo, hi, version)
         paths = [os.path.join(table_dir, f["path"]) for f in files]
     else:
-        live, _ = _replay(table_dir, version)
-        paths = [os.path.join(table_dir, p) for p in sorted(live)]
+        paths = [os.path.join(table_dir, p) for p in sorted(st.live)]
     if not paths:
         raise ValueError("snapshot: version has no live files")
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if st.schema:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(st.schema["spark"]))
+    return reader.parquet(*paths)
 
 
 def write_snapshot(
