@@ -35,7 +35,27 @@ from python_kinesis_streaming_spark.llm.dedup import (
     minhash_signatures,
     word_shingles,
 )
+from python_kinesis_streaming_spark.llm.classifier import (
+    binary_metrics,
+    hashed_features,
+    predict_scores,
+    train_logreg,
+)
 from python_kinesis_streaming_spark.llm.media_codecs import media_features_frame
+from python_kinesis_streaming_spark.llm.packing import (
+    pack_concat,
+    pack_first_fit,
+    packing_report,
+)
+from python_kinesis_streaming_spark.llm.span_dedup import (
+    cut_duplicated_spans,
+    duplicated_spans,
+    span_dedup_report,
+)
+from python_kinesis_streaming_spark.llm.video_codecs import (
+    probe_video,
+    video_frames_frame,
+)
 from python_kinesis_streaming_spark.llm.quality_rules import gopher_rules
 from python_kinesis_streaming_spark.llm.shards import (
     read_tar_shards,
@@ -115,6 +135,19 @@ _CORPUS_SURFACE = [
     "media_features_frame",
     "extract_text_frame",
     "gopher_rules",
+    # round 7: training-set assembly + model-based filtering surface
+    "probe_video",
+    "video_frames_frame",
+    "pack_concat",
+    "pack_first_fit",
+    "packing_report",
+    "hashed_features",
+    "train_logreg",
+    "predict_scores",
+    "binary_metrics",
+    "duplicated_spans",
+    "cut_duplicated_spans",
+    "span_dedup_report",
 ]
 
 __all__ = _CORPUS_SURFACE + [

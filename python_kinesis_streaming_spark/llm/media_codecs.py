@@ -797,12 +797,16 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
 
     import python_kinesis_streaming_spark.llm.jpeg_codec as _jpeg
     import python_kinesis_streaming_spark.llm.media_codecs as _self
+    import python_kinesis_streaming_spark.llm.video_codecs as _video
 
     # Ship this module's code inside the serialized task closure: executors
     # in a bare driver session have no PYTHONPATH entry for this repo.
     cloudpickle.register_pickle_by_value(_self)
     cloudpickle.register_pickle_by_value(_jpeg)
+    cloudpickle.register_pickle_by_value(_video)
     decode_jpeg_kernel = _jpeg.decode_jpeg
+    probe_video_kernel = _video.probe_video
+    decode_video_payload = _video._decode_video_payload
 
     def decode_batches(batches):
         import numpy as _np  # noqa: F401 (codecs use the module-level np)
@@ -851,6 +855,21 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
                         gif_frames = decode_gif(blob)
                         arr = gif_frames[0]
                         base["n_frames"] = len(gif_frames)
+                    elif fmt in ("avi", "mp4"):
+                        # container demux → first-frame features (GIF
+                        # convention: n_frames counts the whole sequence);
+                        # per-frame sampling lives in video_codecs.
+                        probe = probe_video_kernel(fmt, blob)
+                        fr0 = probe["frames"][0]
+                        arr = decode_video_payload(
+                            "MJPG"
+                            if probe["codec"] in ("MJPG", "jpeg", "mjpa")
+                            else probe["codec"],
+                            blob[fr0["offset"] : fr0["offset"] + fr0["size"]],
+                            probe["width"] or 0,
+                            probe["height"] or 0,
+                        )
+                        base["n_frames"] = probe["n_frames"]
                     elif fmt in ("wav", "aiff", "au"):
                         decoder = {
                             "wav": decode_wav,

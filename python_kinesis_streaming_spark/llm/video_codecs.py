@@ -1,0 +1,775 @@
+"""REAL video container demux/mux, stdlib + numpy only — completes the
+image/audio/VIDEO modality triad with working code.
+
+Two public container formats, both written from their public specs:
+
+- **AVI (RIFF)** — `parse_avi` walks the RIFF/LIST tree (`hdrl` →
+  `avih`/`strh`/`strf`, `movi` frame chunks, `idx1` index) per the
+  Microsoft AVI RIFF spec. Two codecs decode for real:
+  ``MJPG`` (each `00dc` chunk is a complete JPEG — decoded by our
+  from-spec T.81 codec in ``jpeg_codec.py``) and ``DIB `` (uncompressed
+  bottom-up BGR frames, BMP pixel-array layout). `build_avi` is the
+  matching muxer used by tests and payload synthesis.
+- **MP4 (ISO BMFF / ISO 14496-12)** — `parse_mp4` walks the box tree
+  and RESOLVES THE SAMPLE TABLES: `stts` (timing), `stsz` (sizes),
+  `stsc`+`stco`/`co64` (chunk layout → absolute byte offsets), `stss`
+  (sync samples), optional `ctts` (pts offsets). That resolution — per
+  sample: (offset, size, dts, pts, keyframe) — is the actual work of a
+  demuxer; frame extraction is then pure byte slicing. `build_mp4`
+  writes a minimal valid file with a ``jpeg`` VisualSampleEntry
+  (MJPEG-in-MP4, a legal ISO BMFF codec our JPEG codec can decode).
+
+Frame sampling runs WITHOUT decoding: both parsers yield the sample
+index first, so "every Nth frame" / "keyframes only" / "first k" pick
+byte ranges before any pixel work — on a 100 TB corpus the decoder
+only ever sees the sampled frames. H.264/H.265 sample entries are
+demuxed the same way (the sample table layer is codec-agnostic); only
+their pixel decode would need a library this container doesn't ship,
+and `parse_mp4` still returns their full frame index.
+
+``video_frames_frame`` is the Arrow-batched ``mapInPandas`` seam (same
+shape as ``media_features_frame``): (id, format, payload) rows in,
+one row PER SAMPLED FRAME out, with pts/keyframe metadata and the same
+perceptual features (DCT pHash) the image path emits. Malformed blobs
+become ``error:<reason>`` rows, never task failures (the
+dq_row_quarantine discipline).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from python_kinesis_streaming_spark.llm.jpeg_codec import (
+    decode_jpeg,
+    encode_jpeg,
+)
+from python_kinesis_streaming_spark.llm.media_codecs import (
+    image_features,
+    phash64,
+)
+
+AVIF_HASINDEX = 0x00000010
+AVIIF_KEYFRAME = 0x00000010
+
+
+# ---------------------------------------------------------------------------
+# DIB frames (BMP pixel-array layout: bottom-up, BGR, 4-byte row padding)
+# ---------------------------------------------------------------------------
+
+
+def _encode_dib(arr: np.ndarray) -> bytes:
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("DIB frames must be (H, W, 3) RGB")
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    out[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip rows, RGB→BGR
+    return out.tobytes()
+
+
+def _decode_dib(data: bytes, w: int, h: int) -> np.ndarray:
+    stride = (w * 3 + 3) & ~3
+    if len(data) < stride * h:
+        raise ValueError("DIB frame truncated")
+    rows = np.frombuffer(data[: stride * h], dtype=np.uint8).reshape(h, stride)
+    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+
+
+# ---------------------------------------------------------------------------
+# AVI muxer
+# ---------------------------------------------------------------------------
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(listtype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", listtype + body)
+
+
+def build_avi(
+    frames: list[np.ndarray],
+    fps_num: int = 25,
+    fps_den: int = 1,
+    codec: str = "MJPG",
+    quality: int = 85,
+) -> bytes:
+    """Mux RGB frames into an AVI. codec: 'MJPG' (our JPEG encoder) or
+    'DIB ' (uncompressed, bit-exact roundtrip)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if codec == "MJPG":
+        payloads = [encode_jpeg(f, quality=quality) for f in frames]
+        compression = struct.unpack("<I", b"MJPG")[0]
+    elif codec == "DIB ":
+        payloads = [_encode_dib(f) for f in frames]
+        compression = 0  # BI_RGB
+    else:
+        raise ValueError(f"unsupported codec {codec!r}")
+
+    max_size = max(len(p) for p in payloads)
+    usec_per_frame = round(1_000_000 * fps_den / fps_num)
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame,
+        max_size * fps_num // max(fps_den, 1),
+        0,
+        AVIF_HASINDEX,
+        len(frames),
+        0,
+        1,  # one stream
+        max_size,
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids",
+        codec.encode("ascii"),
+        0,
+        0,
+        0,
+        0,
+        fps_den,   # dwScale
+        fps_num,   # dwRate → fps = rate/scale
+        0,
+        len(frames),
+        max_size,
+        10000,
+        0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, compression,
+        (((w * 3 + 3) & ~3) * h), 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+
+    movi_body = b""
+    idx_entries = []
+    for p in payloads:
+        # idx1 offsets are measured from the 'movi' fourcc position
+        idx_entries.append((4 + len(movi_body), len(p)))
+        movi_body += _chunk(b"00dc", p)
+    movi = _list(b"movi", movi_body)
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", AVIIF_KEYFRAME, off, size)
+            for off, size in idx_entries
+        ),
+    )
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# ---------------------------------------------------------------------------
+# AVI demuxer
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a chunk run."""
+    off = start
+    while off + 8 <= end:
+        fourcc = data[off : off + 4]
+        (size,) = struct.unpack_from("<I", data, off + 4)
+        if off + 8 + size > end:
+            raise ValueError("RIFF chunk overruns container")
+        yield fourcc, off + 8, size
+        off += 8 + size + (size & 1)
+
+
+def parse_avi(data: bytes) -> dict:
+    """Demux an AVI: header fields + per-frame (offset, size, keyframe).
+
+    Offsets are absolute into ``data`` — frame extraction is byte
+    slicing, no decode. Raises ValueError on malformed input.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/AVI header missing)")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_size)
+
+    info: dict = {
+        "width": None, "height": None, "codec": None,
+        "fps_num": None, "fps_den": None, "n_frames": 0, "frames": [],
+    }
+    movi_pos = None  # position of the 'movi' fourcc (idx1 offsets base)
+    keyflags: dict[int, bool] = {}
+
+    for fourcc, pstart, psize in _riff_chunks(data, 12, end):
+        if fourcc == b"LIST":
+            listtype = data[pstart : pstart + 4]
+            if listtype == b"hdrl":
+                for c4, cs, csz in _riff_chunks(data, pstart + 4, pstart + psize):
+                    if c4 == b"avih":
+                        vals = struct.unpack_from("<14I", data, cs)
+                        info["width"], info["height"] = vals[8], vals[9]
+                    elif c4 == b"LIST" and data[cs : cs + 4] == b"strl":
+                        for s4, ss, ssz in _riff_chunks(data, cs + 4, cs + csz):
+                            if s4 == b"strh":
+                                ftype, handler = struct.unpack_from("<4s4s", data, ss)
+                                if ftype == b"vids":
+                                    scale, rate = struct.unpack_from("<II", data, ss + 20)
+                                    info["codec"] = handler.decode("ascii").strip()
+                                    info["fps_num"], info["fps_den"] = rate, scale
+            elif listtype == b"movi":
+                movi_pos = pstart
+                for c4, cs, csz in _riff_chunks(data, pstart + 4, pstart + psize):
+                    if c4[2:4] in (b"dc", b"db"):
+                        info["frames"].append({"offset": cs, "size": csz, "keyframe": True})
+        elif fourcc == b"idx1" and movi_pos is not None:
+            for eoff in range(pstart, pstart + psize - 15, 16):
+                c4 = data[eoff : eoff + 4]
+                flags, off, _size = struct.unpack_from("<III", data, eoff + 4)
+                if c4[2:4] in (b"dc", b"db"):
+                    keyflags[movi_pos + off + 8] = bool(flags & AVIIF_KEYFRAME)
+
+    for fr in info["frames"]:
+        if fr["offset"] in keyflags:
+            fr["keyframe"] = keyflags[fr["offset"]]
+    info["n_frames"] = len(info["frames"])
+    if info["codec"] is None:
+        raise ValueError("no video stream header (vids strh) found")
+    return info
+
+
+def _decode_video_payload(codec: str, blob: bytes, w: int, h: int) -> np.ndarray:
+    if codec == "MJPG" or codec == "jpeg":
+        return decode_jpeg(blob)
+    if codec == "DIB":
+        return _decode_dib(blob, w, h)
+    raise ValueError(f"no pixel decoder for codec {codec!r}")
+
+
+def decode_avi_frames(
+    data: bytes, indices: list[int] | None = None
+) -> list[np.ndarray]:
+    """Decode selected (or all) AVI frames to RGB arrays."""
+    info = parse_avi(data)
+    frames = info["frames"]
+    if indices is None:
+        indices = range(len(frames))
+    out = []
+    for i in indices:
+        fr = frames[i]
+        blob = data[fr["offset"] : fr["offset"] + fr["size"]]
+        out.append(
+            _decode_video_payload(info["codec"], blob, info["width"], info["height"])
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF) muxer
+# ---------------------------------------------------------------------------
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def _visual_sample_entry_jpeg(w: int, h: int) -> bytes:
+    name = b"MJPEG by jpeg_codec"
+    compressor = bytes([len(name)]) + name + b"\x00" * (31 - len(name))
+    body = (
+        b"\x00" * 6                      # reserved
+        + struct.pack(">H", 1)           # data_reference_index
+        + b"\x00" * 16                   # pre_defined / reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)           # reserved
+        + struct.pack(">H", 1)           # frame_count
+        + compressor
+        + struct.pack(">Hh", 24, -1)     # depth, pre_defined
+    )
+    return _box(b"jpeg", body)
+
+
+def build_mp4(
+    frames: list[np.ndarray],
+    fps_num: int = 25,
+    fps_den: int = 1,
+    quality: int = 85,
+    samples_per_chunk: int = 2,
+    keyframe_every: int = 1,
+    use_co64: bool = False,
+    ctts_offsets: list[int] | None = None,
+) -> bytes:
+    """Mux RGB frames as MJPEG-in-MP4 (``jpeg`` sample entry).
+
+    ``samples_per_chunk`` > 1 exercises real stsc/stco chunk resolution;
+    ``keyframe_every`` > 1 writes an stss box marking every Nth sample
+    as sync (with MJPEG every frame IS decodable — the box exists to
+    exercise the keyframe-sampling path demuxers rely on for H.26x).
+    ``use_co64`` writes 64-bit chunk offsets; ``ctts_offsets`` (one per
+    sample, media-timescale units) writes a version-1 signed ctts so
+    pts ≠ dts, the B-frame reorder shape.
+    """
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+    n = len(payloads)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(payloads))
+    mdat_data_start = len(ftyp) + 8
+
+    # chunk layout: fixed samples_per_chunk (last chunk may be short)
+    chunk_offsets, chunk_sizes = [], []
+    pos, i = mdat_data_start, 0
+    while i < n:
+        take = min(samples_per_chunk, n - i)
+        chunk_offsets.append(pos)
+        sz = sum(len(p) for p in payloads[i : i + take])
+        chunk_sizes.append(take)
+        pos += sz
+        i += take
+
+    timescale, delta = fps_num, fps_den
+    duration = n * delta
+
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _visual_sample_entry_jpeg(w, h))
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    # stsc: runs of identical samples-per-chunk
+    stsc_entries = []
+    for ci, spc in enumerate(chunk_sizes):
+        if not stsc_entries or stsc_entries[-1][1] != spc:
+            stsc_entries.append((ci + 1, spc))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in stsc_entries),
+    )
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(p)) for p in payloads),
+    )
+    if use_co64:
+        stco = _full(
+            b"co64", 0, 0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+        )
+    else:
+        stco = _full(
+            b"stco", 0, 0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+    stbl_children = stsd + stts + stsc + stsz + stco
+    if ctts_offsets is not None:
+        if len(ctts_offsets) != n:
+            raise ValueError("ctts_offsets must have one entry per sample")
+        stbl_children += _full(
+            b"ctts", 1, 0,
+            struct.pack(">I", n)
+            + b"".join(struct.pack(">Ii", 1, o) for o in ctts_offsets),
+        )
+    if keyframe_every > 1:
+        sync = list(range(1, n + 1, keyframe_every))
+        stbl_children += _full(
+            b"stss", 0, 0,
+            struct.pack(">I", len(sync))
+            + b"".join(struct.pack(">I", s) for s in sync),
+        )
+    stbl = _box(b"stbl", stbl_children)
+
+    url_ = _full(b"url ", 0, 1, b"")  # flag 1: data in this file
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url_)
+    dinf = _box(b"dinf", dref)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),  # und
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+# ---------------------------------------------------------------------------
+# MP4 demuxer
+# ---------------------------------------------------------------------------
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for one box level."""
+    off = start
+    while off + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, off)
+        fourcc = data[off + 4 : off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("truncated largesize box header")
+            (size,) = struct.unpack_from(">Q", data, off + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError(f"box {fourcc!r} overruns container")
+        yield fourcc, off + hdr, off + size
+        off += size
+
+
+def _find_boxes(data: bytes, start: int, end: int) -> dict[bytes, tuple[int, int]]:
+    return {f: (s, e) for f, s, e in _walk_boxes(data, start, end)}
+
+
+def _full_payload(data: bytes, span: tuple[int, int]) -> tuple[int, int, int]:
+    s, e = span
+    (vf,) = struct.unpack_from(">I", data, s)
+    return vf >> 24, s + 4, e
+
+
+def parse_mp4(data: bytes) -> list[dict]:
+    """Demux an ISO BMFF file: one dict per track with the sample table
+    RESOLVED to per-sample (offset, size, dts, pts, keyframe).
+
+    Codec-agnostic — returns the frame index for any sample entry
+    (jpeg/avc1/hvc1/...); only pixel decode is limited to MJPEG.
+    """
+    if len(data) < 8:
+        raise ValueError("not an MP4 (too short)")
+    top = _find_boxes(data, 0, len(data))
+    if b"moov" not in top:
+        raise ValueError("no moov box")
+
+    tracks = []
+    for fourcc, ps, pe in _walk_boxes(data, *top[b"moov"]):
+        if fourcc != b"trak":
+            continue
+        trak = _find_boxes(data, ps, pe)
+        mdia = _find_boxes(data, *trak[b"mdia"])
+        ver, m, _ = _full_payload(data, mdia[b"mdhd"])
+        # v0: ctime/mtime are u32 (timescale at +8); v1: u64 (at +16)
+        timescale = struct.unpack_from(">I", data, m + (16 if ver == 1 else 8))[0]
+        _, hp, _ = _full_payload(data, mdia[b"hdlr"])
+        handler = data[hp + 4 : hp + 8].decode("ascii", "replace")
+        minf = _find_boxes(data, *mdia[b"minf"])
+        stbl = _find_boxes(data, *minf[b"stbl"])
+
+        # stsd → codec fourcc of the first sample entry
+        _, sp, se = _full_payload(data, stbl[b"stsd"])
+        codec = None
+        for ef, es, ee in _walk_boxes(data, sp + 4, se):
+            codec = ef.decode("ascii", "replace")
+            break
+
+        # stsz
+        _, zp, _ = _full_payload(data, stbl[b"stsz"])
+        uniform, count = struct.unpack_from(">II", data, zp)
+        if uniform:
+            sizes = [uniform] * count
+        else:
+            sizes = list(struct.unpack_from(f">{count}I", data, zp + 8))
+
+        # stts → dts
+        _, tp, _ = _full_payload(data, stbl[b"stts"])
+        (n_ent,) = struct.unpack_from(">I", data, tp)
+        dts, t = [], 0
+        for i in range(n_ent):
+            cnt, delta = struct.unpack_from(">II", data, tp + 4 + 8 * i)
+            for _ in range(cnt):
+                dts.append(t)
+                t += delta
+        if len(dts) < count:
+            raise ValueError("stts covers fewer samples than stsz")
+
+        # ctts → pts offsets (optional)
+        pts = list(dts)
+        if b"ctts" in stbl:
+            ver_c, cp, _ = _full_payload(data, stbl[b"ctts"])
+            (n_c,) = struct.unpack_from(">I", data, cp)
+            si = 0
+            for i in range(n_c):
+                cnt = struct.unpack_from(">I", data, cp + 4 + 8 * i)[0]
+                fmt = ">i" if ver_c == 1 else ">I"
+                (offv,) = struct.unpack_from(fmt, data, cp + 8 + 8 * i)
+                for _ in range(cnt):
+                    if si < count:
+                        pts[si] = dts[si] + offv
+                    si += 1
+
+        # stsc + stco/co64 → absolute offsets
+        _, cp, _ = _full_payload(data, stbl[b"stsc"])
+        (n_sc,) = struct.unpack_from(">I", data, cp)
+        sc = [
+            struct.unpack_from(">III", data, cp + 4 + 12 * i)[:2]
+            for i in range(n_sc)
+        ]
+        if b"stco" in stbl:
+            _, op, _ = _full_payload(data, stbl[b"stco"])
+            (n_ch,) = struct.unpack_from(">I", data, op)
+            offsets = list(struct.unpack_from(f">{n_ch}I", data, op + 4))
+        elif b"co64" in stbl:
+            _, op, _ = _full_payload(data, stbl[b"co64"])
+            (n_ch,) = struct.unpack_from(">I", data, op)
+            offsets = list(struct.unpack_from(f">{n_ch}Q", data, op + 4))
+        else:
+            raise ValueError("no stco/co64 chunk-offset box")
+
+        # keyframes
+        if b"stss" in stbl:
+            _, kp, _ = _full_payload(data, stbl[b"stss"])
+            (n_k,) = struct.unpack_from(">I", data, kp)
+            sync = set(struct.unpack_from(f">{n_k}I", data, kp + 4))
+        else:
+            sync = None  # absent → every sample is sync
+
+        samples, si = [], 0
+        for ci in range(len(offsets)):
+            spc = 0
+            for fc, v in sc:
+                if fc <= ci + 1:
+                    spc = v
+            pos = offsets[ci]
+            for _ in range(spc):
+                if si >= count:
+                    break
+                samples.append({
+                    "offset": pos,
+                    "size": sizes[si],
+                    "dts": dts[si],
+                    "pts": pts[si],
+                    "keyframe": (sync is None) or (si + 1 in sync),
+                })
+                pos += sizes[si]
+                si += 1
+        if si != count:
+            raise ValueError("stsc/stco resolve fewer samples than stsz")
+
+        tracks.append({
+            "handler": handler,
+            "codec": codec,
+            "timescale": timescale,
+            "n_samples": count,
+            "samples": samples,
+        })
+    if not tracks:
+        raise ValueError("moov contains no trak")
+    return tracks
+
+
+def decode_mp4_frames(
+    data: bytes, indices: list[int] | None = None
+) -> list[np.ndarray]:
+    """Decode selected (or all) MJPEG samples of the first video track."""
+    track = next(
+        (t for t in parse_mp4(data) if t["handler"] == "vide"), None
+    )
+    if track is None:
+        raise ValueError("no video track")
+    if track["codec"] not in ("jpeg", "mjpa"):
+        raise ValueError(f"no pixel decoder for codec {track['codec']!r}")
+    samples = track["samples"]
+    if indices is None:
+        indices = range(len(samples))
+    out = []
+    for i in indices:
+        s = samples[i]
+        out.append(decode_jpeg(data[s["offset"] : s["offset"] + s["size"]]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Container-agnostic frame index + sampling
+# ---------------------------------------------------------------------------
+
+
+def probe_video(fmt: str, data: bytes) -> dict:
+    """Container-agnostic index: codec + per-frame (offset,size,pts_ms,key).
+
+    No pixel decode happens here — sampling decisions are made on the
+    index, then only chosen frames are decoded (the 100 TB discipline:
+    never decode bytes you won't keep).
+    """
+    if fmt == "avi":
+        info = parse_avi(data)
+        num, den = info["fps_num"], max(info["fps_den"], 1)
+        return {
+            "codec": info["codec"],
+            "width": info["width"],
+            "height": info["height"],
+            "n_frames": info["n_frames"],
+            "frames": [
+                {
+                    "offset": fr["offset"],
+                    "size": fr["size"],
+                    "pts_ms": round(i * 1000 * den / num) if num else 0,
+                    "keyframe": fr["keyframe"],
+                }
+                for i, fr in enumerate(info["frames"])
+            ],
+        }
+    if fmt == "mp4":
+        track = next(
+            (t for t in parse_mp4(data) if t["handler"] == "vide"), None
+        )
+        if track is None:
+            raise ValueError("no video track")
+        ts = max(track["timescale"], 1)
+        return {
+            "codec": track["codec"],
+            "width": None,
+            "height": None,
+            "n_frames": track["n_samples"],
+            "frames": [
+                {
+                    "offset": s["offset"],
+                    "size": s["size"],
+                    "pts_ms": round(s["pts"] * 1000 / ts),
+                    "keyframe": s["keyframe"],
+                }
+                for s in track["samples"]
+            ],
+        }
+    raise ValueError(f"unknown container format {fmt!r}")
+
+
+def sample_frame_indices(
+    frames: list[dict], every_n: int = 1, keyframes_only: bool = False,
+    max_frames: int = 0,
+) -> list[int]:
+    idx = [
+        i for i, fr in enumerate(frames)
+        if (not keyframes_only or fr["keyframe"])
+    ]
+    idx = idx[::every_n] if every_n > 1 else idx
+    return idx[:max_frames] if max_frames else idx
+
+
+def video_frames_frame(
+    df,
+    id_col: str,
+    fmt_col: str,
+    payload_col: str,
+    every_n: int = 1,
+    keyframes_only: bool = False,
+    max_frames: int = 8,
+):
+    """Arrow-batched per-FRAME feature extraction over video blobs.
+
+    (id, format∈{avi,mp4}, payload) rows in → one row per sampled frame:
+    container metadata (pts_ms, keyframe, n_frames_total) + decoded
+    features (height/width/mean_px + DCT pHash, same as the image path).
+    Sampling happens on the demux index BEFORE any decode. Malformed
+    payloads yield a single ``error:<reason>`` row (frame_index = -1).
+
+    Scale: partition-local (zero shuffle); ``max_frames`` bounds decode
+    work per video so one long video can't skew a task; the payload
+    column prunes away for metadata-only queries upstream.
+    """
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.jpeg_codec as _jpeg
+    import python_kinesis_streaming_spark.llm.media_codecs as _media
+    import python_kinesis_streaming_spark.llm.video_codecs as _self
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    cloudpickle.register_pickle_by_value(_media)
+    cloudpickle.register_pickle_by_value(_self)
+
+    def frame_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid, fmt, payload in zip(
+                pdf[id_col], pdf[fmt_col], pdf[payload_col]
+            ):
+                try:
+                    blob = bytes(payload)
+                    probe = probe_video(fmt, blob)
+                    chosen = sample_frame_indices(
+                        probe["frames"], every_n, keyframes_only, max_frames
+                    )
+                    for fi in chosen:
+                        fr = probe["frames"][fi]
+                        arr = _decode_video_payload(
+                            "MJPG" if probe["codec"] in ("MJPG", "jpeg", "mjpa")
+                            else probe["codec"],
+                            blob[fr["offset"] : fr["offset"] + fr["size"]],
+                            probe["width"] or 0,
+                            probe["height"] or 0,
+                        )
+                        feats = image_features(arr)
+                        ph = phash64(arr)
+                        rows.append({
+                            "id": rid,
+                            "format": fmt,
+                            "frame_index": fi,
+                            "n_frames_total": probe["n_frames"],
+                            "pts_ms": fr["pts_ms"],
+                            "keyframe": fr["keyframe"],
+                            "height": feats["height"],
+                            "width": feats["width"],
+                            "mean_px": feats["mean_px"],
+                            "phash": ph - (1 << 64) if ph >= 1 << 63 else ph,
+                        })
+                except (ValueError, struct.error, IndexError, EOFError,
+                        OSError) as e:
+                    rows.append({
+                        "id": rid,
+                        "format": f"error:{e}",
+                        "frame_index": -1,
+                        "n_frames_total": None,
+                        "pts_ms": None,
+                        "keyframe": None,
+                        "height": None,
+                        "width": None,
+                        "mean_px": None,
+                        "phash": None,
+                    })
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "id long, format string, frame_index int, n_frames_total int, "
+        "pts_ms long, keyframe boolean, height int, width int, "
+        "mean_px double, phash long"
+    )
+    return df.mapInPandas(frame_batches, schema=schema)

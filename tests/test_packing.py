@@ -1,0 +1,156 @@
+"""Sequence-packing invariants: token conservation, boundary rules,
+determinism, and exact agreement with a reference FFD implementation."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_kinesis_streaming_spark.llm.packing import (
+    pack_concat,
+    pack_first_fit,
+    packing_report,
+    with_token_lengths,
+)
+
+SEQ = 128
+
+
+def _lengths_df(spark, lens):
+    return spark.createDataFrame(
+        [(i + 1, n) for i, n in enumerate(lens)], "doc_id long, n_tokens long"
+    )
+
+
+LENS = [3, 70, 128, 129, 200, 321, 64, 64, 64, 1, 127, 128, 55, 90, 17]
+
+
+def test_concat_conserves_every_token(spark):
+    packed = pack_concat(_lengths_df(spark, LENS), SEQ, buckets=4).collect()
+    assert sum(r["tokens_in_seq"] for r in packed) == sum(LENS)
+    for r in packed:
+        assert 0 <= r["offset"] < SEQ
+        assert 1 <= r["tokens_in_seq"] <= SEQ - r["offset"]
+
+
+def test_concat_sequences_are_full_except_bucket_tails(spark):
+    rows = pack_concat(_lengths_df(spark, LENS), SEQ, buckets=2).collect()
+    per_seq: dict[int, int] = {}
+    for r in rows:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["tokens_in_seq"]
+    by_bucket: dict[int, list[int]] = {}
+    for sid in per_seq:
+        by_bucket.setdefault(sid >> 40, []).append(sid)
+    for bucket, sids in by_bucket.items():
+        # seq ids within a bucket are contiguous from 0
+        local = sorted(s & ((1 << 40) - 1) for s in sids)
+        assert local == list(range(len(local)))
+        for s in sorted(sids)[:-1]:
+            assert per_seq[s] == SEQ  # all but the tail are exactly full
+        assert 1 <= per_seq[sorted(sids)[-1]] <= SEQ
+
+
+def test_concat_long_doc_chunks_stay_contiguous_and_ordered(spark):
+    # one bucket → a single global stream we can reconstruct
+    packed = pack_concat(
+        _lengths_df(spark, [100, 300, 50]), SEQ, buckets=1
+    ).collect()
+    starts = {}
+    for r in packed:  # spill rows share the key — keep the earliest pos
+        key = (r["doc_id"], r["chunk_idx"])
+        pos = (r["seq_id"] & ((1 << 40) - 1)) * SEQ + r["offset"]
+        starts[key] = min(starts.get(key, 1 << 62), pos)
+    # doc 2 = 300 tokens → chunks 0,1,2 of 128,128,44; chunk k starts
+    # exactly 128*k after chunk 0 in the global stream
+    base = starts[(2, 0)]
+    assert starts[(2, 1)] == base + 128
+    assert starts[(2, 2)] == base + 256
+
+
+def _reference_ffd(items, seq_len):
+    """Pure-Python FFD over (doc_id, chunk_idx, n) sorted like the op."""
+    items = sorted(items, key=lambda t: (-t[2], t[0], t[1]))
+    fills, out = [], {}
+    for doc, chunk, n in items:
+        for b, used in enumerate(fills):
+            if used + n <= seq_len:
+                out[(doc, chunk)] = (b, used)
+                fills[b] = used + n
+                break
+        else:
+            out[(doc, chunk)] = (len(fills), 0)
+            fills.append(n)
+    return out
+
+
+def test_first_fit_matches_reference_exactly(spark):
+    rows = pack_first_fit(_lengths_df(spark, LENS), SEQ, buckets=1).collect()
+    chunks = [(r["doc_id"], r["chunk_idx"], r["n_tokens"]) for r in rows]
+    want = _reference_ffd(chunks, SEQ)
+    for r in rows:
+        bin_id, off = want[(r["doc_id"], r["chunk_idx"])]
+        assert r["seq_id"] == bin_id and r["offset"] == off
+
+
+def test_first_fit_no_boundary_crossing_and_deterministic(spark):
+    df = _lengths_df(spark, LENS)
+    a = pack_first_fit(df, SEQ, buckets=4).collect()
+    b = pack_first_fit(df.repartition(7), SEQ, buckets=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_seq: dict[int, int] = {}
+    for r in a:
+        assert r["offset"] + r["n_tokens"] <= SEQ
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_tokens"]
+    assert all(v <= SEQ for v in per_seq.values())
+    assert sum(r["n_tokens"] for r in a) == sum(LENS)
+
+
+def test_long_doc_split_shapes(spark):
+    rows = pack_first_fit(_lengths_df(spark, [321]), SEQ, buckets=1).collect()
+    got = sorted((r["chunk_idx"], r["n_tokens"]) for r in rows)
+    assert got == [(0, 128), (1, 128), (2, 65)]
+
+
+def test_zero_length_docs_are_dropped(spark):
+    rows = pack_concat(_lengths_df(spark, [0, 5, 0]), SEQ, buckets=2).collect()
+    assert sorted(r["doc_id"] for r in rows) == [2]
+
+
+def test_packing_report_concat_vs_ffd(spark):
+    df = _lengths_df(spark, LENS)
+    total = sum(LENS)
+    rep_c = packing_report(pack_concat(df, SEQ, buckets=2), SEQ).collect()[0]
+    rep_f = packing_report(pack_first_fit(df, SEQ, buckets=2), SEQ).collect()[0]
+    assert rep_c["packed_tokens"] == total == rep_f["packed_tokens"]
+    # concat wastes only bucket tails; FFD pads but never crosses
+    assert rep_c["n_sequences"] <= rep_f["n_sequences"]
+    assert rep_f["boundary_crossings"] == 0
+    assert 0 < rep_f["fill_rate"] <= 1.0
+    assert (
+        rep_c["padding_tokens"]
+        == rep_c["n_sequences"] * SEQ - total
+    )
+
+
+def test_with_token_lengths_whitespace_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "a  b c"), (2, ""), (3, "  ")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in with_token_lengths(docs, "doc_id", "text").collect()
+    }
+    assert got == {1: 3, 2: 0, 3: 0}
+
+
+def test_first_fit_fill_beats_or_ties_naive_sequential(spark):
+    rows = pack_first_fit(_lengths_df(spark, LENS), SEQ, buckets=1).collect()
+    n_bins_ffd = len({r["seq_id"] for r in rows})
+    # naive sequential packing in doc order
+    used, bins = 0, 1
+    for _, _, n in sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"]) for r in rows
+    ):
+        if used + n > SEQ:
+            bins, used = bins + 1, 0
+        used += n
+    assert n_bins_ffd <= bins
