@@ -52,6 +52,18 @@ from python_kinesis_streaming_spark.llm.span_dedup import (
     duplicated_spans,
     span_dedup_report,
 )
+from python_kinesis_streaming_spark.llm.unigram import (
+    train_unigram,
+    viterbi_encode,
+)
+from python_kinesis_streaming_spark.llm.urls import (
+    dedup_by_url,
+    filter_blocked_domains,
+    normalize_url,
+    parse_robots_frame,
+    registered_domain,
+    robots_allowed,
+)
 from python_kinesis_streaming_spark.llm.video_codecs import (
     probe_video,
     video_frames_frame,
@@ -148,6 +160,14 @@ _CORPUS_SURFACE = [
     "duplicated_spans",
     "cut_duplicated_spans",
     "span_dedup_report",
+    "train_unigram",
+    "viterbi_encode",
+    "normalize_url",
+    "registered_domain",
+    "dedup_by_url",
+    "filter_blocked_domains",
+    "parse_robots_frame",
+    "robots_allowed",
 ]
 
 __all__ = _CORPUS_SURFACE + [
