@@ -35,6 +35,10 @@ from python_kinesis_streaming_spark.llm.dedup import (
     minhash_signatures,
     word_shingles,
 )
+from python_kinesis_streaming_spark.llm.flac_codec import (
+    decode_flac,
+    encode_flac,
+)
 from python_kinesis_streaming_spark.llm.classifier import (
     binary_metrics,
     hashed_features,
@@ -168,6 +172,8 @@ _CORPUS_SURFACE = [
     "filter_blocked_domains",
     "parse_robots_frame",
     "robots_allowed",
+    "encode_flac",
+    "decode_flac",
 ]
 
 __all__ = _CORPUS_SURFACE + [

@@ -795,6 +795,7 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
     """
     from pyspark import cloudpickle
 
+    import python_kinesis_streaming_spark.llm.flac_codec as _flac
     import python_kinesis_streaming_spark.llm.jpeg_codec as _jpeg
     import python_kinesis_streaming_spark.llm.media_codecs as _self
     import python_kinesis_streaming_spark.llm.video_codecs as _video
@@ -804,9 +805,11 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
     cloudpickle.register_pickle_by_value(_self)
     cloudpickle.register_pickle_by_value(_jpeg)
     cloudpickle.register_pickle_by_value(_video)
+    cloudpickle.register_pickle_by_value(_flac)
     decode_jpeg_kernel = _jpeg.decode_jpeg
     probe_video_kernel = _video.probe_video
     decode_video_payload = _video._decode_video_payload
+    decode_flac_kernel = _flac.decode_flac
 
     def decode_batches(batches):
         import numpy as _np  # noqa: F401 (codecs use the module-level np)
@@ -870,13 +873,17 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
                             probe["height"] or 0,
                         )
                         base["n_frames"] = probe["n_frames"]
-                    elif fmt in ("wav", "aiff", "au"):
-                        decoder = {
-                            "wav": decode_wav,
-                            "aiff": decode_aiff,
-                            "au": decode_au,
-                        }[fmt]
-                        samples, rate = decoder(blob)
+                    elif fmt in ("wav", "aiff", "au", "flac"):
+                        if fmt == "flac":
+                            d = decode_flac_kernel(blob)
+                            samples, rate = d["samples"], d["sample_rate"]
+                        else:
+                            decoder = {
+                                "wav": decode_wav,
+                                "aiff": decode_aiff,
+                                "au": decode_au,
+                            }[fmt]
+                            samples, rate = decoder(blob)
                         base["n_samples"] = int(samples.shape[0])
                         base["sample_rate"] = int(rate)
                         base["channels"] = int(samples.shape[1])
