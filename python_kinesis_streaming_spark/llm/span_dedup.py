@@ -128,17 +128,21 @@ def cut_duplicated_spans(
     (the one in the smallest doc_id, earliest position).
     """
     grams = doc_kgrams(df, id_col, text_col, k)
-    # global first occurrence per duplicated hash: one min_by agg
-    ordinal = F.col("doc_id") * F.lit(1 << 32) + F.col("pos")
+    # global first occurrence per duplicated hash: one min-of-struct agg
+    # (lexicographic (doc_id, pos) order — no packed-ordinal arithmetic,
+    # which would overflow for 64-bit hash doc ids)
+    occ = F.struct("doc_id", "pos")
     firsts = (
-        grams.select("gram_hash", ordinal.alias("ord"))
-        .groupBy("gram_hash")
-        .agg(F.min("ord").alias("first_ord"), F.count(F.lit(1)).alias("n"))
+        grams.groupBy("gram_hash")
+        .agg(
+            F.min(occ).alias("first_occ"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .where(F.col("n") > 1)
     )
     removable = (
         grams.join(firsts, "gram_hash")
-        .where(ordinal > F.col("first_ord"))
+        .where(occ > F.col("first_occ"))
         .select("doc_id", "pos")
     )
     spans = _merge_runs(removable, k, min_len)
