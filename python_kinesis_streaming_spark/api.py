@@ -48,7 +48,7 @@ from python_kinesis_streaming_spark.llm.classifier import (
 from python_kinesis_streaming_spark.llm.media_codecs import media_features_frame
 from python_kinesis_streaming_spark.llm.packing import (
     pack_concat,
-    pack_first_fit,
+    pack_best_fit,
     packing_report,
 )
 from python_kinesis_streaming_spark.llm.span_dedup import (
@@ -155,7 +155,7 @@ _CORPUS_SURFACE = [
     "probe_video",
     "video_frames_frame",
     "pack_concat",
-    "pack_first_fit",
+    "pack_best_fit",
     "packing_report",
     "hashed_features",
     "train_logreg",

@@ -9,8 +9,8 @@ Two packing strategies, each matching a real training-pipeline choice:
   expressions: a deterministic bucket assignment, one running-sum
   window per bucket, integer arithmetic for the cut points. One
   shuffle (the window's partitionBy), no Python in the plan.
-- ``pack_first_fit`` — bin packing with document integrity (no doc
-  crosses a boundary; sequences are padded). First-fit-decreasing
+- ``pack_best_fit`` — bin packing with document integrity (no doc
+  crosses a boundary; sequences are padded). Best-fit-decreasing
   inside deterministic hash buckets via ``applyInPandas`` — bin
   packing is genuinely imperative, so this is one of the documented
   places Python earns its seat; everything around it (bucketing,
@@ -138,21 +138,25 @@ def pack_concat(
     return primary.unionByName(spill)
 
 
-def pack_first_fit(
+def pack_best_fit(
     lengths: DataFrame,
     seq_len: int,
     buckets: int = 4096,
 ) -> DataFrame:
-    """First-fit-decreasing bin packing with document integrity.
+    """Best-fit-decreasing bin packing with document integrity.
 
     Docs (pre-split into ≤seq_len chunks) are hash-bucketed, then each
-    bucket is packed independently with FFD — sorted by (n_tokens desc,
-    doc_id, chunk_idx) so the output is deterministic regardless of
-    partitioning. Output: (doc_id, chunk_idx, n_tokens, seq_id, offset).
+    bucket is packed independently with BFD — sorted by (n_tokens desc,
+    doc_id, chunk_idx), each chunk goes to the TIGHTEST bin that fits
+    (smallest bin id on residual ties), so the output is deterministic
+    regardless of partitioning. Output: (doc_id, chunk_idx, n_tokens,
+    seq_id, offset, tokens_in_seq).
 
     Sequence ids: bucket * 2^40 + bin_in_bucket (globally unique,
-    stable across reruns). State per task = one Python list of bin
-    fills for ONE bucket (≤ a few thousand ints at sane bucket counts).
+    stable across reruns). The kernel keeps bin residuals in a
+    bisect-sorted list — O(chunks · log bins) comparisons per bucket,
+    not the O(chunks · bins) of a naive first-fit scan (which is what
+    turns a large bucket into a quadratic straggler task).
     """
     chunks = _split_long_docs(lengths, seq_len).select(
         "*",
@@ -160,6 +164,8 @@ def pack_first_fit(
     )
 
     def pack_bucket(pdf):
+        import bisect
+
         import pandas as pd
 
         pdf = pdf.sort_values(
@@ -167,20 +173,25 @@ def pack_first_fit(
             ascending=[False, True, True],
         )
         bucket = int(pdf["bucket"].iloc[0])
-        fills: list[int] = []  # tokens used per bin, index = bin id
+        residuals: list[tuple[int, int]] = []  # sorted (residual, bin)
+        nbins = 0
         out_seq, out_off = [], []
         for n in pdf["n_tokens"]:
             n = int(n)
-            for b, used in enumerate(fills):
-                if used + n <= seq_len:
-                    out_seq.append(b)
-                    out_off.append(used)
-                    fills[b] = used + n
-                    break
+            i = bisect.bisect_left(residuals, (n, -1))
+            if i < len(residuals):
+                r, b = residuals.pop(i)
+                out_seq.append(b)
+                out_off.append(seq_len - r)
+                if r - n:
+                    bisect.insort(residuals, (r - n, b))
             else:
-                out_seq.append(len(fills))
+                b = nbins
+                nbins += 1
+                out_seq.append(b)
                 out_off.append(0)
-                fills.append(n)
+                if seq_len - n:
+                    bisect.insort(residuals, (seq_len - n, b))
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -205,7 +216,7 @@ def packing_report(packed: DataFrame, seq_len: int) -> DataFrame:
     """One-row summary of a packing: sequence count, fill rate, waste.
 
     ``crosses_boundary`` is consumed when present (pack_concat); for
-    pack_first_fit the crossing count is 0 by construction. Tiny
+    pack_best_fit the crossing count is 0 by construction. Tiny
     two-stage agg — safe at any corpus size.
     """
     has_cross = "crosses_boundary" in packed.columns

@@ -1,13 +1,13 @@
 """Sequence-packing invariants: token conservation, boundary rules,
-determinism, and exact agreement with a reference FFD implementation."""
+determinism, and exact agreement with a reference BFD implementation."""
 
 from __future__ import annotations
 
 import pytest
 
 from python_kinesis_streaming_spark.llm.packing import (
+    pack_best_fit,
     pack_concat,
-    pack_first_fit,
     packing_report,
     with_token_lengths,
 )
@@ -66,35 +66,41 @@ def test_concat_long_doc_chunks_stay_contiguous_and_ordered(spark):
     assert starts[(2, 2)] == base + 256
 
 
-def _reference_ffd(items, seq_len):
-    """Pure-Python FFD over (doc_id, chunk_idx, n) sorted like the op."""
+def _reference_bfd(items, seq_len):
+    """Pure-Python best-fit-decreasing via a LINEAR scan (independent
+    of the op's bisect implementation): tightest bin that fits,
+    smallest bin id on residual ties."""
     items = sorted(items, key=lambda t: (-t[2], t[0], t[1]))
     fills, out = [], {}
     for doc, chunk, n in items:
+        best = None
         for b, used in enumerate(fills):
-            if used + n <= seq_len:
-                out[(doc, chunk)] = (b, used)
-                fills[b] = used + n
-                break
+            resid = seq_len - used
+            if resid >= n and (best is None or resid < best[0]):
+                best = (resid, b)
+        if best is not None:
+            b = best[1]
+            out[(doc, chunk)] = (b, fills[b])
+            fills[b] += n
         else:
             out[(doc, chunk)] = (len(fills), 0)
             fills.append(n)
     return out
 
 
-def test_first_fit_matches_reference_exactly(spark):
-    rows = pack_first_fit(_lengths_df(spark, LENS), SEQ, buckets=1).collect()
+def test_best_fit_matches_reference_exactly(spark):
+    rows = pack_best_fit(_lengths_df(spark, LENS), SEQ, buckets=1).collect()
     chunks = [(r["doc_id"], r["chunk_idx"], r["n_tokens"]) for r in rows]
-    want = _reference_ffd(chunks, SEQ)
+    want = _reference_bfd(chunks, SEQ)
     for r in rows:
         bin_id, off = want[(r["doc_id"], r["chunk_idx"])]
         assert r["seq_id"] == bin_id and r["offset"] == off
 
 
-def test_first_fit_no_boundary_crossing_and_deterministic(spark):
+def test_best_fit_no_boundary_crossing_and_deterministic(spark):
     df = _lengths_df(spark, LENS)
-    a = pack_first_fit(df, SEQ, buckets=4).collect()
-    b = pack_first_fit(df.repartition(7), SEQ, buckets=4).collect()
+    a = pack_best_fit(df, SEQ, buckets=4).collect()
+    b = pack_best_fit(df.repartition(7), SEQ, buckets=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     per_seq: dict[int, int] = {}
     for r in a:
@@ -105,7 +111,7 @@ def test_first_fit_no_boundary_crossing_and_deterministic(spark):
 
 
 def test_long_doc_split_shapes(spark):
-    rows = pack_first_fit(_lengths_df(spark, [321]), SEQ, buckets=1).collect()
+    rows = pack_best_fit(_lengths_df(spark, [321]), SEQ, buckets=1).collect()
     got = sorted((r["chunk_idx"], r["n_tokens"]) for r in rows)
     assert got == [(0, 128), (1, 128), (2, 65)]
 
@@ -119,7 +125,7 @@ def test_packing_report_concat_vs_ffd(spark):
     df = _lengths_df(spark, LENS)
     total = sum(LENS)
     rep_c = packing_report(pack_concat(df, SEQ, buckets=2), SEQ).collect()[0]
-    rep_f = packing_report(pack_first_fit(df, SEQ, buckets=2), SEQ).collect()[0]
+    rep_f = packing_report(pack_best_fit(df, SEQ, buckets=2), SEQ).collect()[0]
     assert rep_c["packed_tokens"] == total == rep_f["packed_tokens"]
     # concat wastes only bucket tails; FFD pads but never crosses
     assert rep_c["n_sequences"] <= rep_f["n_sequences"]
@@ -142,8 +148,8 @@ def test_with_token_lengths_whitespace_semantics(spark):
     assert got == {1: 3, 2: 0, 3: 0}
 
 
-def test_first_fit_fill_beats_or_ties_naive_sequential(spark):
-    rows = pack_first_fit(_lengths_df(spark, LENS), SEQ, buckets=1).collect()
+def test_best_fit_fill_beats_or_ties_naive_sequential(spark):
+    rows = pack_best_fit(_lengths_df(spark, LENS), SEQ, buckets=1).collect()
     n_bins_ffd = len({r["seq_id"] for r in rows})
     # naive sequential packing in doc order
     used, bins = 0, 1
