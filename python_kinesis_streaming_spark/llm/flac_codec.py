@@ -429,6 +429,58 @@ def _pcm_bytes(samples: np.ndarray, bps: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _levinson_durbin(autoc: np.ndarray, order: int) -> list[float]:
+    """LPC coefficients from autocorrelation (prediction of sig[i]
+    from sig[i-1..i-order]; standard Levinson-Durbin recursion)."""
+    err = float(autoc[0])
+    lpc = [0.0] * order
+    for i in range(order):
+        if err <= 0:
+            break
+        acc = float(autoc[i + 1])
+        for j in range(i):
+            acc -= lpc[j] * float(autoc[i - j])
+        k = acc / err
+        new = lpc.copy()
+        new[i] = k
+        for j in range(i):
+            new[j] = lpc[j] - k * lpc[i - 1 - j]
+        lpc = new
+        err *= 1.0 - k * k
+    return lpc
+
+
+def _quantize_lpc(
+    lpc: list[float], precision: int = 12
+) -> tuple[list[int], int]:
+    """(quantized coefficients, shift): coefficients scaled by 2^shift
+    and rounded into `precision`-bit signed ints (shift 0..15, the
+    non-negative half of FLAC's 5-bit signed field)."""
+    cmax = max(abs(c) for c in lpc)
+    if cmax <= 0:
+        return [0] * len(lpc), 0
+    import math as _m
+
+    shift = precision - 1 - int(_m.floor(_m.log2(cmax))) - 1
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = [
+        max(-lim, min(lim - 1, int(round(c * (1 << shift)))))
+        for c in lpc
+    ]
+    return q, shift
+
+
+def _lpc_residuals(
+    sig: np.ndarray, qcoefs: list[int], shift: int
+) -> np.ndarray:
+    order = len(qcoefs)
+    # pred[i] = (Σ_j qcoefs[j]·sig[i-1-j]) >> shift, exact int64
+    windows = np.lib.stride_tricks.sliding_window_view(sig, order)[:-1]
+    acc = windows @ np.array(qcoefs[::-1], dtype=np.int64)
+    return sig[order:] - (acc >> shift)
+
+
 def _best_fixed_order(chan: np.ndarray) -> int:
     best, best_cost = 0, None
     sig = chan.astype(np.int64)
@@ -466,28 +518,66 @@ def _encode_residual(bw: _BitWriter, res: np.ndarray):
             bw.write(u & ((1 << param) - 1), param)
 
 
-def _encode_subframe(bw: _BitWriter, chan: np.ndarray, bps: int):
+def _rice_cost(residuals: np.ndarray) -> tuple[int, int]:
+    param = _rice_param(residuals)
+    bits = sum(
+        (_zigzag_encode(int(v)) >> param) + 1 + param for v in residuals
+    )
+    return bits, param
+
+
+def _encode_subframe(
+    bw: _BitWriter, chan: np.ndarray, bps: int, lpc_order: int = 8
+):
     if np.all(chan == chan[0]):
         bw.write(0, 1)
         bw.write(0, 6)  # CONSTANT
         bw.write(0, 1)
         bw.write_signed(int(chan[0]), bps)
         return
-    order = _best_fixed_order(chan)
-    residuals = chan.astype(np.int64)
-    for _ in range(order):
-        residuals = np.diff(residuals)
-    # order-k diff has length n-k: exactly the post-warmup residuals
+    sig = chan.astype(np.int64)
     verbatim_bits = bps * len(chan)
-    param = _rice_param(residuals)
-    rice_bits = (
-        sum(
-            (_zigzag_encode(int(v)) >> param) + 1 + param
-            for v in residuals
+
+    order = _best_fixed_order(chan)
+    fixed_res = sig.copy()
+    for _ in range(order):
+        fixed_res = np.diff(fixed_res)
+    # order-k diff has length n-k: exactly the post-warmup residuals
+    fixed_bits = _rice_cost(fixed_res)[0] + order * bps
+
+    lpc = None
+    if 0 < lpc_order < len(chan) // 2:
+        f = sig.astype(np.float64)
+        autoc = np.array(
+            [float(f[: len(f) - k] @ f[k:]) for k in range(lpc_order + 1)]
         )
-        + order * bps
-    )
-    if rice_bits >= verbatim_bits:
+        if autoc[0] > 0:
+            qc, shift = _quantize_lpc(
+                _levinson_durbin(autoc, lpc_order), precision=12
+            )
+            if any(qc):
+                res = _lpc_residuals(sig, qc, shift)
+                bits = (
+                    _rice_cost(res)[0]
+                    + lpc_order * bps
+                    + 4 + 5 + lpc_order * 12
+                )
+                lpc = (bits, qc, shift, res)
+
+    if lpc is not None and lpc[0] < fixed_bits and lpc[0] < verbatim_bits:
+        bits, qc, shift, res = lpc
+        bw.write(0, 1)
+        bw.write(32 + lpc_order - 1, 6)  # LPC
+        bw.write(0, 1)
+        for v in chan[:lpc_order]:
+            bw.write_signed(int(v), bps)
+        bw.write(12 - 1, 4)
+        bw.write_signed(shift, 5)
+        for c in qc:
+            bw.write_signed(c, 12)
+        _encode_residual(bw, res)
+        return
+    if fixed_bits >= verbatim_bits:
         bw.write(0, 1)
         bw.write(1, 6)  # VERBATIM
         bw.write(0, 1)
@@ -499,7 +589,7 @@ def _encode_subframe(bw: _BitWriter, chan: np.ndarray, bps: int):
     bw.write(0, 1)
     for v in chan[:order]:
         bw.write_signed(int(v), bps)
-    _encode_residual(bw, residuals)
+    _encode_residual(bw, fixed_res)
 
 
 def encode_flac(
@@ -507,10 +597,13 @@ def encode_flac(
     sample_rate: int,
     bps: int = 16,
     block_size: int = 4096,
+    lpc_order: int = 8,
 ) -> bytes:
     """Encode (n, channels) integer samples as a conforming FLAC
-    stream: fixed blocking, independent channels, CONSTANT/FIXED/
-    VERBATIM subframes, single-partition Rice residuals."""
+    stream: fixed blocking, independent channels, per-subframe choice
+    of CONSTANT / FIXED / LPC (Levinson-Durbin analysis, quantized
+    12-bit coefficients) / VERBATIM by estimated bit cost,
+    single-partition Rice residuals. ``lpc_order=0`` disables LPC."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n, channels = samples.shape
@@ -569,7 +662,7 @@ def encode_flac(
             bw2.write(b, 8)
         bw2.write(_crc8(hdr), 8)
         for ch in range(channels):
-            _encode_subframe(bw2, block[:, ch], bps)
+            _encode_subframe(bw2, block[:, ch], bps, lpc_order)
         bw2.align()
         body = bw2.getvalue()
         bw3 = _BitWriter()

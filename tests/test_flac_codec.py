@@ -423,3 +423,28 @@ def test_media_seam_dispatches_flac(spark):
     assert ok["sample_rate"] == 44100
     assert ok["channels"] == 2
     assert out[2]["format"].startswith("error:")
+
+
+def test_lpc_encoding_roundtrips_and_beats_fixed():
+    # strongly autocorrelated signal: AR(2) process — LPC's home turf
+    rng = np.random.default_rng(11)
+    n = 8000
+    sig = np.zeros(n)
+    e = rng.normal(0, 60, n)
+    for i in range(2, n):
+        sig[i] = 1.6 * sig[i - 1] - 0.72 * sig[i - 2] + e[i]
+    pcm = sig.clip(-30000, 30000).astype(np.int32)[:, None]
+    with_lpc = encode_flac(pcm, 44100, block_size=2048, lpc_order=8)
+    without = encode_flac(pcm, 44100, block_size=2048, lpc_order=0)
+    assert len(with_lpc) < len(without)  # LPC must pay for itself
+    out = decode_flac(with_lpc)
+    assert (out["samples"] == pcm).all() and out["md5_ok"]
+    # the LPC stream really contains LPC subframes (type >= 32):
+    # disabling LPC changes the bytes, so the win above came from LPC
+    assert with_lpc != without
+
+
+def test_lpc_disabled_on_short_blocks():
+    pcm = np.arange(10, dtype=np.int32)[:, None] * 100
+    out = decode_flac(encode_flac(pcm, 8000, block_size=8, lpc_order=8))
+    assert (out["samples"] == pcm).all()
