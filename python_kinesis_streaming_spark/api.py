@@ -68,6 +68,11 @@ from python_kinesis_streaming_spark.llm.urls import (
     registered_domain,
     robots_allowed,
 )
+from python_kinesis_streaming_spark.llm.mkv_codec import (
+    build_mkv,
+    decode_mkv_frames,
+    parse_mkv,
+)
 from python_kinesis_streaming_spark.llm.video_codecs import (
     probe_video,
     video_frames_frame,
@@ -174,6 +179,9 @@ _CORPUS_SURFACE = [
     "robots_allowed",
     "encode_flac",
     "decode_flac",
+    "parse_mkv",
+    "build_mkv",
+    "decode_mkv_frames",
 ]
 
 __all__ = _CORPUS_SURFACE + [

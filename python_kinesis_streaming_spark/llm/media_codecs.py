@@ -798,6 +798,7 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
     import python_kinesis_streaming_spark.llm.flac_codec as _flac
     import python_kinesis_streaming_spark.llm.jpeg_codec as _jpeg
     import python_kinesis_streaming_spark.llm.media_codecs as _self
+    import python_kinesis_streaming_spark.llm.mkv_codec as _mkv
     import python_kinesis_streaming_spark.llm.video_codecs as _video
 
     # Ship this module's code inside the serialized task closure: executors
@@ -806,6 +807,7 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
     cloudpickle.register_pickle_by_value(_jpeg)
     cloudpickle.register_pickle_by_value(_video)
     cloudpickle.register_pickle_by_value(_flac)
+    cloudpickle.register_pickle_by_value(_mkv)
     decode_jpeg_kernel = _jpeg.decode_jpeg
     probe_video_kernel = _video.probe_video
     decode_video_payload = _video._decode_video_payload
@@ -858,7 +860,7 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
                         gif_frames = decode_gif(blob)
                         arr = gif_frames[0]
                         base["n_frames"] = len(gif_frames)
-                    elif fmt in ("avi", "mp4"):
+                    elif fmt in ("avi", "mp4", "mkv", "webm"):
                         # container demux → first-frame features (GIF
                         # convention: n_frames counts the whole sequence);
                         # per-frame sampling lives in video_codecs.
@@ -866,7 +868,7 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
                         fr0 = probe["frames"][0]
                         arr = decode_video_payload(
                             "MJPG"
-                            if probe["codec"] in ("MJPG", "jpeg", "mjpa")
+                            if probe["codec"] in ("MJPG", "jpeg", "mjpa", "V_MJPEG")
                             else probe["codec"],
                             blob[fr0["offset"] : fr0["offset"] + fr0["size"]],
                             probe["width"] or 0,

@@ -1,7 +1,9 @@
 """REAL video container demux/mux, stdlib + numpy only — completes the
 image/audio/VIDEO modality triad with working code.
 
-Two public container formats, both written from their public specs:
+Three public container formats, all written from their public specs
+(Matroska/WebM lives in ``mkv_codec.py`` and plugs into ``probe_video``
+/ ``video_frames_frame`` here):
 
 - **AVI (RIFF)** — `parse_avi` walks the RIFF/LIST tree (`hdrl` →
   `avih`/`strh`/`strf`, `movi` frame chunks, `idx1` index) per the
@@ -49,6 +51,7 @@ from python_kinesis_streaming_spark.llm.media_codecs import (
     image_features,
     phash64,
 )
+from python_kinesis_streaming_spark.llm.mkv_codec import parse_mkv
 
 AVIF_HASINDEX = 0x00000010
 AVIIF_KEYFRAME = 0x00000010
@@ -666,6 +669,8 @@ def probe_video(fmt: str, data: bytes) -> dict:
                 for s in track["samples"]
             ],
         }
+    if fmt in ("mkv", "webm"):
+        return parse_mkv(data)  # already the probe shape
     raise ValueError(f"unknown container format {fmt!r}")
 
 
@@ -692,7 +697,7 @@ def video_frames_frame(
 ):
     """Arrow-batched per-FRAME feature extraction over video blobs.
 
-    (id, format∈{avi,mp4}, payload) rows in → one row per sampled frame:
+    (id, format∈{avi,mp4,mkv}, payload) rows in → one row per sampled frame:
     container metadata (pts_ms, keyframe, n_frames_total) + decoded
     features (height/width/mean_px + DCT pHash, same as the image path).
     Sampling happens on the demux index BEFORE any decode. Malformed
@@ -706,10 +711,12 @@ def video_frames_frame(
 
     import python_kinesis_streaming_spark.llm.jpeg_codec as _jpeg
     import python_kinesis_streaming_spark.llm.media_codecs as _media
+    import python_kinesis_streaming_spark.llm.mkv_codec as _mkv
     import python_kinesis_streaming_spark.llm.video_codecs as _self
 
     cloudpickle.register_pickle_by_value(_jpeg)
     cloudpickle.register_pickle_by_value(_media)
+    cloudpickle.register_pickle_by_value(_mkv)
     cloudpickle.register_pickle_by_value(_self)
 
     def frame_batches(batches):
@@ -731,7 +738,7 @@ def video_frames_frame(
                     for fi in chosen:
                         fr = probe["frames"][fi]
                         arr = _decode_video_payload(
-                            "MJPG" if probe["codec"] in ("MJPG", "jpeg", "mjpa")
+                            "MJPG" if probe["codec"] in ("MJPG", "jpeg", "mjpa", "V_MJPEG")
                             else probe["codec"],
                             blob[fr["offset"] : fr["offset"] + fr["size"]],
                             probe["width"] or 0,
