@@ -56,6 +56,11 @@ from python_kinesis_streaming_spark.llm.span_dedup import (
     duplicated_spans,
     span_dedup_report,
 )
+from python_kinesis_streaming_spark.llm.subtitles import (
+    align_frames_to_cues,
+    parse_subtitles,
+    subtitles_frame,
+)
 from python_kinesis_streaming_spark.llm.unigram import (
     train_unigram,
     viterbi_encode,
@@ -182,6 +187,9 @@ _CORPUS_SURFACE = [
     "parse_mkv",
     "build_mkv",
     "decode_mkv_frames",
+    "parse_subtitles",
+    "subtitles_frame",
+    "align_frames_to_cues",
 ]
 
 __all__ = _CORPUS_SURFACE + [
