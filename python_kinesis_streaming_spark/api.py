@@ -45,6 +45,13 @@ from python_kinesis_streaming_spark.llm.classifier import (
     predict_scores,
     train_logreg,
 )
+from python_kinesis_streaming_spark.llm.image_ops import (
+    center_crop,
+    image_transform_frame,
+    letterbox,
+    resize_bilinear,
+    resize_nearest,
+)
 from python_kinesis_streaming_spark.llm.media_codecs import media_features_frame
 from python_kinesis_streaming_spark.llm.packing import (
     pack_concat,
@@ -190,6 +197,11 @@ _CORPUS_SURFACE = [
     "parse_subtitles",
     "subtitles_frame",
     "align_frames_to_cues",
+    "resize_bilinear",
+    "resize_nearest",
+    "center_crop",
+    "letterbox",
+    "image_transform_frame",
 ]
 
 __all__ = _CORPUS_SURFACE + [
