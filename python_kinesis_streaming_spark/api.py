@@ -85,6 +85,11 @@ from python_kinesis_streaming_spark.llm.mkv_codec import (
     decode_mkv_frames,
     parse_mkv,
 )
+from python_kinesis_streaming_spark.llm.mpegts_codec import (
+    build_ts,
+    decode_ts_frames,
+    parse_ts,
+)
 from python_kinesis_streaming_spark.llm.video_codecs import (
     probe_video,
     video_frames_frame,
@@ -194,6 +199,9 @@ _CORPUS_SURFACE = [
     "parse_mkv",
     "build_mkv",
     "decode_mkv_frames",
+    "parse_ts",
+    "build_ts",
+    "decode_ts_frames",
     "parse_subtitles",
     "subtitles_frame",
     "align_frames_to_cues",
