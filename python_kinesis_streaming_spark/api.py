@@ -35,6 +35,12 @@ from python_kinesis_streaming_spark.llm.dedup import (
     minhash_signatures,
     word_shingles,
 )
+from python_kinesis_streaming_spark.llm.audio_ops import (
+    audio_standardize_frame,
+    fit_length,
+    mixdown_mono,
+    resample_linear,
+)
 from python_kinesis_streaming_spark.llm.flac_codec import (
     decode_flac,
     encode_flac,
@@ -210,6 +216,10 @@ _CORPUS_SURFACE = [
     "center_crop",
     "letterbox",
     "image_transform_frame",
+    "mixdown_mono",
+    "resample_linear",
+    "fit_length",
+    "audio_standardize_frame",
 ]
 
 __all__ = _CORPUS_SURFACE + [
