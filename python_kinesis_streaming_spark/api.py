@@ -74,6 +74,10 @@ from python_kinesis_streaming_spark.llm.subtitles import (
     parse_subtitles,
     subtitles_frame,
 )
+from python_kinesis_streaming_spark.llm.tokenizer_eval import (
+    compare_tokenizers,
+    tokenizer_report,
+)
 from python_kinesis_streaming_spark.llm.unigram import (
     train_unigram,
     viterbi_encode,
@@ -194,6 +198,8 @@ _CORPUS_SURFACE = [
     "span_dedup_report",
     "train_unigram",
     "viterbi_encode",
+    "tokenizer_report",
+    "compare_tokenizers",
     "normalize_url",
     "registered_domain",
     "dedup_by_url",
