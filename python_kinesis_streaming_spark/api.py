@@ -107,7 +107,9 @@ from python_kinesis_streaming_spark.llm.video_codecs import (
 from python_kinesis_streaming_spark.llm.quality_rules import gopher_rules
 from python_kinesis_streaming_spark.llm.shards import (
     read_tar_shards,
+    read_zip_shards,
     write_tar_shards,
+    write_zip_shards,
 )
 from python_kinesis_streaming_spark.llm.similarity import cosine, dot, l2norm
 from python_kinesis_streaming_spark.llm.warc import read_warc
@@ -156,6 +158,8 @@ _CORPUS_SURFACE = [
     "read_warc",
     "write_tar_shards",
     "read_tar_shards",
+    "write_zip_shards",
+    "read_zip_shards",
     "read_avro",
     "write_avro",
     "write_snapshot",

@@ -209,3 +209,131 @@ def stream_tar_shards(
     return files.select("path", "content").mapInPandas(
         _make_unpack(), schema=_SAMPLE_SCHEMA
     )
+
+
+def write_zip_shards(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    members: dict[str, str],
+    n_shards: int,
+    compress: bool = True,
+) -> DataFrame:
+    """ZIP variant of ``write_tar_shards`` — same sharding (crc32 of the
+    key), same manifest schema, byte-deterministic output (fixed
+    1980-01-01 timestamps, sorted member order, fixed deflate level).
+    ZIP adds what tar lacks: a central directory, so a reader can list
+    and random-access single members without scanning the archive —
+    the right container when consumers fetch individual samples.
+    """
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(out_dir):
+        if name.startswith("shard-") and name.endswith(".zip"):
+            os.remove(os.path.join(out_dir, name))
+
+    member_items = sorted(members.items())
+    cols = [key_col] + [c for _, c in member_items]
+    keyed = (
+        df.select(*cols)
+        .withColumn("_key", F.col(key_col).cast("string"))
+        .withColumn("_shard", F.crc32(F.col("_key")) % F.lit(n_shards))
+    )
+    out_dir_b = out_dir
+    exts = [e for e, _ in member_items]
+    src_cols = [c for _, c in member_items]
+    method_deflated = compress
+
+    def pack_shard(pdf):
+        import hashlib
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        shard_id = int(pdf["_shard"].iloc[0])
+        buf = io.BytesIO()
+        rows = pdf.sort_values("_key")
+        method = (
+            zipfile.ZIP_DEFLATED if method_deflated else zipfile.ZIP_STORED
+        )
+        n = 0
+        with zipfile.ZipFile(buf, "w", compression=method,
+                             compresslevel=6) as zf:
+            for _, row in rows.iterrows():
+                key = row["_key"]
+                for ext, col in zip(exts, src_cols):
+                    payload = row[col]
+                    if payload is None:
+                        continue
+                    blob = (
+                        payload.encode("utf-8")
+                        if isinstance(payload, str)
+                        else bytes(payload)
+                    )
+                    info = zipfile.ZipInfo(
+                        f"{key}.{ext}", date_time=(1980, 1, 1, 0, 0, 0)
+                    )
+                    info.compress_type = method
+                    info.external_attr = 0
+                    zf.writestr(info, blob, compresslevel=6)
+                n += 1
+        data = buf.getvalue()
+        path = os.path.join(out_dir_b, f"shard-{shard_id:05d}.zip")
+        with open(path, "wb") as f:
+            f.write(data)
+        return pd.DataFrame(
+            [
+                {
+                    "shard": f"shard-{shard_id:05d}",
+                    "path": path,
+                    "n_samples": n,
+                    "n_bytes": len(data),
+                    "sha256": hashlib.sha256(data).hexdigest(),
+                }
+            ]
+        )
+
+    return keyed.groupBy("_shard").applyInPandas(
+        pack_shard,
+        schema="shard string, path string, n_samples long, n_bytes long, "
+        "sha256 string",
+    )
+
+
+def read_zip_shards(spark: SparkSession, shard_glob: str) -> DataFrame:
+    """Unpack ZIP shards into the same (shard, key, parts) rows as
+    ``read_tar_shards`` — one task per file, zero shuffle."""
+
+    def unpack(batches):
+        import io
+        import os as _os
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = _os.path.splitext(_os.path.basename(path))[0]
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                    samples: dict[str, dict[str, bytes]] = {}
+                    for name in zf.namelist():
+                        stem, dot, ext = name.rpartition(".")
+                        if not dot:
+                            stem, ext = name, ""
+                        samples.setdefault(stem, {})[ext] = zf.read(name)
+                    for key in sorted(samples):
+                        rows.append(
+                            {"shard": shard, "key": key,
+                             "parts": samples[key]}
+                        )
+            yield pd.DataFrame(rows)
+
+    files = spark.read.format("binaryFile").load(shard_glob)
+    return files.select("path", "content").mapInPandas(
+        unpack, schema=_SAMPLE_SCHEMA
+    )
