@@ -64,58 +64,8 @@ _loaded = False
 # CORRECTNESS_r*.json: fixed-this-round ops first (regrade), then the
 # never-graded block, then the next-up block for the following round.
 _GRADING_PRIORITY = [
-    # round-7 window: next 50 never-driver-graded ops (r06 was 50/50 green,
-    # so no regrades; the 50 r06-graded names rotated to the back).
-    "corpus_epoch_plan",
-    "ts_hopping_agg",
-    "text_ngram_novelty",
-    "join_asof_tolerance",
-    "corpus_importance_resample",
-    "dq_row_quarantine",
-    "stream_idempotent_sink",
-    "sink_python_datasource",
-    "stream_batch_parity",
-    "emb_quantization_recall",
-    "join_skew_diagnose",
-    "fn_interval_arith",
-    "scan_file_metadata",
-    "dedup_lsh_tuning",
-    "fn_sql_pipe",
-    "multimodal_manifest",
-    "feat_pit_training_set",
-    "text_bpe_merge_step",
-    "dedup_transactions_fuzzy",
-    "fn_hof_map_family",
-    "fn_lateral_view_sql",
-    "sink_compact_small_files",
-    "snapshot_diff_audit",
-    "join_cardinality_estimate",
-    "orders_abc_classification",
-    "scan_union_by_name",
-    "emb_mips_transform",
-    "fn_sql_udf",
-    "ts_seasonal_decompose",
-    "events_path_pattern_match",
-    "corpus_length_batching",
-    "win_running_distinct",
-    "text_vocab_coverage",
-    "orders_fulfillment_latency",
-    "dq_daily_metrics",
-    "fn_try_arith",
-    "text_prefix_autocomplete",
-    "stream_scd_merge_sink",
-    "sim_index_build_report",
-    "orders_revenue_waterfall",
-    "join_star_denormalize",
-    "agg_quantile_sketch_audit",
-    "dedup_exact_normalized",
-    "orders_brand_rank_shift",
-    "dq_observe_metrics",
-    "events_error_after_purchase",
-    "udtf_dynamic_schema",
-    "fn_sql_params",
-    "events_weekend_lift",
-    "fn_xpath",
+    # round-8 window: next 50 never-driver-graded ops (positions 0-49;
+    # r07 was 50/50 green, so no regrades — the r7 window rotated back).
     "agg_geometric_mean",
     "agg_bitmap_native",
     "ts_campaign_overlap",
@@ -166,6 +116,7 @@ _GRADING_PRIORITY = [
     "dq_unit_price_consistency",
     "emb_random_projection",
     "events_score_decile_lift",
+    # round-9 queue: remaining 51 never-graded ops (pre-verify early).
     "ts_time_weighted_avg",
     "agg_ecdf_grid",
     "ts_linear_interpolate",
@@ -217,6 +168,57 @@ _GRADING_PRIORITY = [
     "text_heaps_law",
     "text_collocations_pmi",
     "corpus_sample_weighted",
+    # round-7 window (driver-green in CORRECTNESS_r07, 50/50) rotated back
+    "corpus_epoch_plan",
+    "ts_hopping_agg",
+    "text_ngram_novelty",
+    "join_asof_tolerance",
+    "corpus_importance_resample",
+    "dq_row_quarantine",
+    "stream_idempotent_sink",
+    "sink_python_datasource",
+    "stream_batch_parity",
+    "emb_quantization_recall",
+    "join_skew_diagnose",
+    "fn_interval_arith",
+    "scan_file_metadata",
+    "dedup_lsh_tuning",
+    "fn_sql_pipe",
+    "multimodal_manifest",
+    "feat_pit_training_set",
+    "text_bpe_merge_step",
+    "dedup_transactions_fuzzy",
+    "fn_hof_map_family",
+    "fn_lateral_view_sql",
+    "sink_compact_small_files",
+    "snapshot_diff_audit",
+    "join_cardinality_estimate",
+    "orders_abc_classification",
+    "scan_union_by_name",
+    "emb_mips_transform",
+    "fn_sql_udf",
+    "ts_seasonal_decompose",
+    "events_path_pattern_match",
+    "corpus_length_batching",
+    "win_running_distinct",
+    "text_vocab_coverage",
+    "orders_fulfillment_latency",
+    "dq_daily_metrics",
+    "fn_try_arith",
+    "text_prefix_autocomplete",
+    "stream_scd_merge_sink",
+    "sim_index_build_report",
+    "orders_revenue_waterfall",
+    "join_star_denormalize",
+    "agg_quantile_sketch_audit",
+    "dedup_exact_normalized",
+    "orders_brand_rank_shift",
+    "dq_observe_metrics",
+    "events_error_after_purchase",
+    "udtf_dynamic_schema",
+    "fn_sql_params",
+    "events_weekend_lift",
+    "fn_xpath",
     # round-6 window (driver-green in CORRECTNESS_r06, 50/50) rotated back
     "udtf_python_lateral",
     "stream_topk_per_window",
