@@ -26,14 +26,17 @@ from __future__ import annotations
 
 import numpy as np
 
+from python_kinesis_streaming_spark.llm.media_codecs import (
+    resize_nearest as _nn_kernel,
+)
+
 
 def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """HxWxC (or HxW) uint8 → out_h x out_w, nearest neighbor
-    (floor of the half-pixel center map)."""
-    h, w = arr.shape[:2]
-    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(int), h - 1)
-    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(int), w - 1)
-    return arr[ys][:, xs]
+    (floor of the half-pixel center map). Delegates to the single
+    nearest-neighbor kernel in media_codecs (centers=True) so the
+    index-map convention is pinned in exactly one place."""
+    return _nn_kernel(arr, out_h, out_w, centers=True)
 
 
 def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -924,11 +924,28 @@ def media_features_frame(df, id_col: str, fmt_col: str, payload_col: str):
     return df.mapInPandas(decode_batches, schema=schema)
 
 
-def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Nearest-neighbor resize (index-map gather; any channel count)."""
+def resize_nearest(
+    arr: np.ndarray, out_h: int, out_w: int, centers: bool = False
+) -> np.ndarray:
+    """Nearest-neighbor resize (index-map gather; any channel count).
+
+    The single nearest-neighbor kernel for the package — image_ops
+    delegates here so the convention lives in exactly one place.
+    ``centers=False`` (default): left-aligned ``floor(i*h/out)`` map,
+    the pHash pipeline's pinned convention. ``centers=True``: floor of
+    the half-pixel center map, the dataset-preprocessing convention
+    (image_ops.resize_nearest)."""
     h, w = arr.shape[:2]
-    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
-    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    if centers:
+        ys = np.minimum(
+            ((np.arange(out_h) + 0.5) * h / out_h).astype(int), h - 1
+        )
+        xs = np.minimum(
+            ((np.arange(out_w) + 0.5) * w / out_w).astype(int), w - 1
+        )
+    else:
+        ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+        xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
     return arr[ys][:, xs]
 
 

@@ -46,6 +46,11 @@ def parse_subtitles(text: str) -> list[dict]:
     never breaks the file). Raises ValueError only when NO cue parses
     and the input is non-empty garbage.
     """
+    # A UTF-8 BOM decodes to U+FEFF at the START of the text; strip it
+    # before format detection (str.strip() does NOT remove it — it is a
+    # Cf format character, not whitespace), else a BOM-prefixed WebVTT
+    # file misses the WEBVTT magic and NOTE/STYLE blocks get parsed.
+    text = text.lstrip("﻿")
     is_vtt = text.lstrip().startswith("WEBVTT")
     cues = []
     block: list[str] = []
@@ -75,7 +80,7 @@ def parse_subtitles(text: str) -> list[dict]:
                 return
 
     for raw in text.splitlines():
-        line = raw.rstrip("﻿").strip()
+        line = raw.lstrip("﻿").strip()
         if not line:
             flush(block)
             block = []

@@ -100,11 +100,16 @@ def normalize_url(url: Column | str) -> Column:
 
 
 def dedup_by_url(df: DataFrame, url_col: str) -> DataFrame:
-    """Keep one row per normalized URL (min-ordinal row wins if an
-    ``ordinal`` column exists, else arbitrary-but-deterministic via
-    the normalized URL sort)."""
+    """Keep one row per normalized URL (min-``ordinal`` row wins when an
+    ``ordinal`` column exists, with the raw URL as tie-break; else
+    arbitrary-but-deterministic via the raw URL sort)."""
     normed = df.withColumn("_norm_url", normalize_url(url_col))
-    w = Window.partitionBy("_norm_url").orderBy(url_col)
+    order = (
+        [F.col("ordinal").asc_nulls_last(), F.col(url_col)]
+        if "ordinal" in df.columns
+        else [F.col(url_col)]
+    )
+    w = Window.partitionBy("_norm_url").orderBy(*order)
     return (
         normed.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -231,15 +236,26 @@ def robots_allowed(
         (F.col("has_specific") == 0) | (F.col("agent_specific") == 1)
     )
 
-    u = urls.withColumn("_host", url_host(url_col)).withColumn(
-        "_path",
-        F.coalesce(
-            F.when(
-                F.parse_url(F.col(url_col), F.lit("PATH")) == "",
-                F.lit("/"),
-            ).otherwise(F.parse_url(F.col(url_col), F.lit("PATH"))),
+    # RFC 9309 §2.2.2 matches rules against the path AND query ("the
+    # path, and optionally the query"), so 'Disallow: /*?sessionid='
+    # must be matchable; a unique row key (not the URL string) keys the
+    # winner window so duplicate URL rows (re-crawls, pre-dedup
+    # corpora) each keep their own verdict instead of collapsing.
+    path_only = F.coalesce(
+        F.when(
+            F.parse_url(F.col(url_col), F.lit("PATH")) == "",
             F.lit("/"),
-        ),
+        ).otherwise(F.parse_url(F.col(url_col), F.lit("PATH"))),
+        F.lit("/"),
+    )
+    query_part = F.coalesce(
+        F.concat(F.lit("?"), F.parse_url(F.col(url_col), F.lit("QUERY"))),
+        F.lit(""),
+    )
+    u = (
+        urls.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("_host", url_host(url_col))
+        .withColumn("_path", F.concat(path_only, query_part))
     )
     matched = u.join(
         F.broadcast(r.withColumnRenamed("host", "_host")),
@@ -250,7 +266,7 @@ def robots_allowed(
         F.col("rule_regex").isNotNull()
         & F.regexp_like(F.col("_path"), F.col("rule_regex")),
     )
-    w = Window.partitionBy(url_col).orderBy(
+    w = Window.partitionBy("_rid").orderBy(
         F.desc("_hit"),
         F.desc(F.when(F.col("_hit"), F.length("rule")).otherwise(-1)),
         F.desc(F.when(F.col("_hit"), F.col("allow").cast("int"))),

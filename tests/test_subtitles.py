@@ -155,3 +155,14 @@ def test_end_to_end_mkv_frames_to_captions(spark):
     assert out[0] is None
     assert out[1] == "mid caption" and out[2] == "mid caption"
     assert out[3] is None
+
+
+def test_parse_vtt_with_utf8_bom_detects_format():
+    # a BOM-prefixed WebVTT file must still hit the WEBVTT magic so the
+    # NOTE block (whose text contains '-->') is skipped, not parsed
+    bom_vtt = "﻿WEBVTT\n\nNOTE fake 00:00:01.000 --> 00:00:02.000\n\n" \
+        "00:01.000 --> 00:03.500\nReal cue\n"
+    cues = parse_subtitles(bom_vtt)
+    assert [(c["start_ms"], c["end_ms"], c["text"]) for c in cues] == [
+        (1000, 3500, "Real cue"),
+    ]

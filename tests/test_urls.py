@@ -164,3 +164,58 @@ def test_robots_specific_agent_group_excludes_star(spark):
         for r in robots_allowed(urls, "url", rules, agent="goodbot").collect()
     }
     assert got == {1: True, 2: False}
+
+
+def test_dedup_by_url_min_ordinal_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (7, "http://a.com/x?utm_source=tw", 5),
+            (8, "HTTP://A.com/x", 2),
+            (9, "http://a.com/x", 9),
+        ],
+        "id long, url string, ordinal long",
+    )
+    out = dedup_by_url(df, "url").collect()
+    assert len(out) == 1
+    assert out[0]["id"] == 8  # ordinal 2 beats 5 and 9
+
+
+def test_robots_duplicate_url_rows_all_survive(spark):
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.com/private/secret"),
+            (2, "http://a.com/private/secret"),  # same URL, distinct row
+            (3, "http://a.com/public"),
+        ],
+        "id long, url string",
+    )
+    out = robots_allowed(urls, "url", rules, agent="*").collect()
+    assert len(out) == 3  # row count preserved for duplicate URLs
+    got = {r["id"]: r["allowed"] for r in out}
+    assert got == {1: False, 2: False, 3: True}
+
+
+def test_robots_query_string_rules_match(spark):
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /*?sessionid=\n"
+    )
+    df = spark.createDataFrame(
+        [("q.com", bytearray(robots.encode()))],
+        "host string, payload binary",
+    )
+    rules = parse_robots_frame(df, "host", "payload")
+    urls = spark.createDataFrame(
+        [
+            (1, "http://q.com/page?sessionid=abc"),  # query matches
+            (2, "http://q.com/page?id=1"),           # different param
+            (3, "http://q.com/page"),                # no query
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["allowed"]
+        for r in robots_allowed(urls, "url", rules, agent="*").collect()
+    }
+    assert got == {1: False, 2: True, 3: True}
