@@ -37,8 +37,10 @@ uvarints (first absolute, then ``delta - 1``). A million deleted rows is
 
 Scale notes (100 TB): every mutation's data I/O is proportional to the
 affected rows/files, never the table. The only driver round-trips are
-bounded metadata: matched (file, position) pairs for a delete (sized by
-the delete, not the table), the touched-file list for a merge, and
+bounded metadata: per-file DV/count summaries for a delete (sized by
+the number of affected FILES — DV sidecars are built and written
+executor-side, so even a delete matching 10% of the table ships no
+row positions to the driver), the touched-file list for a merge, and
 256 quantile cut points per clustered column.
 """
 
@@ -123,15 +125,6 @@ def decode_dv(blob: bytes) -> list[int]:
     if off != len(blob):
         raise ValueError("dv: trailing bytes")
     return out
-
-
-def _write_dv_file(table_dir: str, positions: list[int]) -> tuple[str, int]:
-    os.makedirs(os.path.join(table_dir, DV_DIR), exist_ok=True)
-    rel = os.path.join(DV_DIR, f"{uuid.uuid4().hex}.dv")
-    blob = encode_dv(positions)
-    with open(os.path.join(table_dir, rel), "wb") as f:
-        f.write(blob)
-    return rel, len(blob)
 
 
 # ---------------------------------------------------------------------------
@@ -246,12 +239,6 @@ def read_table(
 # ---------------------------------------------------------------------------
 
 
-def _file_row_count(path: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(path).metadata.num_rows
-
-
 def delete_where(
     spark: SparkSession,
     table_dir: str,
@@ -269,8 +256,10 @@ def delete_where(
     folded in). ``prune=(column, lo, hi)`` skips scanning files whose
     manifest range cannot match, exactly like ``read_snapshot``'s hint.
 
-    Matched positions stream to the driver — cost is bounded by the
-    DELETE's cardinality (takedowns are small), never the table's.
+    Driver traffic is bounded by the number of AFFECTED FILES, never by
+    matched-row count: DV mode builds and writes each sidecar inside
+    the executor task that owns the file, and rewrite mode collects
+    only per-file match counts.
     """
     from .snapshots import _replay_state
 
@@ -299,39 +288,114 @@ def delete_where(
             "__fp string, __ri bigint",
         )
         matched = matched.join(F.broadcast(already), ["__fp", "__ri"], "left_anti")
-    matches = matched.collect()
-    by_file: dict[str, list[int]] = {}
     abs_to_rel = {
         os.path.abspath(os.path.join(table_dir, p)): p for p in live
     }
-    for r in matches:
-        by_file.setdefault(abs_to_rel[r["__fp"]], []).append(r["__ri"])
-    if not by_file:
-        return {"version": base, "deleted_rows": 0, "files_touched": 0}
-
-    actions: list[dict] = []
-    deleted_rows = sum(len(v) for v in by_file.values())
     if mode == "dv":
+        # Executor-side DV construction (VERDICT r7 item 5): the matched
+        # positions never reach the driver. One task per dirty file
+        # unions the new positions with the file's existing DV, writes
+        # the sidecar FROM THE TASK, and ships back only (file, dv_path,
+        # cardinality, size) — driver traffic is bounded by FILE COUNT,
+        # not matched-row count, so a quality-filter delete matching 10%
+        # of a 100 TB table is as driver-safe as a 1k-document takedown.
+        # A retried task can leave an orphan .dv file; only the path the
+        # committed action references is live, and vacuum() collects the
+        # rest.
+        import python_kinesis_streaming_spark.sources.lakehouse as _self
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(_self)
+        enc_k, dec_k = _self.encode_dv, _self.decode_dv
+        rel_by_abs = {
+            os.path.abspath(os.path.join(table_dir, rel)): rel
+            for rel in candidates
+        }
+        dv_rel_by_abs = {
+            os.path.abspath(os.path.join(table_dir, rel)): dvs[rel]["dv_path"]
+            for rel in candidates
+            if rel in dvs
+        }
+        table_dir_abs = os.path.abspath(table_dir)
+        dv_dir = DV_DIR
+
+        per_file = matched.groupBy("__fp").agg(
+            F.sort_array(F.collect_list("__ri")).alias("pos")
+        )
+
+        def build_dvs(batches):
+            import os as _os
+            import uuid as _uuid
+
+            import pandas as pd
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                out = {
+                    "rel": [], "dv_path": [], "cardinality": [],
+                    "size": [], "new_deleted": [], "remove": [],
+                }
+                for fp, pos in zip(pdf["__fp"], pdf["pos"]):
+                    rel = rel_by_abs[fp]
+                    new_pos = [int(p) for p in pos]
+                    old_pos: list[int] = []
+                    old_rel = dv_rel_by_abs.get(fp)
+                    if old_rel is not None:
+                        with open(
+                            _os.path.join(table_dir_abs, old_rel), "rb"
+                        ) as f:
+                            old_pos = dec_k(f.read())
+                    union = sorted(set(old_pos) | set(new_pos))
+                    total = _pq.ParquetFile(fp).metadata.num_rows
+                    if len(union) >= total:
+                        dv_rel, size = None, 0
+                    else:
+                        blob = enc_k(union)
+                        _os.makedirs(
+                            _os.path.join(table_dir_abs, dv_dir),
+                            exist_ok=True,
+                        )
+                        dv_rel = _os.path.join(
+                            dv_dir, f"{_uuid.uuid4().hex}.dv"
+                        )
+                        with open(
+                            _os.path.join(table_dir_abs, dv_rel), "wb"
+                        ) as f:
+                            f.write(blob)
+                        size = len(blob)
+                    out["rel"].append(rel)
+                    out["dv_path"].append(dv_rel)
+                    out["cardinality"].append(len(union))
+                    out["size"].append(size)
+                    out["new_deleted"].append(len(new_pos))
+                    out["remove"].append(dv_rel is None)
+                yield pd.DataFrame(out)
+
+        per_file_meta = per_file.mapInPandas(
+            build_dvs,
+            schema=(
+                "rel string, dv_path string, cardinality bigint, "
+                "size bigint, new_deleted bigint, remove boolean"
+            ),
+        ).collect()
+        if not per_file_meta:
+            return {"version": base, "deleted_rows": 0, "files_touched": 0}
+        actions: list[dict] = []
         removed = 0
-        for rel, new_pos in sorted(by_file.items()):
-            old_pos: list[int] = []
-            if rel in dvs:
-                with open(os.path.join(table_dir, dvs[rel]["dv_path"]), "rb") as f:
-                    old_pos = decode_dv(f.read())
-            union = sorted(set(old_pos) | set(new_pos))
-            total = _file_row_count(os.path.join(table_dir, rel))
-            if len(union) >= total:
-                actions.append({"action": "remove", "path": rel})
+        deleted_rows = 0
+        for r in sorted(per_file_meta, key=lambda r: r["rel"]):
+            deleted_rows += r["new_deleted"]
+            if r["remove"]:
+                actions.append({"action": "remove", "path": r["rel"]})
                 removed += 1
             else:
-                dv_rel, size = _write_dv_file(table_dir, union)
                 actions.append(
                     {
                         "action": "dv",
-                        "path": rel,
-                        "dv_path": dv_rel,
-                        "cardinality": len(union),
-                        "size": size,
+                        "path": r["rel"],
+                        "dv_path": r["dv_path"],
+                        "cardinality": r["cardinality"],
+                        "size": r["size"],
                     }
                 )
         version = commit(
@@ -340,14 +404,21 @@ def delete_where(
         return {
             "version": version,
             "deleted_rows": deleted_rows,
-            "files_touched": len(by_file),
+            "files_touched": len(per_file_meta),
             "files_removed": removed,
         }
 
     # copy-on-write: rewrite ONLY the matched files, folding in their DVs
     # (and materializing any schema-evolution default fills — the rewrite
-    # commit postdates every `since`, so the fills must become physical)
-    touched = sorted(by_file)
+    # commit postdates every `since`, so the fills must become physical).
+    # Only per-file match COUNTS come to the driver (file-count-bounded).
+    per_file_counts = (
+        matched.groupBy("__fp").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    if not per_file_counts:
+        return {"version": base, "deleted_rows": 0, "files_touched": 0}
+    deleted_rows = sum(r["n"] for r in per_file_counts)
+    touched = sorted(abs_to_rel[r["__fp"]] for r in per_file_counts)
     df = _scan_files(spark, table_dir, st, touched, with_meta=True)
     cols = [c for c in df.columns if c not in ("__fp", "__ri")]
     touched_dvs = {p: dvs[p] for p in touched if p in dvs}

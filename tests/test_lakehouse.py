@@ -318,3 +318,42 @@ def test_vacuum_reaps_superseded_dv_files(spark, tmp_path):
     vacuum(t, retain_versions=1)
     assert len(os.listdir(dv_dir)) == 1
     assert set(_ids(spark, t)) == set(range(100)) - {1, 2}
+
+
+def test_delete_large_fraction_dv_is_file_bounded(spark, tmp_path):
+    # VERDICT r7 item 5: DV construction is executor-side, so a delete
+    # matching a large fraction of the table (here 50% of 50k rows over
+    # 8 files) must work with driver traffic bounded by FILE COUNT —
+    # the result dict is the only thing collected, and each touched
+    # file gets exactly one DV sidecar in the commit.
+    t = str(tmp_path / "big")
+    df = spark.range(0, 50_000, 1, 8).selectExpr(
+        "id", "cast(id % 2 as int) as parity"
+    )
+    write_snapshot(df, t, message="seed")
+    out = delete_where(spark, t, "parity = 1", mode="dv")
+    assert out["deleted_rows"] == 25_000
+    assert out["files_touched"] == 8
+    assert out["files_removed"] == 0
+    # every live file carries exactly one DV action in the new version
+    from python_kinesis_streaming_spark.sources.snapshots import (
+        _replay_state,
+    )
+
+    st = _replay_state(t, current_version(t))
+    assert len(st.dvs) == 8
+    assert all(a["cardinality"] == 3125 for a in st.dvs.values())
+    got = sorted(
+        r["id"] for r in read_table(spark, t).select("id").collect()
+    )
+    assert got == list(range(0, 50_000, 2))
+
+
+def test_delete_large_fraction_dv_rewrite_parity(spark, tmp_path):
+    a = _make_table(spark, str(tmp_path / "pa"), n=2000, files=5)
+    b = _make_table(spark, str(tmp_path / "pb"), n=2000, files=5)
+    pred = "grp in (1, 3, 5)"  # ~43% of rows
+    oa = delete_where(spark, a, pred, mode="dv")
+    ob = delete_where(spark, b, pred, mode="rewrite")
+    assert oa["deleted_rows"] == ob["deleted_rows"] > 800
+    assert _ids(spark, a) == _ids(spark, b)
