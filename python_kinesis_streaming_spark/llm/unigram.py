@@ -147,6 +147,16 @@ def expected_piece_counts(
     ``logp`` rides in the task closure (O(vocab)); each Arrow batch
     pre-aggregates into a dict so the shuffle sees per-batch partials.
     """
+    # The kernel calls a function from THIS module: ship it by value so
+    # a bare driver session (executors with no repo on sys.path) can
+    # unpickle the task — the seam rule every other kernel follows.
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.unigram as _self
+
+    cloudpickle.register_pickle_by_value(_self)
+    lattice_counts = _self._lattice_expected_counts
+
     items = sorted(logp.items())  # deterministic closure content
 
     def estep(batches):
@@ -159,9 +169,7 @@ def expected_piece_counts(
             for word, freq in zip(pdf["word"], pdf["freq"]):
                 ec = memo.get(word)
                 if ec is None:
-                    ec = _lattice_expected_counts(
-                        word, model, max_piece_len
-                    )
+                    ec = lattice_counts(word, model, max_piece_len)
                     memo[word] = ec
                 for piece, c in ec.items():
                     acc[piece] = acc.get(piece, 0.0) + c * freq

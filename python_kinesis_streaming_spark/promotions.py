@@ -739,3 +739,560 @@ def lakehouse_merge_upsert_audit(
         ),
         rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §P.4 packing / span dedup / training — closed-form + invariant audits
+# ---------------------------------------------------------------------------
+
+
+@promo_op(
+    "pack_chunk_histogram",
+    oracle="""
+        WITH t AS (
+            SELECT len(list_filter(string_split(text, ' '),
+                                   w -> length(w) > 0)) AS nt
+            FROM documents
+        ), chunks AS (
+            SELECT nt // 32 + CASE WHEN nt % 32 = 0 THEN 0 ELSE 1 END
+                       AS n_chunks,
+                   CASE WHEN nt % 32 = 0 THEN 32 ELSE nt % 32 END
+                       AS last_len
+            FROM t WHERE nt > 0
+        )
+        SELECT chunk_len, CAST(sum(cnt) AS BIGINT) AS n_chunks
+        FROM (
+            SELECT 32 AS chunk_len, n_chunks - 1 AS cnt FROM chunks
+            UNION ALL
+            SELECT last_len AS chunk_len, 1 AS cnt FROM chunks
+        ) u
+        GROUP BY chunk_len
+        HAVING sum(cnt) > 0
+    """,
+    scale=(
+        "The packing pre-split (docs longer than seq_len explode into "
+        "seq_len-sized chunks, in-row via sequence+explode) summarized "
+        "as a histogram — pure ceil/mod arithmetic the oracle "
+        "recomputes without any expansion. One small shuffle for the "
+        "histogram groupBy."
+    ),
+)
+def pack_chunk_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """with_token_lengths → _split_long_docs(32) → chunk-length histogram."""
+    from python_kinesis_streaming_spark.llm.packing import (
+        _split_long_docs,
+        with_token_lengths,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lengths = with_token_lengths(docs, "doc_id", "text")
+    chunks = _split_long_docs(lengths, 32)
+    return chunks.groupBy(
+        F.col("n_tokens").cast("int").alias("chunk_len")
+    ).agg(F.count(F.lit(1)).alias("n_chunks"))
+
+
+@promo_op(
+    "pack_concat_audit",
+    oracle="""
+        SELECT CAST(sum(len(list_filter(string_split(text, ' '),
+                                        w -> length(w) > 0)))
+                    AS BIGINT) AS total_tokens,
+               TRUE AS seqs_within_cap,
+               TRUE AS offsets_valid,
+               TRUE AS chunks_conserved
+        FROM documents
+    """,
+    scale=(
+        "pack_concat is JVM-only (one window shuffle per 4096-way hash "
+        "bucket; plan-pinned ≤2 shuffles in tests). Sequence ids depend "
+        "on xxhash64 bucketing, so the oracle checks INVARIANTS instead "
+        "of ids: exact token conservation (every input token lands in "
+        "exactly one output row) plus capacity/offset bounds — the "
+        "properties that make packed batches trainable."
+    ),
+)
+def pack_concat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_concat(seq_len=32) invariants as an auditable single row."""
+    from python_kinesis_streaming_spark.llm.packing import (
+        _split_long_docs,
+        pack_concat,
+        with_token_lengths,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lengths = with_token_lengths(docs, "doc_id", "text")
+    packed = pack_concat(lengths, 32)
+
+    per_seq = packed.groupBy("seq_id").agg(
+        F.sum("tokens_in_seq").alias("fill")
+    )
+    seq_ok = per_seq.agg(
+        (F.max("fill") <= 32).alias("seqs_within_cap")
+    )
+    off_ok = packed.agg(
+        ((F.min("offset") >= 0) & (F.max("offset") < 32)).alias(
+            "offsets_valid"
+        ),
+        F.sum("tokens_in_seq").cast("long").alias("total_tokens"),
+    )
+    chunks = _split_long_docs(lengths, 32)
+    conserved = (
+        packed.groupBy("doc_id", "chunk_idx")
+        .agg(F.sum("tokens_in_seq").alias("got"))
+        .join(chunks, ["doc_id", "chunk_idx"])
+        .agg(
+            F.min(F.col("got") == F.col("n_tokens")).alias(
+                "chunks_conserved"
+            )
+        )
+    )
+    return (
+        off_ok.crossJoin(seq_ok).crossJoin(conserved).select(
+            "total_tokens",
+            "seqs_within_cap",
+            "offsets_valid",
+            "chunks_conserved",
+        )
+    )
+
+
+@promo_op(
+    "span_dedup_parity",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text
+                        ELSE text END AS t
+            FROM documents
+        ), toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(t, ' '),
+                               w -> length(w) > 0) AS ws
+            FROM corpus
+        ), g AS (
+            SELECT d.doc_id, i.i - 1 AS pos,
+                   array_to_string(d.ws[i.i : i.i + 7], ' ') AS gram
+            FROM toks d, generate_series(1, 250) i(i)
+            WHERE len(d.ws) >= 8 AND i.i <= len(d.ws) - 7
+        ), dup AS (
+            SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+        ), flagged AS (
+            SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+        ), runs AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS island
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
+        FROM runs GROUP BY doc_id, island
+        HAVING max(pos) - min(pos) + 8 >= 16
+    """,
+    scale=(
+        "Token-span dedup (Lee et al. style): k-gram hashes → global "
+        "duplicate filter → per-doc gaps-and-islands. The oracle "
+        "replays it on gram STRINGS (equivalent unless xxhash64 "
+        "collides — ~n²/2⁶⁴). Self-repeated docs (doc_id%5==0) "
+        "guarantee non-empty spans. Shuffles: one uniform 64-bit-hash "
+        "groupBy + one partitioned window; never O(n²)."
+    ),
+)
+def span_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicated_spans over a corpus with injected self-repeats."""
+    from python_kinesis_streaming_spark.llm.span_dedup import (
+        duplicated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat("text", F.lit(" "), "text"),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    spans = duplicated_spans(docs, "doc_id", "t", k=8, min_len=16)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
+@promo_op(
+    "classifier_train_audit",
+    oracle="""
+        SELECT 256 AS dim,
+               CAST(count(*) AS BIGINT) AS n_train,
+               CAST(count(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS n_pos,
+               TRUE AS loss_decreased,
+               TRUE AS auc_ge_095
+        FROM documents
+    """,
+    scale=(
+        "Hashed-n-gram logistic quality classifier, trained full-batch: "
+        "each GD iteration broadcasts O(dim) weights out and ships "
+        "O(dim) gradient back — never data rows. Feature hashing is "
+        "xxhash64 (not SQL-replicable), so the oracle audits the "
+        "learning invariants on a separable corpus: an injected marker "
+        "token makes AUC→1 and the loss history strictly improve."
+    ),
+)
+def classifier_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separable labels (marker token on odd doc_ids) → train → audit."""
+    from python_kinesis_streaming_spark.llm.classifier import (
+        binary_metrics,
+        hashed_features,
+        predict_scores,
+        train_logreg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat("text", F.lit(" positivemarker")),
+        )
+        .otherwise(F.concat("text", F.lit(" negativemarker")))
+        .alias("t"),
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+    )
+    feats = hashed_features(docs, "doc_id", "t", dim=256)
+    labels = docs.select("doc_id", "label")
+    model = train_logreg(feats, labels, dim=256, lr=1.0, iters=6)
+    scored = predict_scores(feats, model["weights"], model["bias"])
+    m = binary_metrics(scored, labels).collect()[0]
+    hist = model["history"]
+    return spark.createDataFrame(
+        [
+            (
+                256,
+                int(m["n_pos"] + m["n_neg"]),
+                int(m["n_pos"]),
+                bool(hist[-1] < hist[0]),
+                bool(m["auc"] >= 0.95),
+            )
+        ],
+        "dim int, n_train long, n_pos long, loss_decreased boolean, "
+        "auc_ge_095 boolean",
+    )
+
+
+@promo_op(
+    "tokenizer_train_audit",
+    oracle="""
+        SELECT 'bpe' AS tokenizer, 10 AS units, TRUE AS lossless
+        UNION ALL
+        SELECT 'unigram' AS tokenizer, 60 AS units, TRUE AS lossless
+    """,
+    scale=(
+        "Both trainers end-to-end: distributed BPE (argmax-only "
+        "collects, localCheckpoint per merge) and unigram-LM EM "
+        "(lattice E-step behind the Arrow seam). Learned vocabularies "
+        "are corpus statistics, so the oracle audits the LOSSLESS "
+        "property instead: encoding every document and re-concatenating "
+        "the pieces must reproduce the exact pre-tokenized input."
+    ),
+)
+def tokenizer_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE + unigram on the corpus; audit lossless round-trips."""
+    from python_kinesis_streaming_spark.llm.bpe import (
+        PRETOKEN_RE,
+        apply_bpe,
+        train_bpe,
+        word_frequencies,
+    )
+    from python_kinesis_streaming_spark.llm.unigram import (
+        train_unigram,
+        viterbi_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    merges = train_bpe(docs, "text", num_merges=10)
+    enc = apply_bpe(docs, "text", merges)
+    joined_words = F.array_join(
+        F.regexp_extract_all(F.col("text"), F.lit(PRETOKEN_RE), F.lit(0)),
+        "",
+    )
+    bpe_ok = enc.agg(
+        F.min(F.array_join("tokens", "") == joined_words).alias("ok")
+    ).collect()[0]["ok"]
+
+    # unigram's trainer and encoder both use the plain whitespace-word
+    # convention (no BPE-style leading-space marker) — feed and compare
+    # on that basis.
+    space_words = F.filter(
+        F.split(F.col("text"), " "), lambda w: F.length(w) > 0
+    )
+    wf = (
+        docs.select(F.explode(space_words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    model = train_unigram(
+        wf, vocab_size=60, seed_size=300, em_iters=1, prune_rounds=1
+    )
+    seg = viterbi_encode(docs, "text", model["logp"])
+    uni_ok = seg.agg(
+        F.min(
+            F.array_join("pieces", "") == F.array_join(space_words, "")
+        ).alias("ok")
+    ).collect()[0]["ok"]
+
+    return spark.createDataFrame(
+        [("bpe", 10, bool(bpe_ok)), ("unigram", 60, bool(uni_ok))],
+        "tokenizer string, units int, lossless boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §P.5 web/text hygiene — closed-form oracles
+# ---------------------------------------------------------------------------
+
+
+@promo_op(
+    "html_extract_parity",
+    oracle="""
+        SELECT doc_id,
+               'Doc ' || doc_id AS title,
+               1 AS n_blocks,
+               CAST(length(text) AS BIGINT) AS body_chars,
+               TRUE AS body_matches
+        FROM documents
+    """,
+    scale=(
+        "HTML text extraction (stdlib-parser block model) over a "
+        "template-wrapped corpus: the fixture text is clean "
+        "single-spaced ASCII, so whitespace normalization is the "
+        "identity and the extracted body must equal the input exactly "
+        "— byte-level parity, not just a length check. Per-doc kernel "
+        "behind the Arrow seam, zero shuffle."
+    ),
+)
+def html_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap text in a fixed HTML template → extract → exact parity."""
+    from python_kinesis_streaming_spark.llm.html_extract import (
+        extract_text_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("orig"),
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id"),
+            F.lit("</title></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    out = extract_text_frame(docs, "html")
+    return out.select(
+        "doc_id",
+        "title",
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        F.length("text").cast("long").alias("body_chars"),
+        (F.col("text") == F.col("orig")).alias("body_matches"),
+    )
+
+
+@promo_op(
+    "urls_normalize_parity",
+    oracle="""
+        SELECT doc_id,
+               'HTTP://Example' || (doc_id % 20) || '.COM:80/Path/'
+                   || doc_id || '?utm_source=x&id=' || (doc_id % 7)
+                   || '&b=' || (doc_id % 3) || '#frag' AS url,
+               'http://example' || (doc_id % 20) || '.com/Path/'
+                   || doc_id || '?b=' || (doc_id % 3)
+                   || '&id=' || (doc_id % 7) AS normalized
+        FROM documents
+    """,
+    scale=(
+        "URL canonicalization is pure JVM parse_url/regexp surgery "
+        "(0 shuffles, plan-pinned in the module tests): lowercase "
+        "scheme+host, default-port strip, fragment drop, tracking-param "
+        "strip, deterministic query re-sort. The oracle constructs the "
+        "expected canonical string independently — a trillion-URL hot "
+        "path with no Python anywhere."
+    ),
+)
+def urls_normalize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula URLs (messy case/port/tracking/fragment) → normalize_url."""
+    from python_kinesis_streaming_spark.llm.urls import normalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Example"),
+            F.col("doc_id") % 20,
+            F.lit(".COM:80/Path/"),
+            F.col("doc_id"),
+            F.lit("?utm_source=x&id="),
+            F.col("doc_id") % 7,
+            F.lit("&b="),
+            F.col("doc_id") % 3,
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return urls.select(
+        "doc_id", "url", normalize_url("url").alias("normalized")
+    )
+
+
+@promo_op(
+    "robots_verdict_parity",
+    oracle="""
+        SELECT doc_id,
+               'http://ex.com' || CASE doc_id % 5
+                   WHEN 0 THEN '/a/x-' || doc_id
+                   WHEN 1 THEN '/a/b/x-' || doc_id
+                   WHEN 2 THEN '/c/x-' || doc_id
+                   WHEN 3 THEN '/d/x-' || doc_id || '?x=1'
+                   ELSE '/e/x-' || doc_id END AS url,
+               doc_id % 5 IN (1, 4) AS allowed
+        FROM documents
+    """,
+    scale=(
+        "RFC 9309 end-to-end: robots.txt parsed once per host (KB-sized "
+        "Python kernel), rules broadcast, matching pure JVM regexp with "
+        "longest-match-wins resolved by one per-row-key window. The "
+        "oracle states each residue class's verdict from the spec: "
+        "Allow beats shorter Disallow, '/*?x=' exercises wildcard+query "
+        "matching, unmatched paths default to allowed."
+    ),
+)
+def robots_verdict_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline robots.txt + formula URLs → robots_allowed verdicts."""
+    from python_kinesis_streaming_spark.llm.urls import (
+        parse_robots_frame,
+        robots_allowed,
+    )
+
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /a/\n"
+        "Allow: /a/b/\n"
+        "Disallow: /c\n"
+        "Disallow: /*?x=\n"
+    )
+    rules = parse_robots_frame(
+        spark.createDataFrame(
+            [("ex.com", bytearray(robots.encode()))],
+            "host string, payload binary",
+        ),
+        "host",
+        "payload",
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    path = (
+        F.when(m == 0, F.concat(F.lit("/a/x-"), F.col("doc_id")))
+        .when(m == 1, F.concat(F.lit("/a/b/x-"), F.col("doc_id")))
+        .when(m == 2, F.concat(F.lit("/c/x-"), F.col("doc_id")))
+        .when(m == 3, F.concat(F.lit("/d/x-"), F.col("doc_id"), F.lit("?x=1")))
+        .otherwise(F.concat(F.lit("/e/x-"), F.col("doc_id")))
+    )
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("http://ex.com"), path).alias("url")
+    )
+    return robots_allowed(urls, "url", rules)
+
+
+@promo_op(
+    "subtitles_align_parity",
+    oracle="""
+        WITH vids AS (
+            SELECT DISTINCT doc_id % 20 AS vid FROM documents
+        ), grid AS (
+            SELECT v.vid, f.f AS frame_index, f.f * 500 AS pts_ms
+            FROM vids v, generate_series(0, 15) f(f)
+        )
+        SELECT vid, frame_index, pts_ms,
+               CASE WHEN frame_index % 4 < 3
+                    THEN CAST(frame_index // 4 AS BIGINT) END AS cue_index,
+               CASE WHEN frame_index % 4 < 3
+                    THEN 'Cue ' || (frame_index // 4) || ' of ' || vid
+                    END AS cue_text,
+               CASE WHEN frame_index % 4 < 3
+                    THEN CAST((frame_index // 4) * 2000 AS BIGINT)
+                    END AS start_ms,
+               CASE WHEN frame_index % 4 < 3
+                    THEN CAST((frame_index // 4) * 2000 + 1500 AS BIGINT)
+                    END AS end_ms
+        FROM grid
+    """,
+    scale=(
+        "SRT parse (per-file kernel) + frame↔cue alignment as a "
+        "time-BUCKETIZED range join — cues explode to the buckets they "
+        "span, frames equi-join (vid, bucket), the exact range "
+        "predicate filters, uncovered frames return via one anti-join: "
+        "no (frames × cues) product at any scale. The oracle replays "
+        "the formula grid: cue j covers [2000j, 2000j+1500), frames "
+        "land every 500 ms, so every 4th frame is uncovered."
+    ),
+)
+def subtitles_align_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula SRT per vid → parse_subtitles → align_frames_to_cues."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.subtitles as _subs
+
+    cloudpickle.register_pickle_by_value(_subs)
+    parse = _subs.parse_subtitles
+    align = _subs.align_frames_to_cues
+
+    vids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 20).alias("vid"))
+        .distinct()
+    )
+
+    def make_cues(batches):
+        import pandas as pd
+
+        def fmt(ms):
+            s, ms = divmod(ms, 1000)
+            m, s = divmod(s, 60)
+            return f"00:{m:02d}:{s:02d},{ms:03d}"
+
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vid"]:
+                vid = int(vid)
+                srt = "\n".join(
+                    f"{j + 1}\n{fmt(j * 2000)} --> {fmt(j * 2000 + 1500)}\n"
+                    f"Cue {j} of {vid}\n"
+                    for j in range(5)
+                )
+                for cue in parse(srt):
+                    rows.append({"id": vid, **cue})
+            yield pd.DataFrame(rows)
+
+    cues = vids.mapInPandas(
+        make_cues,
+        schema=(
+            "id long, cue_index int, start_ms long, end_ms long, "
+            "text string"
+        ),
+    )
+    frames = vids.select(
+        F.col("vid").alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("frame_index"),
+    ).select("id", "frame_index", (F.col("frame_index") * 500).alias("pts_ms"))
+    out = align(frames, cues, bucket_ms=2000)
+    return out.select(
+        F.col("id").alias("vid"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("pts_ms").cast("long").alias("pts_ms"),
+        F.col("cue_index").cast("long").alias("cue_index"),
+        "cue_text",
+        F.col("start_ms").cast("long").alias("start_ms"),
+        F.col("end_ms").cast("long").alias("end_ms"),
+    )

@@ -1,0 +1,72 @@
+"""Bare-session driver sim for the PROMOTION ops (PROMOTION.md).
+
+Same discipline as tools/drive_driver.py — chdir to a neutral temp dir,
+build a bare SparkSession (none of our builder configs), run each
+promotion op against its DuckDB oracle with the driver's canonical
+comparison — but over ``promotions.PROMOTION_OPS`` instead of the
+frozen registry. Run before the r9/r10 registration flip.
+
+    python tools/drive_promotions.py            # all promotion ops
+    python tools/drive_promotions.py op1 op2    # just the named ops
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
+MASTER = os.environ.get("SPARK_GRAFT_SIM_MASTER", "local[8]")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    os.chdir(tempfile.mkdtemp(prefix="promo_sim_"))
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from python_kinesis_streaming_spark.promotions import PROMOTION_OPS
+    from twin import assert_twin_match
+
+    spark = (
+        SparkSession.builder.master(MASTER)
+        .appName("promotions-sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+
+    names = sys.argv[1:] or list(PROMOTION_OPS)
+    fails: list[str] = []
+    for i, name in enumerate(names, 1):
+        spec = PROMOTION_OPS[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, SF).toPandas()
+            ddf = con.execute(spec.oracle).df()
+            assert_twin_match(sdf, ddf, name)
+            print(f"[{i}/{len(names)}] {name}: ok ({time.time() - t0:.1f}s)")
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            fails.append(name)
+            print(f"[{i}/{len(names)}] {name}: FAIL {e}")
+    print(f"\n{len(names) - len(fails)}/{len(names)} pass; fails: {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
