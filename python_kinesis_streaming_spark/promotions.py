@@ -1296,3 +1296,365 @@ def subtitles_align_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_ms").cast("long").alias("start_ms"),
         F.col("end_ms").cast("long").alias("end_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §P.6 transport / streaming interchange — closed-form + audit oracles
+# ---------------------------------------------------------------------------
+
+
+@promo_op(
+    "mpegts_psi_parity",
+    oracle="""
+        WITH f AS (
+            SELECT d.doc_id, i.i AS frame,
+                   100 + (d.doc_id + i.i) % 50 AS flen
+            FROM documents d, generate_series(0, 2) i(i)
+            WHERE i.i < 2 + d.doc_id % 2
+        ), b AS (
+            SELECT f.doc_id, f.frame, f.flen,
+                   (f.doc_id * 3 + f.frame * 7 + j.j) % 256 AS v
+            FROM f, generate_series(0, 148) j(j)
+            WHERE j.j < f.flen
+        )
+        SELECT doc_id,
+               CAST(2 + doc_id % 2 AS INTEGER) AS n_frames,
+               6 AS stream_type,
+               CAST(sum(1) AS BIGINT) AS payload_bytes,
+               CAST(sum(v) AS BIGINT) AS payload_checksum,
+               CAST(sum(DISTINCT frame * 40)
+                    + 0 * sum(v) AS BIGINT) AS pts_sum,
+               TRUE AS ts_aligned
+        FROM b GROUP BY doc_id
+    """,
+    scale=(
+        "MPEG-TS mux (PAT/PMT PSI with the real CRC-32/MPEG-2, PES with "
+        "PTS, 188-byte alignment) → full demux with continuity checking. "
+        "The oracle recomputes frame count, exact payload byte checksum "
+        "and PTS sum from the generating formula — PES reassembly across "
+        "packet boundaries must be byte-perfect to match. Per-blob, zero "
+        "shuffle."
+    ),
+)
+def mpegts_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula ES frames → build_ts → parse_ts → exact payload parity."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.mpegts_codec as _ts
+
+    cloudpickle.register_pickle_by_value(_ts)
+    build, parse = _ts.build_ts, _ts.parse_ts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 2 + doc_id % 2
+                payloads = [
+                    bytes(
+                        (doc_id * 3 + i * 7 + j) % 256
+                        for j in range(100 + (doc_id + i) % 50)
+                    )
+                    for i in range(n)
+                ]
+                blob = build(payloads)
+                info = parse(blob)
+                frames = info["frames"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": len(frames),
+                        "stream_type": int(
+                            info["streams"][0]["stream_type"]
+                        ),
+                        "payload_bytes": sum(
+                            len(fr["payload"]) for fr in frames
+                        ),
+                        "payload_checksum": sum(
+                            b for fr in frames for b in fr["payload"]
+                        ),
+                        "pts_sum": sum(fr["pts_ms"] for fr in frames),
+                        "ts_aligned": len(blob) % 188 == 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_frames int, stream_type int, "
+            "payload_bytes long, payload_checksum long, pts_sum long, "
+            "ts_aligned boolean"
+        ),
+    )
+
+
+@promo_op(
+    "eventstream_framing_parity",
+    oracle="""
+        SELECT doc_id,
+               'rec' AS event_type,
+               CAST(34 + octet_length(encode(text)) AS BIGINT) AS frame_len,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+        FROM documents
+    """,
+    scale=(
+        "AWS eventstream framing (the SubscribeToShard / S3 Select wire "
+        "format botocore parses unmodified): prelude + prelude CRC + "
+        "typed headers + payload + message CRC. Both CRCs are verified "
+        "on decode, and the oracle pins the frame arithmetic — 16 "
+        "framing bytes + an 18-byte ':event-type: rec' header block. "
+        "Per-row, zero shuffle."
+    ),
+)
+def eventstream_framing_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text → encode_message → decode_message → exact frame arithmetic."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.sources.eventstream as _es
+
+    cloudpickle.register_pickle_by_value(_es)
+    enc, dec = _es.encode_message, _es.decode_message
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = str(text).encode("utf-8")
+                blob = enc({":event-type": "rec"}, payload)
+                headers, body, consumed = dec(blob)
+                assert consumed == len(blob) and body == payload
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "event_type": headers[":event-type"],
+                        "frame_len": len(blob),
+                        "payload_len": len(body),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, event_type string, frame_len long, "
+            "payload_len long"
+        ),
+    )
+
+
+@promo_op(
+    "media_jpeg_tolerance_audit",
+    oracle="""
+        SELECT doc_id,
+               16 AS width,
+               16 AS height,
+               TRUE AS uniform,
+               TRUE AS err_le_3,
+               TRUE AS prog_matches_baseline
+        FROM documents
+    """,
+    scale=(
+        "Lossy JPEG can't closed-form a hash, so the audit pins what "
+        "the spec guarantees: a flat 16x16 gray image is DC-only, so "
+        "the decode must stay uniform and within the DC quantization "
+        "step of the source (|err| ≤ 3 at quality 90), and the "
+        "progressive decode (SOF2 spectral selection + successive "
+        "approximation) must BIT-MATCH the baseline decode — the "
+        "codec's exactness gate, per blob behind the Arrow seam."
+    ),
+)
+def media_jpeg_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat gray JPEG: uniform decode, DC-bounded error, prog==baseline."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.jpeg_codec as _jpeg
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    enc, dec = _jpeg.encode_jpeg, _jpeg.decode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g = doc_id % 256
+                img = np.full((16, 16), g, dtype=np.uint8)
+                base = dec(enc(img, quality=90))
+                prog = dec(enc(img, quality=90, progressive=True))
+                flat = base.astype(np.int64).ravel()
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": int(base.shape[1]),
+                        "height": int(base.shape[0]),
+                        "uniform": bool(flat.max() == flat.min()),
+                        "err_le_3": bool(abs(int(flat[0]) - g) <= 3),
+                        "prog_matches_baseline": bool(
+                            np.array_equal(base, prog)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, width int, height int, uniform boolean, "
+            "err_le_3 boolean, prog_matches_baseline boolean"
+        ),
+    )
+
+
+@promo_op(
+    "snapshot_cdc_diff",
+    oracle="""
+        SELECT 'seed' AS stage,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        UNION ALL
+        SELECT 'after_delete',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(n_chars) AS BIGINT)
+        FROM documents WHERE NOT (n_chars % 5 < 1)
+        UNION ALL
+        SELECT 'after_append',
+               CAST((SELECT count(*) FROM documents
+                     WHERE NOT (n_chars % 5 < 1))
+                    + (SELECT count(*) FROM documents
+                       WHERE doc_id % 10 = 0) AS BIGINT),
+               CAST((SELECT sum(n_chars) FROM documents
+                     WHERE NOT (n_chars % 5 < 1))
+                    + (SELECT sum(n_chars) FROM documents
+                       WHERE doc_id % 10 = 0) AS BIGINT)
+    """,
+    scale=(
+        "Version history across mutation kinds: seed snapshot → DV "
+        "delete → append, each stage time-traveled through the DV-aware "
+        "reader. Old versions stay byte-immutable (the delete is a "
+        "sidecar, the append new files), so all three reads are "
+        "metadata-pruned scans of exactly the files live at that "
+        "version."
+    ),
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write → delete(dv) → append, reading every version's aggregate."""
+    from python_kinesis_streaming_spark.sources.lakehouse import (
+        delete_where,
+        read_table,
+    )
+    from python_kinesis_streaming_spark.sources.snapshots import (
+        write_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tdir = os.path.join(SCRATCH, f"promo_cdc_{sf_tag(sf_dir)}")
+    _clear_scratch(tdir)
+    v_seed = write_snapshot(docs.repartition(4, "doc_id"), tdir, "seed")
+    delete_where(spark, tdir, "n_chars % 5 < 1", mode="dv")
+    appended = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "lang", "n_chars"
+    )
+    v_append = write_snapshot(appended, tdir, "append", mode="append")
+
+    stages = [("seed", v_seed), ("after_delete", v_seed + 1),
+              ("after_append", v_append)]
+    outs = [
+        read_table(spark, tdir, version).agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        for stage, version in stages
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@promo_op(
+    "kinesis_loopback_agg",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_records,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               floor(sum(value) * 100.0 + 0.505) / 100.0 AS sum_value
+        FROM events WHERE event_id % 5 = 0
+    """,
+    scale=(
+        "The whole Kinesis protocol stack in one op: executor-side "
+        "producer tasks PutRecords over HTTP (partition-key routing, "
+        "retry/backoff), then one poll task per shard drains with "
+        "GetRecords — against the loopback mock that real AWS SDKs "
+        "parse. The roundtrip-identity oracle proves no record was "
+        "lost or duplicated across the wire. At scale the same task "
+        "shapes hold per real shard; only the endpoint changes."
+    ),
+)
+def kinesis_loopback_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events subset → producer sink → mock stream → distributed poll →
+    aggregate parity."""
+    from python_kinesis_streaming_spark.functions.rounding import rnd
+    from python_kinesis_streaming_spark.sources.kinesis_consumer import (
+        KinesisClient,
+        distributed_poll,
+    )
+    from python_kinesis_streaming_spark.sources.kinesis_mock import (
+        MockKinesisServer,
+    )
+    from python_kinesis_streaming_spark.sources.kinesis_sink import (
+        write_batch_to_kinesis,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("user_id").cast("string").alias("pk"),
+            F.to_json(
+                F.struct("event_id", "event_type", "value")
+            ).alias("data"),
+        )
+    )
+    with MockKinesisServer() as srv:
+        client = KinesisClient(srv.endpoint_url)
+        client.call(
+            "CreateStream", {"StreamName": "promo", "ShardCount": 4}
+        )
+        write_batch_to_kinesis(
+            ev, srv.endpoint_url, "promo", pk_col="pk", data_col="data"
+        )
+        polled = distributed_poll(spark, srv.endpoint_url, "promo")
+        parsed = polled.select(
+            F.from_json(
+                F.decode("data", "utf-8"),
+                "event_id long, event_type string, value double",
+            ).alias("r")
+        ).select("r.*")
+        # aggregate BEFORE the mock server dies (the poll is lazy)
+        row = parsed.agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("event_type").alias("n_types"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [(row["n_records"], row["n_types"], row["sum_value"])],
+        "n_records long, n_types long, sum_value double",
+    )

@@ -34,8 +34,9 @@ from __future__ import annotations
 import struct
 import zlib
 
-_PRELUDE = struct.Struct(">II")
-_UINT32 = struct.Struct(">I")
+# Plain pack/unpack calls (no precompiled struct.Struct module globals):
+# kernels ship this module by value via cloudpickle, and Struct objects
+# are unpicklable.
 
 # header value type codes (spec order)
 T_BOOL_TRUE = 0
@@ -82,12 +83,12 @@ def encode_message(headers: dict, payload: bytes) -> bytes:
         hbuf += raw
         hbuf += _encode_header_value(value)
     total = 12 + len(hbuf) + len(payload) + 4
-    prelude = _PRELUDE.pack(total, len(hbuf))
+    prelude = struct.pack(">II", total, len(hbuf))
     out = bytearray(prelude)
-    out += _UINT32.pack(zlib.crc32(prelude))
+    out += struct.pack(">I", zlib.crc32(prelude))
     out += hbuf
     out += payload
-    out += _UINT32.pack(zlib.crc32(bytes(out)))
+    out += struct.pack(">I", zlib.crc32(bytes(out)))
     return bytes(out)
 
 
@@ -145,13 +146,13 @@ def decode_message(data: bytes) -> tuple[dict, bytes, int]:
     """
     if len(data) < 16:
         raise EventStreamError("frame shorter than minimum message size")
-    total, hlen = _PRELUDE.unpack_from(data, 0)
-    (prelude_crc,) = _UINT32.unpack_from(data, 8)
+    total, hlen = struct.unpack_from(">II", data, 0)
+    (prelude_crc,) = struct.unpack_from(">I", data, 8)
     if prelude_crc != zlib.crc32(data[:8]):
         raise EventStreamError("prelude CRC mismatch")
     if len(data) < total:
         raise EventStreamError("truncated message body")
-    (msg_crc,) = _UINT32.unpack_from(data, total - 4)
+    (msg_crc,) = struct.unpack_from(">I", data, total - 4)
     if msg_crc != zlib.crc32(data[: total - 4]):
         raise EventStreamError("message CRC mismatch")
     headers = _decode_headers(memoryview(data)[12 : 12 + hlen])
@@ -169,7 +170,7 @@ class EventStreamDecoder:
     def feed(self, chunk: bytes):
         self._buf += chunk
         while len(self._buf) >= 16:
-            total, _ = _PRELUDE.unpack_from(self._buf, 0)
+            total, _ = struct.unpack_from(">II", self._buf, 0)
             if total < 16:
                 raise EventStreamError(f"invalid total_length {total}")
             if len(self._buf) < total:
