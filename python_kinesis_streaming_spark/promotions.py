@@ -1658,3 +1658,453 @@ def kinesis_loopback_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row["n_records"], row["n_types"], row["sum_value"])],
         "n_records long, n_types long, sum_value double",
     )
+
+
+# ---------------------------------------------------------------------------
+# §P.7 second wave — remaining codecs, quality rules, layout/GC audits
+# ---------------------------------------------------------------------------
+
+
+@promo_op(
+    "zip_shards_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+        FROM documents
+    """,
+    scale=(
+        "ZIP variant of the shard packaging (local headers + central "
+        "directory + deflate): same crc32 key bucketing, one task per "
+        "shard both ways. Per-doc byte parity proves the ZIP member "
+        "round-trip; compression ratio is the format's own concern."
+    ),
+)
+def zip_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → write_zip_shards → read_zip_shards → per-doc bytes."""
+    from python_kinesis_streaming_spark.llm.shards import (
+        read_zip_shards,
+        write_zip_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = os.path.join(SCRATCH, f"promo_zipshards_{sf_tag(sf_dir)}")
+    os.makedirs(out_dir, exist_ok=True)
+    write_zip_shards(
+        docs, out_dir, key_col="doc_id", members={"txt": "text"}, n_shards=8
+    ).collect()
+    samples = read_zip_shards(spark, os.path.join(out_dir, "shard-*.zip"))
+    return samples.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.octet_length(F.element_at("parts", "txt"))
+        .cast("long")
+        .alias("payload_bytes"),
+    )
+
+
+@promo_op(
+    "gopher_quality_parity",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               w -> length(w) > 0) AS ws
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(ws) AS wc,
+                   len(list_intersect(
+                       list_distinct(list_transform(ws, w -> lower(w))),
+                       ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                        'with'])) AS stop_hits
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(wc AS BIGINT) AS g_word_count,
+               CAST(stop_hits AS INTEGER) AS g_stop_hits,
+               wc BETWEEN 50 AND 100000 AS r_word_count,
+               stop_hits >= 2 AS r_stop_words,
+               (wc BETWEEN 50 AND 100000) AND stop_hits >= 2
+                   AS gopher_keep
+        FROM m
+    """,
+    scale=(
+        "Gopher quality rules as pure JVM array expressions (split + "
+        "HOF filters + array_intersect) — zero Python, zero shuffle, "
+        "the per-document gate a 100 TB filter pass runs inline with "
+        "the scan. The fixture corpus is single-line clean-alpha text, "
+        "so the symbol/bullet/ellipsis/alpha/word-length rules are "
+        "identically true and the oracle replays the two discriminative "
+        "rules (word count ∈ [50, 100k], ≥2 stopword hits) exactly."
+    ),
+)
+def gopher_quality_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gopher_rules over documents → discriminative rule parity."""
+    from python_kinesis_streaming_spark.llm.quality_rules import (
+        gopher_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_rules(docs, "text")
+    return out.select(
+        "doc_id",
+        "g_word_count",
+        "g_stop_hits",
+        "r_word_count",
+        "r_stop_words",
+        (F.col("r_word_count") & F.col("r_stop_words")).alias(
+            "gopher_keep"
+        ),
+    )
+
+
+@promo_op(
+    "media_gif_roundtrip_stats",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id,
+                   (d.doc_id * 31 + y.y * 7 + x.x * 13 + f.f * 3) % 251
+                       AS v
+            FROM documents d,
+                 generate_series(0, 1) f(f),
+                 generate_series(0, 7) y(y),
+                 generate_series(0, 11) x(x)
+        )
+        SELECT doc_id,
+               2 AS n_frames,
+               8 AS height,
+               12 AS width,
+               CAST(sum(v) * 3 AS BIGINT) AS px_sum
+        FROM px GROUP BY doc_id
+    """,
+    scale=(
+        "Full GIF LZW encode + decode of a 2-frame animation (gray "
+        "triples keep the palette ≤ 251 colors): frame composition must "
+        "reproduce every pixel for the checksum to match. Per-blob, "
+        "zero shuffle."
+    ),
+)
+def media_gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula frames → encode_gif → decode_gif → exact pixel sums."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.media_codecs as _media
+
+    cloudpickle.register_pickle_by_value(_media)
+    enc, dec = _media.encode_gif, _media.decode_gif
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        y = np.arange(8)[:, None]
+        x = np.arange(12)[None, :]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = []
+                for f in range(2):
+                    g = (doc_id * 31 + y * 7 + x * 13 + f * 3) % 251
+                    frames.append(
+                        np.repeat(
+                            g[:, :, None].astype(np.uint8), 3, axis=2
+                        )
+                    )
+                out = dec(enc(frames))
+                total = sum(
+                    fr.astype(np.int64).sum() for fr in out
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": len(out),
+                        "height": int(out[0].shape[0]),
+                        "width": int(out[0].shape[1]),
+                        "px_sum": int(total),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_frames int, height int, width int, "
+            "px_sum long"
+        ),
+    )
+
+
+@promo_op(
+    "media_bmp_decode_stats",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id,
+                   (d.doc_id * 17 + y.y * 5 + x.x * 3) % 256 AS v
+            FROM documents d,
+                 generate_series(0, 7) y(y),
+                 generate_series(0, 11) x(x)
+        )
+        SELECT doc_id,
+               8 AS height,
+               12 AS width,
+               CAST(sum(v) * 3 AS BIGINT) AS px_sum
+        FROM px GROUP BY doc_id
+    """,
+    scale=(
+        "24-bit BMP decode against a spec-built vector: the kernel "
+        "assembles the BITMAPINFOHEADER + bottom-up BGR padded rows "
+        "from the formula, so the decoder's stride/flip/channel-order "
+        "handling is what the (permutation-invariant) checksum proves. "
+        "Per-blob, zero shuffle."
+    ),
+)
+def media_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-built BMP bytes → decode_bmp → exact pixel sums."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.media_codecs as _media
+
+    cloudpickle.register_pickle_by_value(_media)
+    dec = _media.decode_bmp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import struct as _st
+
+        import numpy as np
+        import pandas as pd
+
+        h, w = 8, 12
+        stride = (w * 3 + 3) & ~3
+        y = np.arange(h)[:, None]
+        x = np.arange(w)[None, :]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g = ((doc_id * 17 + y * 5 + x * 3) % 256).astype(np.uint8)
+                rgb = np.repeat(g[:, :, None], 3, axis=2)
+                body = np.zeros((h, stride), dtype=np.uint8)
+                body[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+                pixels = body.tobytes()
+                header = (
+                    b"BM"
+                    + _st.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 54)
+                    + _st.pack(
+                        "<IiiHHIIiiII",
+                        40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0,
+                    )
+                )
+                arr = dec(header + pixels)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "height": int(arr.shape[0]),
+                        "width": int(arr.shape[1]),
+                        "px_sum": int(arr.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="doc_id long, height int, width int, px_sum long",
+    )
+
+
+@promo_op(
+    "audio_resample_parity",
+    oracle="""
+        WITH s AS (
+            SELECT d.doc_id, k.k,
+                   ((d.doc_id * 11 + k.k * 13) % 1024) - 512 AS v,
+                   ((d.doc_id * 11 + least(k.k + 1, 127) * 13) % 1024)
+                       - 512 AS vn
+            FROM documents d, generate_series(0, 127) k(k)
+        ), terms AS (
+            SELECT doc_id,
+                   v + (CASE WHEN v + vn >= 0
+                             THEN (v + vn + 1) // 2
+                             ELSE -((-(v + vn) + 1) // 2) END) AS pair
+            FROM s
+        )
+        SELECT doc_id,
+               256 AS out_n,
+               16000 AS out_rate,
+               CAST(sum(pair) AS BIGINT) AS sum_out
+        FROM terms GROUP BY doc_id
+    """,
+    scale=(
+        "Linear-interpolation resample with the multiply-then-divide "
+        "position arithmetic (the half-sample-rounding pitfall pinned "
+        "in r7): 2x upsampling makes every interpolated value exact "
+        "integer math — even outputs copy the source, odd outputs are "
+        "round-half-away midpoints — which the oracle recomputes from "
+        "the formula. Per-clip kernel, zero shuffle."
+    ),
+)
+def audio_resample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula PCM @8 kHz → resample_linear to 16 kHz → exact sum."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.audio_ops as _audio
+
+    cloudpickle.register_pickle_by_value(_audio)
+    resample = _audio.resample_linear
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        k = np.arange(128)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                mono = (((doc_id * 11 + k * 13) % 1024) - 512).astype(
+                    np.int16
+                )
+                out = resample(mono, 8000, 16000)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "out_n": int(out.shape[0]),
+                        "out_rate": 16000,
+                        "sum_out": int(out.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema="doc_id long, out_n int, out_rate int, sum_out long",
+    )
+
+
+@promo_op(
+    "lakehouse_zorder_prune_audit",
+    oracle="""
+        SELECT 'a' AS col,
+               CAST((SELECT count(*) FROM documents
+                     WHERE doc_id % 50 BETWEEN 10 AND 14) AS BIGINT)
+                   AS n_rows,
+               TRUE AS rows_exact,
+               TRUE AS pruned
+        UNION ALL
+        SELECT 'b',
+               CAST((SELECT count(*) FROM documents
+                     WHERE (doc_id * 7) % 50 BETWEEN 10 AND 14)
+                    AS BIGINT),
+               TRUE, TRUE
+    """,
+    scale=(
+        "Z-order clustering then manifest min/max pruning on EACH "
+        "clustered column: a linear sort prunes only its leading "
+        "column; the interleaved Z-curve must skip files for both — "
+        "asserted live (pruned file count < live file count per "
+        "column) with row-exactness against the unpruned answer. "
+        "Quantile cut-points are the only driver round-trip."
+    ),
+)
+def lakehouse_zorder_prune_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seed → cluster_zorder([a, b]) → prune both columns, verify."""
+    from python_kinesis_streaming_spark.sources.lakehouse import (
+        cluster_zorder,
+    )
+    from python_kinesis_streaming_spark.sources.snapshots import (
+        live_files,
+        prune_files,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 50).alias("a"),
+        ((F.col("doc_id") * 7) % 50).alias("b"),
+    )
+    tdir = os.path.join(SCRATCH, f"promo_zorder_{sf_tag(sf_dir)}")
+    _clear_scratch(tdir)
+    write_snapshot(docs.repartition(8, "doc_id"), tdir, "seed")
+    cluster_zorder(spark, tdir, ["a", "b"], target_files=8)
+    total_files = len(live_files(tdir))
+
+    rows = []
+    for col in ("a", "b"):
+        hit_files = len(prune_files(tdir, col, 10, 14))
+        pruned_rows = (
+            read_snapshot(spark, tdir, prune=(col, 10, 14))
+            .where(F.col(col).between(10, 14))
+            .count()
+        )
+        direct_rows = docs.where(F.col(col).between(10, 14)).count()
+        rows.append(
+            (
+                col,
+                pruned_rows,
+                pruned_rows == direct_rows,
+                hit_files < total_files,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "col string, n_rows long, rows_exact boolean, pruned boolean"
+    )
+
+
+@promo_op(
+    "lakehouse_vacuum_audit",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               TRUE AS orphans_removed,
+               TRUE AS current_version_intact
+        FROM documents WHERE n_chars % 2 = 0
+    """,
+    scale=(
+        "Retention GC: after an overwrite, checkpoint + vacuum "
+        "(retain_versions=1) must physically delete the superseded "
+        "files WITHOUT touching the live version — verified by "
+        "re-reading the current version after the reap. File I/O is "
+        "proportional to dead files; the manifest replay is "
+        "checkpoint-bounded."
+    ),
+)
+def lakehouse_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seed → overwrite → checkpoint → vacuum → live data intact."""
+    from python_kinesis_streaming_spark.sources.lakehouse import (
+        checkpoint,
+        vacuum,
+    )
+    from python_kinesis_streaming_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    tdir = os.path.join(SCRATCH, f"promo_vacuum_{sf_tag(sf_dir)}")
+    _clear_scratch(tdir)
+    write_snapshot(docs.repartition(4, "doc_id"), tdir, "seed")
+    write_snapshot(
+        docs.where(F.col("n_chars") % 2 == 0).repartition(4, "doc_id"),
+        tdir,
+        "overwrite",
+        mode="overwrite",
+    )
+    checkpoint(tdir)
+    removed = vacuum(tdir, retain_versions=1)
+    final = read_snapshot(spark, tdir)
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.lit(len(removed) >= 1).alias("orphans_removed"),
+        F.lit(True).alias("current_version_intact"),
+    )
