@@ -2108,3 +2108,405 @@ def lakehouse_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(removed) >= 1).alias("orphans_removed"),
         F.lit(True).alias("current_version_intact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §P.8 third wave — container/interchange parity
+# ---------------------------------------------------------------------------
+
+
+@promo_op(
+    "media_mkv_demux_parity",
+    oracle="""
+        WITH f AS (
+            SELECT d.doc_id, i.i AS frame,
+                   CASE WHEN d.doc_id % 4 = 3 THEN 64
+                        ELSE 40 + (d.doc_id + i.i * 11) % 60 END AS flen
+            FROM documents d, generate_series(0, 2) i(i)
+        ), b AS (
+            SELECT f.doc_id, f.frame, f.flen,
+                   (f.doc_id * 5 + f.frame * 17 + j.j) % 256 AS v
+            FROM f, generate_series(0, 99) j(j)
+            WHERE j.j < f.flen
+        )
+        SELECT doc_id,
+               3 AS n_frames,
+               CAST(sum(1) AS BIGINT) AS sizes_sum,
+               -- unlaced: one SimpleBlock per frame at i*40 ms (0+40+80);
+               -- laced: all three frames ride ONE block and share its
+               -- timestamp 0 (Matroska lacing semantics)
+               CASE WHEN doc_id % 4 = 0 THEN 120 ELSE 0 END AS pts_sum,
+               CAST(sum(v) AS BIGINT) AS payload_checksum
+        FROM b GROUP BY doc_id
+    """,
+    scale=(
+        "Matroska/EBML demux across ALL block layouts — doc_id mod 4 "
+        "picks unlaced, Xiph, EBML, or fixed lacing — with the frame "
+        "byte ranges verified by re-slicing the original blob at the "
+        "reported offsets and checksumming against the generating "
+        "formula: an off-by-one in EBML size parsing or lace "
+        "arithmetic breaks the hash. Per-blob, zero shuffle."
+    ),
+)
+def media_mkv_demux_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula frames → build_mkv (per-doc lacing) → probe → slice parity."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.mkv_codec as _mkv
+
+    cloudpickle.register_pickle_by_value(_mkv)
+    build, parse = _mkv.build_mkv, _mkv.parse_mkv
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as pd
+
+        lacings = [None, "xiph", "ebml", "fixed"]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                lace = lacings[doc_id % 4]
+                payloads = []
+                for i in range(3):
+                    flen = (
+                        64 if lace == "fixed"
+                        else 40 + (doc_id + i * 11) % 60
+                    )
+                    payloads.append(
+                        bytes(
+                            (doc_id * 5 + i * 17 + j) % 256
+                            for j in range(flen)
+                        )
+                    )
+                blob = build(
+                    payloads, width=8, height=8, fps=25, lacing=lace
+                )
+                info = parse(blob)
+                checksum = 0
+                sizes = 0
+                for fr in info["frames"]:
+                    chunk = blob[fr["offset"] : fr["offset"] + fr["size"]]
+                    sizes += len(chunk)
+                    checksum += sum(chunk)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": int(info["n_frames"]),
+                        "sizes_sum": sizes,
+                        "pts_sum": sum(
+                            fr["pts_ms"] for fr in info["frames"]
+                        ),
+                        "payload_checksum": checksum,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_frames int, sizes_sum long, pts_sum int, "
+            "payload_checksum long"
+        ),
+    )
+
+
+@promo_op(
+    "media_mp4_demux_parity",
+    oracle="""
+        SELECT doc_id,
+               4 AS n_frames,
+               240 AS pts_sum,
+               2 AS n_keyframes,
+               TRUE AS frame0_dims_ok
+        FROM documents
+    """,
+    scale=(
+        "ISO 14496-12 demux: stts/stsc/stsz/stco (or co64 — doc parity "
+        "picks 32- vs 64-bit offset tables) resolve per-sample byte "
+        "ranges WITHOUT decoding; only the sampled frame 0 is then "
+        "JPEG-decoded to confirm the range really contains that frame. "
+        "PTS and keyframe flags come from the sample tables alone."
+    ),
+)
+def media_mp4_demux_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula frames → build_mp4 (co64 on odd docs) → probe → decode f0."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.jpeg_codec as _jpeg
+    import python_kinesis_streaming_spark.llm.mkv_codec as _mkv
+    import python_kinesis_streaming_spark.llm.video_codecs as _video
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    cloudpickle.register_pickle_by_value(_mkv)
+    cloudpickle.register_pickle_by_value(_video)
+    build, probe = _video.build_mp4, _video.probe_video
+    dec_jpeg = _jpeg.decode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = [
+                    np.full(
+                        (16, 16, 3), (doc_id + f * 40) % 256, dtype=np.uint8
+                    )
+                    for f in range(4)
+                ]
+                blob = build(
+                    frames,
+                    fps_num=25,
+                    keyframe_every=2,
+                    use_co64=bool(doc_id % 2),
+                )
+                info = probe("mp4", blob)
+                fr0 = info["frames"][0]
+                arr = dec_jpeg(
+                    blob[fr0["offset"] : fr0["offset"] + fr0["size"]]
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": int(info["n_frames"]),
+                        "pts_sum": sum(
+                            fr["pts_ms"] for fr in info["frames"]
+                        ),
+                        "n_keyframes": sum(
+                            1 for fr in info["frames"] if fr["keyframe"]
+                        ),
+                        "frame0_dims_ok": arr.shape[:2] == (16, 16),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_frames int, pts_sum int, n_keyframes int, "
+            "frame0_dims_ok boolean"
+        ),
+    )
+
+
+@promo_op(
+    "kpl_roundtrip_parity",
+    oracle="""
+        WITH r AS (
+            SELECT d.doc_id, i.i,
+                   'pk' || ((d.doc_id + i.i) % 4) AS pk,
+                   20 + i.i AS dlen
+            FROM documents d, generate_series(0, 4) i(i)
+            WHERE i.i < 2 + d.doc_id % 3
+        ), b AS (
+            SELECT r.doc_id, r.i,
+                   (r.doc_id * 7 + r.i * 3 + j.j) % 256 AS v
+            FROM r, generate_series(0, 24) j(j)
+            WHERE j.j < r.dlen
+        ), agg_pk AS (
+            SELECT doc_id,
+                   count(*) AS n_user,
+                   string_agg(pk, '|' ORDER BY i) AS pk_seq
+            FROM r GROUP BY doc_id
+        ), agg_b AS (
+            SELECT doc_id, sum(v) AS cs FROM b GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               CAST(a.n_user AS INTEGER) AS n_user,
+               a.pk_seq,
+               CAST(c.cs AS BIGINT) AS data_checksum
+        FROM agg_pk a JOIN agg_b c USING (doc_id)
+    """,
+    scale=(
+        "KPL aggregated-record wire format (magic + protobuf key tables "
+        "+ md5): user records pack with first-use-deduplicated key "
+        "tables and unpack in order — the oracle pins the exact "
+        "partition-key sequence and payload byte checksum. This is the "
+        "de-aggregation every KCL consumer runs per wire record."
+    ),
+)
+def kpl_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula user records → encode_aggregated → decode → parity."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.sources.kpl as _kpl
+
+    cloudpickle.register_pickle_by_value(_kpl)
+    enc, dec = _kpl.encode_aggregated, _kpl.decode_aggregated
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 2 + doc_id % 3
+                recs = [
+                    (
+                        f"pk{(doc_id + i) % 4}",
+                        bytes(
+                            (doc_id * 7 + i * 3 + j) % 256
+                            for j in range(20 + i)
+                        ),
+                    )
+                    for i in range(n)
+                ]
+                out = dec(enc(recs))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_user": len(out),
+                        "pk_seq": "|".join(
+                            r["partition_key"] for r in out
+                        ),
+                        "data_checksum": sum(
+                            b for r in out for b in r["data"]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_user int, pk_seq string, data_checksum long"
+        ),
+    )
+
+
+@promo_op(
+    "media_au_roundtrip_stats",
+    oracle="""
+        WITH s AS (
+            SELECT d.doc_id,
+                   ((d.doc_id * 19 + i.i * 23) % 4096) - 2048 AS v
+            FROM documents d, generate_series(0, 199) i(i)
+        )
+        SELECT doc_id,
+               200 AS n_samples,
+               8000 AS sample_rate,
+               CAST(sum(v) AS BIGINT) AS s_sum,
+               CAST(sum(v * v) AS BIGINT) AS s_sumsq
+        FROM s GROUP BY doc_id
+    """,
+    scale=(
+        "Sun AU (.snd) PCM16 big-endian leg: the kernel assembles the "
+        "spec header + samples, decode_au walks it independently — "
+        "endianness or offset bugs break the exact integer sums. "
+        "Per-blob, zero shuffle."
+    ),
+)
+def media_au_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula PCM16 → spec-built AU bytes → decode_au → exact sums."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.media_codecs as _media
+
+    cloudpickle.register_pickle_by_value(_media)
+    dec = _media.decode_au
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import struct as _st
+
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(200)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                mono = (((doc_id * 19 + i * 23) % 4096) - 2048).astype(
+                    np.int16
+                )
+                body = mono.astype(">i2").tobytes()
+                blob = (
+                    b".snd"
+                    + _st.pack(">5I", 24, len(body), 3, 8000, 1)
+                    + body
+                )
+                samples, rate = dec(blob)
+                s = samples.astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": int(s.shape[0]),
+                        "sample_rate": int(rate),
+                        "s_sum": int(s.sum()),
+                        "s_sumsq": int((s * s).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_samples int, sample_rate int, s_sum long, "
+            "s_sumsq long"
+        ),
+    )
+
+
+@promo_op(
+    "avro_schema_evolution_agg",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+               floor(sum(n_chars) * 100.0 + 0.505) / 100.0 AS sum_chars,
+               floor(count(*) * 2.5 * 100.0 + 0.505) / 100.0 AS sum_score
+        FROM documents
+    """,
+    scale=(
+        "Avro schema-resolution evolution, the mixed-generation-dump "
+        "case: files written under the OLD schema (int ids, int chars, "
+        "a legacy column) read under a NEW reader schema — int→long and "
+        "int→double promotions, a defaulted new field, a dropped field "
+        "— per the spec's resolution rules, each file decoded under its "
+        "own writer schema. One task per file, one small final agg."
+    ),
+)
+def avro_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write OLD-schema files → read with NEW reader schema → aggregate."""
+    from python_kinesis_streaming_spark.functions.rounding import rnd
+    from python_kinesis_streaming_spark.sources.avro_codec import (
+        read_avro,
+        write_avro,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.lit("x").alias("legacy"),
+    )
+    out_dir = os.path.join(SCRATCH, f"promo_avro_evo_{sf_tag(sf_dir)}")
+    os.makedirs(out_dir, exist_ok=True)
+    write_avro(docs, out_dir).collect()
+    reader = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "n_chars", "type": "double"},
+            {"name": "score", "type": "double", "default": 2.5},
+        ],
+    }
+    back = read_avro(
+        spark, os.path.join(out_dir, "part-*.avro"), reader_schema=reader
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        rnd(F.sum("n_chars"), 2).alias("sum_chars"),
+        rnd(F.sum("score"), 2).alias("sum_score"),
+    )

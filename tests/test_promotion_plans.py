@@ -36,6 +36,7 @@ EXECUTING_OPS = {
     "kinesis_loopback_agg",
     "classifier_train_audit",
     "tokenizer_train_audit",
+    "avro_schema_evolution_agg",
 }
 
 #: Max shuffle Exchanges a lazy promotion op may plan. Census at r8:
