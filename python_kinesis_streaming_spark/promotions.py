@@ -73,6 +73,31 @@ def _clear_scratch(path: str) -> None:
     os.makedirs(path, exist_ok=True)
 
 
+class _bounded_shuffle:
+    """Temporarily pin spark.sql.shuffle.partitions for an op whose
+    iterative trainer would otherwise run every tiny aggregation at the
+    bare session's default 200 partitions (~3s of task overhead per
+    stage). Only valid around ops that COLLECT inside the window — a
+    lazily returned DataFrame would plan after the conf is restored."""
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int = 16):
+        self.spark = spark
+        self.n = n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(self.KEY, None)
+        self.spark.conf.set(self.KEY, str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        if self.old is None:
+            self.spark.conf.unset(self.KEY)
+        else:
+            self.spark.conf.set(self.KEY, self.old)
+
+
 # ---------------------------------------------------------------------------
 # §P.1 media codecs — closed-form arithmetic oracles
 # ---------------------------------------------------------------------------
@@ -1012,6 +1037,21 @@ def tokenizer_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    with _bounded_shuffle(spark):
+        return _tokenizer_train_audit_body(spark, docs)
+
+
+def _tokenizer_train_audit_body(spark, docs):
+    from python_kinesis_streaming_spark.llm.bpe import (
+        PRETOKEN_RE,
+        apply_bpe,
+        train_bpe,
+    )
+    from python_kinesis_streaming_spark.llm.unigram import (
+        train_unigram,
+        viterbi_encode,
+    )
 
     merges = train_bpe(docs, "text", num_merges=10)
     enc = apply_bpe(docs, "text", merges)
@@ -2509,4 +2549,1005 @@ def avro_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_ids"),
         rnd(F.sum("n_chars"), 2).alias("sum_chars"),
         rnd(F.sum("score"), 2).alias("sum_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §P.9 fourth wave — TIFF/EXIF/AIFF+mu-law decoders, image/audio transform
+# seams, best-fit packing, KCL lease coordination, tokenizer eval, the
+# per-frame video seam
+# ---------------------------------------------------------------------------
+
+
+@promo_op(
+    "media_tiff_decode_stats",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id,
+                   (d.doc_id * 17 + y.y * 11 + x.x * 5) % 256 AS v
+            FROM documents d,
+                 generate_series(0, 5) y(y),
+                 generate_series(0, 9) x(x)
+        )
+        SELECT doc_id,
+               6 AS height,
+               10 AS width,
+               CAST(sum(v) AS BIGINT) AS sum_gray,
+               CAST(sum(v) AS BIGINT) AS sum_wiz,
+               CAST(sum(v) AS BIGINT) AS sum_lzw,
+               CAST(60 * 255 + sum(v // 2) AS BIGINT) AS sum_palette
+        FROM px GROUP BY doc_id
+    """,
+    scale=(
+        "TIFF 6.0 decoder, four layouts per blob: multi-strip "
+        "uncompressed gray (II), PackBits white-is-zero (MM), LZW with "
+        "the horizontal-differencing predictor (II), and palette with a "
+        "768-entry colormap. The kernel assembles spec bytes (IFD walk, "
+        "strip offsets, 9-bit LZW frames) from the pixel formula; the "
+        "oracle recomputes the sums from the same formula, so any "
+        "byte-order / strip / predictor / LUT bug breaks the hash. "
+        "Per-blob, zero shuffle."
+    ),
+)
+def media_tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula image → four spec-built TIFF variants → decode_tiff → sums."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.media_codecs as _media
+
+    cloudpickle.register_pickle_by_value(_media)
+    dec = _media.decode_tiff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import struct as _st
+
+        import numpy as np
+        import pandas as pd
+
+        def build_tiff(bo, w, h, photometric, compression, strips, rps,
+                       predictor=0, colormap=None):
+            data = bytearray(b"II" if bo == "<" else b"MM")
+            data += _st.pack(bo + "H", 42)
+            data += b"\x00\x00\x00\x00"  # IFD offset, patched below
+            offs, cnts = [], []
+            for s in strips:
+                offs.append(len(data))
+                cnts.append(len(s))
+                data += s
+                if len(data) % 2:
+                    data += b"\x00"
+            entries = [
+                (256, 3, [w]), (257, 3, [h]), (258, 3, [8]),
+                (259, 3, [compression]), (262, 3, [photometric]),
+                (273, 4, offs), (277, 3, [1]), (278, 3, [rps]),
+                (279, 4, cnts),
+            ]
+            if predictor:
+                entries.append((317, 3, [predictor]))
+            if colormap is not None:
+                entries.append((320, 3, list(colormap)))
+            entries.sort()
+            ifd_off = len(data)
+            _st.pack_into(bo + "I", data, 4, ifd_off)
+            fmtc = {3: "H", 4: "I"}
+            heap_base = ifd_off + 2 + 12 * len(entries) + 4
+            heap = bytearray()
+            ifd = bytearray(_st.pack(bo + "H", len(entries)))
+            for tag, typ, vals in entries:
+                packed = _st.pack(bo + fmtc[typ] * len(vals), *vals)
+                ent = _st.pack(bo + "HHI", tag, typ, len(vals))
+                if len(packed) <= 4:
+                    ent += packed + b"\x00" * (4 - len(packed))
+                else:
+                    ent += _st.pack(bo + "I", heap_base + len(heap))
+                    heap += packed
+                    if len(heap) % 2:
+                        heap += b"\x00"
+                ifd += ent
+            ifd += b"\x00\x00\x00\x00"
+            return bytes(data + ifd + heap)
+
+        def packbits(b):
+            out = bytearray()
+            i, n = 0, len(b)
+            while i < n:
+                run = 1
+                while i + run < n and b[i + run] == b[i] and run < 128:
+                    run += 1
+                if run >= 3:
+                    out.append(257 - run)
+                    out.append(b[i])
+                    i += run
+                    continue
+                lit = bytearray()
+                j = i
+                while j < n and len(lit) < 128:
+                    r2 = 1
+                    while j + r2 < n and b[j + r2] == b[j] and r2 < 3:
+                        r2 += 1
+                    if r2 >= 3:
+                        break
+                    lit.append(b[j])
+                    j += 1
+                out.append(len(lit) - 1)
+                out += lit
+                i = j
+            return bytes(out)
+
+        def lzw_trivial(b):
+            # spec-legal stream: CLEAR before every symbol keeps the
+            # table at 258 entries so every code is 9 bits wide
+            out = bytearray()
+            acc = nbits = 0
+
+            def emit(code):
+                nonlocal acc, nbits
+                acc = (acc << 9) | code
+                nbits += 9
+                while nbits >= 8:
+                    out.append((acc >> (nbits - 8)) & 0xFF)
+                    nbits -= 8
+
+            for byte in b:
+                emit(256)
+                emit(byte)
+            emit(257)
+            if nbits:
+                out.append((acc << (8 - nbits)) & 0xFF)
+            return bytes(out)
+
+        y = np.arange(6)[:, None]
+        x = np.arange(10)[None, :]
+        cmap = []
+        for plane in range(3):
+            for i in range(256):
+                cmap.append(
+                    [i * 257, (255 - i) * 257, (i // 2) * 257][plane]
+                )
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = ((doc_id * 17 + y * 11 + x * 5) % 256).astype(
+                    np.uint8
+                )
+                raw = img.tobytes()
+                # (a) two-strip uncompressed gray, little-endian
+                t_gray = build_tiff(
+                    "<", 10, 6, 1, 1, [raw[:40], raw[40:]], 4
+                )
+                # (b) PackBits white-is-zero, big-endian
+                t_wiz = build_tiff(
+                    ">", 10, 6, 0, 32773,
+                    [packbits((255 - img.astype(np.int64)).astype(
+                        np.uint8).tobytes())], 6,
+                )
+                # (c) LZW + horizontal-differencing predictor
+                diff = img.astype(np.int64)
+                diff[:, 1:] = (diff[:, 1:] - diff[:, :-1]) % 256
+                t_lzw = build_tiff(
+                    "<", 10, 6, 1, 5,
+                    [lzw_trivial(diff.astype(np.uint8).tobytes())], 6,
+                    predictor=2,
+                )
+                # (d) palette: LUT entry i -> (i, 255-i, i//2)
+                t_pal = build_tiff(
+                    "<", 10, 6, 3, 1, [raw], 6, colormap=cmap
+                )
+                sums = [
+                    int(dec(t).astype(np.int64).sum())
+                    for t in (t_gray, t_wiz, t_lzw, t_pal)
+                ]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "height": int(dec(t_gray).shape[0]),
+                        "width": int(dec(t_gray).shape[1]),
+                        "sum_gray": sums[0],
+                        "sum_wiz": sums[1],
+                        "sum_lzw": sums[2],
+                        "sum_palette": sums[3],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, height int, width int, sum_gray long, "
+            "sum_wiz long, sum_lzw long, sum_palette long"
+        ),
+    )
+
+
+@promo_op(
+    "media_exif_orientation_parity",
+    oracle="""
+        SELECT doc_id,
+               CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+               CAST(CASE WHEN doc_id % 8 + 1 >= 5 THEN 12 ELSE 8 END
+                    AS INTEGER) AS out_h,
+               CAST(CASE WHEN doc_id % 8 + 1 >= 5 THEN 8 ELSE 12 END
+                    AS INTEGER) AS out_w,
+               TRUE AS sum_preserved
+        FROM documents
+    """,
+    scale=(
+        "EXIF orientation, end to end: the kernel splices a spec-built "
+        "APP1 segment (Exif TIFF header, tag 274) into a real encoded "
+        "JPEG, exif_orientation walks the IFD back out, and "
+        "apply_orientation permutes the decoded pixels — dims follow "
+        "the 8 orientation codes exactly and the pixel-sum invariance "
+        "proves the permutation lost nothing. Per-blob, zero shuffle."
+    ),
+)
+def media_exif_orientation_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JPEG + spliced APP1 → exif_orientation → apply_orientation."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.jpeg_codec as _jpeg
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    enc, dec = _jpeg.encode_jpeg, _jpeg.decode_jpeg
+    get_o, apply_o = _jpeg.exif_orientation, _jpeg.apply_orientation
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import struct as _st
+
+        import numpy as np
+        import pandas as pd
+
+        y = np.arange(8)[:, None, None]
+        x = np.arange(12)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = (
+                    (doc_id * 13 + y * 7 + x * 3 + c * 19) % 256
+                ).astype(np.uint8)
+                want = doc_id % 8 + 1
+                tiff = (
+                    b"II" + _st.pack("<HI", 42, 8)
+                    + _st.pack("<H", 1)
+                    + _st.pack("<HHIHH", 274, 3, 1, want, 0)
+                    + _st.pack("<I", 0)
+                )
+                app1 = b"Exif\x00\x00" + tiff
+                seg = b"\xff\xe1" + _st.pack(">H", 2 + len(app1)) + app1
+                blob = enc(img, quality=90)
+                blob = blob[:2] + seg + blob[2:]
+                o = get_o(blob)
+                arr = dec(blob)
+                out = apply_o(arr, o)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "orientation": int(o),
+                        "out_h": int(out.shape[0]),
+                        "out_w": int(out.shape[1]),
+                        "sum_preserved": bool(
+                            int(out.astype(np.int64).sum())
+                            == int(arr.astype(np.int64).sum())
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, orientation int, out_h int, out_w int, "
+            "sum_preserved boolean"
+        ),
+    )
+
+
+@promo_op(
+    "media_aiff_au_mulaw_stats",
+    oracle="""
+        WITH be AS (
+            SELECT d.doc_id,
+                   ((d.doc_id * 3 + i.i * 7) % 2000) - 1000
+                 + ((d.doc_id * 5 + i.i * 11) % 2000) - 1000 AS v
+            FROM documents d, generate_series(0, 49) i(i)
+        ), sowt AS (
+            SELECT d.doc_id,
+                   ((d.doc_id * 7 + i.i * 3) % 3000) - 1500 AS v
+            FROM documents d, generate_series(0, 59) i(i)
+        ), au AS (
+            SELECT d.doc_id,
+                   xor((d.doc_id * 7 + i.i * 13) % 256, 255) AS u
+            FROM documents d, generate_series(0, 63) i(i)
+        ), aud AS (
+            SELECT doc_id,
+                   CASE WHEN u >> 7 = 1
+                        THEN -((((u & 15) * 8 + 132) << ((u >> 4) & 7))
+                              - 132)
+                        ELSE (((u & 15) * 8 + 132) << ((u >> 4) & 7))
+                              - 132
+                   END AS s
+            FROM au
+        ), b_agg AS (
+            SELECT doc_id, CAST(sum(v) AS BIGINT) AS aiff_sum
+            FROM be GROUP BY doc_id
+        ), s_agg AS (
+            SELECT doc_id, CAST(sum(v) AS BIGINT) AS sowt_sum
+            FROM sowt GROUP BY doc_id
+        ), a_agg AS (
+            SELECT doc_id, CAST(sum(s) AS BIGINT) AS au_ulaw_sum
+            FROM aud GROUP BY doc_id
+        )
+        SELECT b_agg.doc_id, aiff_sum, sowt_sum, au_ulaw_sum
+        FROM b_agg
+        JOIN s_agg USING (doc_id)
+        JOIN a_agg USING (doc_id)
+    """,
+    scale=(
+        "The remaining audio container legs in one op: plain AIFF "
+        "(PCM16 big-endian, 80-bit extended-float rate), AIFF-C sowt "
+        "(little-endian), and Sun AU G.711 mu-law — the oracle replays "
+        "the mu-law expansion from the spec formula in SQL bit "
+        "arithmetic, so a wrong table entry breaks the hash. Per-blob, "
+        "zero shuffle."
+    ),
+)
+def media_aiff_au_mulaw_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spec-built AIFF / AIFF-C sowt / AU mu-law blobs → decoders → sums."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.media_codecs as _media
+
+    cloudpickle.register_pickle_by_value(_media)
+    dec_aiff, dec_au = _media.decode_aiff, _media.decode_au
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import struct as _st
+
+        import numpy as np
+        import pandas as pd
+
+        def f80(rate):
+            e = rate.bit_length() - 1
+            return _st.pack(">HQ", 16383 + e, rate << (63 - e))
+
+        def build_aiff(samples, rate, sowt):
+            n, ch = samples.shape
+            if sowt:
+                comm = (
+                    _st.pack(">hIh", ch, n, 16) + f80(rate)
+                    + b"sowt\x00\x00"
+                )
+                form_type = b"AIFC"
+                body = samples.astype("<i2").tobytes()
+            else:
+                comm = _st.pack(">hIh", ch, n, 16) + f80(rate)
+                form_type = b"AIFF"
+                body = samples.astype(">i2").tobytes()
+            ssnd = _st.pack(">II", 0, 0) + body
+            chunks = b"COMM" + _st.pack(">I", len(comm)) + comm
+            if len(comm) % 2:
+                chunks += b"\x00"
+            chunks += b"SSND" + _st.pack(">I", len(ssnd)) + ssnd
+            if len(ssnd) % 2:
+                chunks += b"\x00"
+            return (
+                b"FORM" + _st.pack(">I", 4 + len(chunks)) + form_type
+                + chunks
+            )
+
+        i50 = np.arange(50)
+        i60 = np.arange(60)
+        i64 = np.arange(64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ch0 = ((doc_id * 3 + i50 * 7) % 2000) - 1000
+                ch1 = ((doc_id * 5 + i50 * 11) % 2000) - 1000
+                stereo = np.stack([ch0, ch1], axis=1).astype(np.int16)
+                s_be, rate_be = dec_aiff(build_aiff(stereo, 8000, False))
+                mono = (((doc_id * 7 + i60 * 3) % 3000) - 1500).astype(
+                    np.int16
+                )[:, None]
+                s_lt, _ = dec_aiff(build_aiff(mono, 16000, True))
+                codes = ((doc_id * 7 + i64 * 13) % 256).astype(np.uint8)
+                au = (
+                    b".snd"
+                    + _st.pack(">5I", 24, len(codes), 1, 8000, 1)
+                    + codes.tobytes()
+                )
+                s_au, _ = dec_au(au)
+                assert rate_be == 8000
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "aiff_sum": int(s_be.astype(np.int64).sum()),
+                        "sowt_sum": int(s_lt.astype(np.int64).sum()),
+                        "au_ulaw_sum": int(s_au.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, aiff_sum long, sowt_sum long, au_ulaw_sum long"
+        ),
+    )
+
+
+@promo_op(
+    "image_transform_pipeline_checksum",
+    oracle="""
+        SELECT doc_id,
+               12 AS height,
+               12 AS width,
+               CAST(9504 + 384 * (doc_id % 13) AS BIGINT) AS lb_sum,
+               CAST(4032 + 384 * (doc_id % 13) AS BIGINT) AS bl_sum,
+               CAST(1008 + 96 * (doc_id % 13) AS BIGINT) AS crop_sum
+        FROM documents
+    """,
+    scale=(
+        "The image_transform_frame seam end to end: PNG decode → "
+        "letterbox (bilinear resize + pad) → PNG re-encode, then a "
+        "second Arrow pass decodes the output payload. The input is a "
+        "LINEAR ramp (8y + 12x + c), so the half-pixel bilinear sample "
+        "positions give exact integer pixels and the oracle is literal "
+        "arithmetic — a convention drift (align_corners, pad value, "
+        "crop origin) breaks the hash. Two chained per-blob passes, "
+        "zero shuffle."
+    ),
+)
+def image_transform_pipeline_checksum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ramp PNG → letterbox seam → decode output; plus direct bilinear
+    8x12 and its 4x6 center crop, all against closed-form sums."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.image_ops as _iops
+    import python_kinesis_streaming_spark.llm.media_codecs as _media
+    from python_kinesis_streaming_spark.llm.image_ops import (
+        image_transform_frame,
+    )
+
+    cloudpickle.register_pickle_by_value(_iops)
+    cloudpickle.register_pickle_by_value(_media)
+    enc_png, dec_png = _media.encode_png, _media.decode_png
+    bilinear, crop = _iops.resize_bilinear, _iops.center_crop
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_png(batches):
+        import numpy as np
+        import pandas as pd
+
+        y = np.arange(4)[:, None]
+        x = np.arange(6)[None, :]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = (8 * y + 12 * x + 4 * (doc_id % 13)).astype(
+                    np.uint8
+                )
+                rows.append(
+                    {"doc_id": doc_id, "fmt": "png",
+                     "payload": enc_png(img)}
+                )
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(
+        make_png, schema="doc_id long, fmt string, payload binary"
+    )
+    boxed = image_transform_frame(
+        blobs, "doc_id", "fmt", "payload", out_size=12, mode="letterbox"
+    )
+
+    def check(batches):
+        import numpy as np
+        import pandas as pd
+
+        y = np.arange(4)[:, None]
+        x = np.arange(6)[None, :]
+        for pdf in batches:
+            rows = []
+            for rid, h, w, payload in zip(
+                pdf["id"], pdf["height"], pdf["width"], pdf["payload"]
+            ):
+                doc_id = int(rid)
+                out = dec_png(bytes(payload))
+                img = (8 * y + 12 * x + 4 * (doc_id % 13)).astype(
+                    np.uint8
+                )
+                bl = bilinear(img, 8, 12)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "height": int(h),
+                        "width": int(w),
+                        "lb_sum": int(out.astype(np.int64).sum()),
+                        "bl_sum": int(bl.astype(np.int64).sum()),
+                        "crop_sum": int(
+                            crop(bl, 4, 6).astype(np.int64).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return boxed.mapInPandas(
+        check,
+        schema=(
+            "doc_id long, height int, width int, lb_sum long, "
+            "bl_sum long, crop_sum long"
+        ),
+    )
+
+
+@promo_op(
+    "audio_standardize_roundtrip",
+    oracle="""
+        WITH m AS (
+            SELECT d.doc_id, i.i AS i,
+                   2 * ((d.doc_id * 3 + i.i * 5) % 500) - 500
+                   + (i.i % 7) - 3 AS v
+            FROM documents d, generate_series(0, 99) i(i)
+        )
+        SELECT doc_id,
+               8000 AS sample_rate,
+               60 AS n_samples,
+               CAST(sum(CASE WHEN i BETWEEN 20 AND 79 THEN v ELSE 0 END)
+                    AS BIGINT) AS trunc_sum,
+               CAST(sum(v) AS BIGINT) AS mono_sum,
+               CAST(sum(v) AS BIGINT) AS pad_sum
+        FROM m GROUP BY doc_id
+    """,
+    scale=(
+        "The audio_standardize_frame seam end to end: stereo WAV decode "
+        "→ channel-mean mixdown → identity resample → center-truncate "
+        "to 60 samples → WAV re-encode, with a second Arrow pass "
+        "decoding the output payload. Channel pairs are built so the "
+        "mean is an exact integer (no rounding leg), and fit_length's "
+        "pad branch is checked kernel-side — the oracle replays the "
+        "mixdown and the center window in SQL. Two chained per-blob "
+        "passes, zero shuffle."
+    ),
+)
+def audio_standardize_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stereo formula WAV → standardize seam → decode output → sums."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.audio_ops as _aops
+    import python_kinesis_streaming_spark.llm.media_codecs as _media
+    from python_kinesis_streaming_spark.llm.audio_ops import (
+        audio_standardize_frame,
+    )
+
+    cloudpickle.register_pickle_by_value(_aops)
+    cloudpickle.register_pickle_by_value(_media)
+    dec_wav = _media.decode_wav
+    mixdown, fit = _aops.mixdown_mono, _aops.fit_length
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_wav(batches):
+        import struct as _st
+
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(100)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base = 2 * ((doc_id * 3 + i * 5) % 500) - 500
+                ch1 = base + 2 * ((i % 7) - 3)
+                stereo = np.stack([base, ch1], axis=1).astype(np.int16)
+                data = stereo.astype("<i2").tobytes()
+                fmt = _st.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+                    + b"data" + _st.pack("<I", len(data)) + data
+                )
+                blob = b"RIFF" + _st.pack("<I", len(body)) + body
+                rows.append(
+                    {"doc_id": doc_id, "fmt": "wav", "payload": blob}
+                )
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(
+        make_wav, schema="doc_id long, fmt string, payload binary"
+    )
+    std = audio_standardize_frame(
+        blobs, "doc_id", "fmt", "payload",
+        target_rate=8000, target_seconds=60 / 8000,
+    )
+
+    def check(batches):
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(100)
+        for pdf in batches:
+            rows = []
+            for rid, rate, n, payload in zip(
+                pdf["id"], pdf["sample_rate"], pdf["n_samples"],
+                pdf["payload"],
+            ):
+                doc_id = int(rid)
+                samples, _ = dec_wav(bytes(payload))
+                trunc_sum = int(samples.astype(np.int64).sum())
+                base = 2 * ((doc_id * 3 + i * 5) % 500) - 500
+                ch1 = base + 2 * ((i % 7) - 3)
+                stereo = np.stack([base, ch1], axis=1).astype(np.int16)
+                mono = mixdown(stereo)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": int(rate),
+                        "n_samples": int(n),
+                        "trunc_sum": trunc_sum,
+                        "mono_sum": int(mono.astype(np.int64).sum()),
+                        "pad_sum": int(
+                            fit(mono, 128).astype(np.int64).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return std.mapInPandas(
+        check,
+        schema=(
+            "doc_id long, sample_rate int, n_samples int, "
+            "trunc_sum long, mono_sum long, pad_sum long"
+        ),
+    )
+
+
+@promo_op(
+    "pack_best_fit_audit",
+    oracle="""
+        SELECT CAST(sum(len(list_filter(string_split(text, ' '),
+                                        w -> length(w) > 0)))
+                    AS BIGINT) AS total_tokens,
+               TRUE AS seqs_within_cap,
+               TRUE AS offsets_valid,
+               TRUE AS chunks_conserved,
+               TRUE AS seq_count_lbound,
+               TRUE AS bfd_tightness
+        FROM documents
+    """,
+    scale=(
+        "pack_best_fit (best-fit-decreasing, bisect-kept residuals) "
+        "under the same conservation invariants as pack_concat, plus "
+        "the BFD-specific one: two bins in a bucket can never BOTH be "
+        "half-empty (a new bin opens only when the chunk fits no "
+        "residual), so each bucket has at most one underfull bin. One "
+        "applyInPandas shuffle on the 4096-way bucket key; the audit "
+        "aggregations reuse the packed frame."
+    ),
+)
+def pack_best_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_best_fit(seq_len=32) invariants as an auditable single row."""
+    from python_kinesis_streaming_spark.llm.packing import (
+        _split_long_docs,
+        pack_best_fit,
+        with_token_lengths,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lengths = with_token_lengths(docs, "doc_id", "text")
+    packed = pack_best_fit(lengths, 32)
+
+    per_seq = packed.groupBy("seq_id").agg(
+        F.sum("tokens_in_seq").alias("fill")
+    )
+    seq_ok = per_seq.agg(
+        (F.max("fill") <= 32).alias("seqs_within_cap"),
+        F.count(F.lit(1)).alias("n_seqs"),
+    )
+    per_bucket = per_seq.groupBy(
+        (F.col("seq_id") / F.lit(1 << 40)).cast("long").alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("fill") * 2 <= 32, 1).otherwise(0)).alias(
+            "underfull"
+        )
+    )
+    bfd_ok = per_bucket.agg(
+        (F.max("underfull") <= 1).alias("bfd_tightness")
+    )
+    off_ok = packed.agg(
+        (
+            (F.min("offset") >= 0)
+            & (F.max(F.col("offset") + F.col("n_tokens")) <= 32)
+        ).alias("offsets_valid"),
+        F.sum("tokens_in_seq").cast("long").alias("total_tokens"),
+    )
+    chunks = _split_long_docs(lengths, 32)
+    conserved = (
+        packed.groupBy("doc_id", "chunk_idx")
+        .agg(F.sum("tokens_in_seq").alias("got"))
+        .join(chunks, ["doc_id", "chunk_idx"])
+        .agg(
+            F.min(F.col("got") == F.col("n_tokens")).alias(
+                "chunks_conserved"
+            )
+        )
+    )
+    return (
+        off_ok.crossJoin(seq_ok).crossJoin(bfd_ok).crossJoin(conserved)
+        .select(
+            "total_tokens",
+            "seqs_within_cap",
+            "offsets_valid",
+            "chunks_conserved",
+            (
+                F.col("n_seqs")
+                >= F.ceil(F.col("total_tokens") / F.lit(32.0))
+            ).alias("seq_count_lbound"),
+            "bfd_tightness",
+        )
+    )
+
+
+@promo_op(
+    "kcl_lease_coordination_agg",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_records,
+               TRUE AS no_dupes,
+               4 AS n_shards_checkpointed,
+               TRUE AS ownership_disjoint
+        FROM events WHERE event_id % 7 = 0
+    """,
+    scale=(
+        "The KCL lease protocol over the loopback stack: records go in "
+        "through the producer sink, then two LeaseCoordinators sharing "
+        "one lease table run coordinated_poll in sequence — the first "
+        "drains its owned shards behind fenced checkpoints, the second "
+        "takes/steals leases and resumes from those fences, so the "
+        "union covers the stream exactly once and every shard ends "
+        "checkpointed. Poll cycles are per-worker-process at scale; "
+        "the fixture runs both workers in the driver to audit the "
+        "protocol, with record-count parity as the oracle."
+    ),
+)
+def kcl_lease_coordination_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """events subset → producer sink → two-worker coordinated poll →
+    exactly-once union parity."""
+    import json as _json
+
+    from python_kinesis_streaming_spark.sources.kcl_leases import (
+        LeaseCoordinator,
+        LeaseTable,
+        coordinated_poll,
+    )
+    from python_kinesis_streaming_spark.sources.kinesis_consumer import (
+        KinesisClient,
+    )
+    from python_kinesis_streaming_spark.sources.kinesis_mock import (
+        MockKinesisServer,
+    )
+    from python_kinesis_streaming_spark.sources.kinesis_sink import (
+        write_batch_to_kinesis,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 7 == 0)
+        .select(
+            F.col("user_id").cast("string").alias("pk"),
+            F.to_json(F.struct("event_id")).alias("data"),
+        )
+    )
+    lease_dir = os.path.join(SCRATCH, f"promo_kcl_{sf_tag(sf_dir)}")
+    _clear_scratch(lease_dir)
+    with MockKinesisServer() as srv:
+        client = KinesisClient(srv.endpoint_url)
+        client.call(
+            "CreateStream", {"StreamName": "promo-kcl", "ShardCount": 4}
+        )
+        write_batch_to_kinesis(
+            ev, srv.endpoint_url, "promo-kcl", pk_col="pk",
+            data_col="data",
+        )
+        table = LeaseTable(lease_dir)
+        a = LeaseCoordinator(table, "worker-a", lease_ttl_s=60.0)
+        b = LeaseCoordinator(table, "worker-b", lease_ttl_s=60.0)
+        rec_a = coordinated_poll(client, "promo-kcl", a)
+        rec_b = coordinated_poll(client, "promo-kcl", b)
+        shard_ids = client.list_shard_ids("promo-kcl")
+    ids_a = [
+        _json.loads(r["data"].decode("utf-8"))["event_id"] for r in rec_a
+    ]
+    ids_b = [
+        _json.loads(r["data"].decode("utf-8"))["event_id"] for r in rec_b
+    ]
+    all_ids = ids_a + ids_b
+    checkpointed = sum(
+        1
+        for sid in shard_ids
+        if (table.read(sid) or {}).get("checkpoint") is not None
+        or not (ids_a or ids_b)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(all_ids),
+                len(set(all_ids)) == len(all_ids),
+                checkpointed,
+                len(set(ids_a) & set(ids_b)) == 0,
+            )
+        ],
+        (
+            "n_records long, no_dupes boolean, "
+            "n_shards_checkpointed int, ownership_disjoint boolean"
+        ),
+    )
+
+
+@promo_op(
+    "tokenizer_eval_report_audit",
+    oracle="""
+        SELECT t.tokenizer,
+               CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+               TRUE AS tokens_positive,
+               TRUE AS fertility_ge_1,
+               TRUE AS util_in_range,
+               TRUE AS single_rate_in_range
+        FROM (SELECT unnest(['bpe', 'unigram']) AS tokenizer) t
+        ORDER BY tokenizer
+    """,
+    scale=(
+        "compare_tokenizers end to end: BPE and unigram trained on the "
+        "same word-frequency evidence, both encodings scored by "
+        "tokenizer_report. Trained vocabularies are not SQL-"
+        "expressible, so the audit pins the metric INVARIANTS — every "
+        "word yields at least one piece (fertility ≥ 1), distinct "
+        "pieces never exceed the vocab, rates stay in [0, 1] — plus "
+        "the exact doc count per tokenizer row. Training cost is the "
+        "two trainers' (bounded merge/EM iterations); the report is "
+        "two aggregations."
+    ),
+)
+def tokenizer_eval_report_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """compare_tokenizers → invariant booleans per tokenizer row."""
+    from python_kinesis_streaming_spark.llm.tokenizer_eval import (
+        compare_tokenizers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # num_merges pinned low: each BPE merge is one argmax collect +
+    # shuffle round, so the default (vocab_size - n_chars) would run
+    # ~50 rounds on this corpus for no extra coverage; the report is
+    # collected inside the bounded-shuffle window (2 rows)
+    with _bounded_shuffle(spark):
+        rep = compare_tokenizers(
+            docs, "text", vocab_size=120, num_merges=8, max_piece_len=4
+        )
+        rows = (
+            rep.select(
+                "tokenizer",
+                F.col("n_docs").cast("long").alias("n_docs"),
+                (F.col("total_tokens") > 0).alias("tokens_positive"),
+                (F.col("fertility") >= 1.0).alias("fertility_ge_1"),
+                (
+                    (F.col("vocab_utilization") > 0)
+                    & (F.col("vocab_utilization") <= 1.0)
+                ).alias("util_in_range"),
+                (
+                    (F.col("single_char_rate") >= 0)
+                    & (F.col("single_char_rate") <= 1.0)
+                ).alias("single_rate_in_range"),
+            )
+            .orderBy("tokenizer")
+            .collect()
+        )
+    return spark.createDataFrame(
+        rows,
+        (
+            "tokenizer string, n_docs long, tokens_positive boolean, "
+            "fertility_ge_1 boolean, util_in_range boolean, "
+            "single_rate_in_range boolean"
+        ),
+    )
+
+
+@promo_op(
+    "video_frames_seam_stats",
+    oracle="""
+        SELECT doc_id,
+               3 AS n_frames_sampled,
+               6 AS n_frames_total,
+               CAST(6 AS BIGINT) AS sum_frame_index,
+               CAST(240 AS BIGINT) AS sum_pts_ms,
+               TRUE AS all_keyframes,
+               CAST((doc_id * 7) % 256 + (doc_id * 7 + 62) % 256
+                    + (doc_id * 7 + 124) % 256 AS BIGINT) AS sum_mean_px
+        FROM documents
+    """,
+    scale=(
+        "video_frames_frame — the per-frame feature seam — over "
+        "spec-built 6-frame DIB AVIs with every_n=2, max_frames=3: "
+        "sampling happens on the demux index before any decode, so the "
+        "op pins the sampled indices (0, 2, 4), their 25fps timestamps "
+        "and the decoded constant-frame means in one pass. Constant "
+        "frames make mean_px an exact integer. Per-blob, zero shuffle; "
+        "max_frames bounds decode work per video."
+    ),
+)
+def video_frames_seam_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Formula DIB AVI → video_frames_frame(every_n=2, max_frames=3) →
+    per-doc aggregate parity."""
+    from pyspark import cloudpickle
+
+    import python_kinesis_streaming_spark.llm.video_codecs as _video
+    from python_kinesis_streaming_spark.llm.video_codecs import (
+        video_frames_frame,
+    )
+
+    cloudpickle.register_pickle_by_value(_video)
+    build = _video.build_avi
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_avi(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = [
+                    np.full(
+                        (4, 4, 3),
+                        (doc_id * 7 + fi * 31) % 256,
+                        dtype=np.uint8,
+                    )
+                    for fi in range(6)
+                ]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "fmt": "avi",
+                        "payload": build(frames, codec="DIB "),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(
+        make_avi, schema="doc_id long, fmt string, payload binary"
+    )
+    per_frame = video_frames_frame(
+        blobs, "doc_id", "fmt", "payload", every_n=2, max_frames=3
+    )
+    return per_frame.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames_sampled"),
+        F.min("n_frames_total").cast("int").alias("n_frames_total"),
+        F.sum("frame_index").cast("long").alias("sum_frame_index"),
+        F.sum("pts_ms").cast("long").alias("sum_pts_ms"),
+        F.min("keyframe").alias("all_keyframes"),
+        F.sum("mean_px").cast("long").alias("sum_mean_px"),
     )

@@ -37,6 +37,8 @@ EXECUTING_OPS = {
     "classifier_train_audit",
     "tokenizer_train_audit",
     "avro_schema_evolution_agg",
+    "kcl_lease_coordination_agg",
+    "tokenizer_eval_report_audit",
 }
 
 #: Max shuffle Exchanges a lazy promotion op may plan. Census at r8:
@@ -51,6 +53,9 @@ SHUFFLE_CEILING = {
     # distinct vids + cue/frame builds + the bucketized range join's
     # equi-join, dedup and uncovered anti-join — measured 7
     "subtitles_align_parity": 8,
+    # same invariant-aggregate shape as pack_concat_audit plus the
+    # per-bucket BFD-tightness aggregate
+    "pack_best_fit_audit": 14,
 }
 DEFAULT_CEILING = 4
 
