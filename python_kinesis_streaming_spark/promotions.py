@@ -3551,3 +3551,182 @@ def video_frames_seam_stats(
         F.min("keyframe").alias("all_keyframes"),
         F.sum("mean_px").cast("long").alias("sum_mean_px"),
     )
+
+
+@promo_op(
+    "kinesis_stream_source_agg",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_records,
+               TRUE AS no_dupes,
+               floor(sum(value) * 100.0 + 0.505) / 100.0 AS sum_value
+        FROM events WHERE event_id % 11 = 0
+    """,
+    scale=(
+        "The Structured Streaming rung of the ingest ladder: records "
+        "go in through the producer sink, spark.readStream over the "
+        "pkss_kinesis Python DataSource drains them as micro-batches "
+        "into a memory sink, per-shard sequence numbers living in "
+        "Spark's own offset WAL. Record-count + value parity and "
+        "shard+sequence uniqueness prove exactly-once across batches. "
+        "The SimpleDataSourceStreamReader prefetches on the driver "
+        "(Spark's documented pattern for Python sources); the JVM DSv2 "
+        "facade is the high-throughput step-up with the same plan "
+        "surface."
+    ),
+)
+def kinesis_stream_source_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """events subset → producer sink → readStream(pkss_kinesis) →
+    memory sink → exactly-once aggregate parity."""
+    from python_kinesis_streaming_spark.functions.rounding import rnd
+    from python_kinesis_streaming_spark.sources.kinesis_mock import (
+        MockKinesisServer,
+    )
+    from python_kinesis_streaming_spark.sources.kinesis_sink import (
+        write_batch_to_kinesis,
+    )
+    from python_kinesis_streaming_spark.sources.kinesis_stream_source import (
+        read_kinesis_stream,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 11 == 0)
+        .select(
+            F.col("user_id").cast("string").alias("pk"),
+            F.to_json(F.struct("event_id", "value")).alias("data"),
+        )
+    )
+    # a fresh mock endpoint per invocation: stale checkpoints would
+    # point at a dead server, so checkpoint + memory table reset together
+    cp_dir = os.path.join(SCRATCH, f"promo_kss_cp_{sf_tag(sf_dir)}")
+    _clear_scratch(cp_dir)
+    with MockKinesisServer() as srv:
+        from python_kinesis_streaming_spark.sources.kinesis_consumer import (
+            KinesisClient,
+        )
+
+        client = KinesisClient(srv.endpoint_url)
+        client.call(
+            "CreateStream", {"StreamName": "promo-kss", "ShardCount": 4}
+        )
+        write_batch_to_kinesis(
+            ev, srv.endpoint_url, "promo-kss", pk_col="pk",
+            data_col="data",
+        )
+        stream = read_kinesis_stream(spark, srv.endpoint_url, "promo-kss")
+        with _bounded_shuffle(spark):
+            q = (
+                stream.writeStream.format("memory")
+                .queryName("promo_kss_mem")
+                .option("checkpointLocation", cp_dir)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                got = spark.table("promo_kss_mem")
+                parsed = got.select(
+                    "shard_id",
+                    "sequence_number",
+                    F.from_json(
+                        F.decode("data", "utf-8"),
+                        "event_id long, value double",
+                    ).alias("r"),
+                )
+                row = parsed.agg(
+                    F.count(F.lit(1)).alias("n_records"),
+                    (
+                        F.countDistinct("shard_id", "sequence_number")
+                        == F.count(F.lit(1))
+                    ).alias("no_dupes"),
+                    rnd(F.sum("r.value"), 2).alias("sum_value"),
+                ).collect()[0]
+            finally:
+                q.stop()
+    return spark.createDataFrame(
+        [(row["n_records"], row["no_dupes"], row["sum_value"])],
+        "n_records long, no_dupes boolean, sum_value double",
+    )
+
+
+@promo_op(
+    "kinesis_efo_fanout_agg",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_records_a,
+               CAST(count(*) AS BIGINT) AS n_records_b,
+               TRUE AS fanout_independent,
+               TRUE AS no_dupes
+        FROM events WHERE event_id % 13 = 0
+    """,
+    scale=(
+        "Enhanced fan-out, the property that MAKES it fan-out: two "
+        "registered consumers each open push subscriptions "
+        "(SubscribeToShard eventstream frames) and each independently "
+        "drains the FULL stream — same records to both, no shared "
+        "iterator state — which the oracle pins as equal counts and an "
+        "identical id multiset. Per real deployment one consumer is one "
+        "application; subscriptions are per-shard pushes, so throughput "
+        "scales with shards, not polls."
+    ),
+)
+def kinesis_efo_fanout_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events subset → producer sink → two EFO consumers → both drain
+    the full stream independently."""
+    import json as _json
+
+    from python_kinesis_streaming_spark.sources.kinesis_consumer import (
+        KinesisClient,
+    )
+    from python_kinesis_streaming_spark.sources.kinesis_efo import (
+        efo_poll_stream,
+        register_consumer,
+    )
+    from python_kinesis_streaming_spark.sources.kinesis_mock import (
+        MockKinesisServer,
+    )
+    from python_kinesis_streaming_spark.sources.kinesis_sink import (
+        write_batch_to_kinesis,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 13 == 0)
+        .select(
+            F.col("user_id").cast("string").alias("pk"),
+            F.to_json(F.struct("event_id")).alias("data"),
+        )
+    )
+    with MockKinesisServer() as srv:
+        client = KinesisClient(srv.endpoint_url)
+        client.call(
+            "CreateStream", {"StreamName": "promo-efo", "ShardCount": 4}
+        )
+        write_batch_to_kinesis(
+            ev, srv.endpoint_url, "promo-efo", pk_col="pk",
+            data_col="data",
+        )
+        arn_a = register_consumer(client, "promo-efo", "app-a")
+        arn_b = register_consumer(client, "promo-efo", "app-b")
+        rec_a = efo_poll_stream(client, "promo-efo", arn_a)
+        rec_b = efo_poll_stream(client, "promo-efo", arn_b)
+    ids_a = sorted(
+        _json.loads(r["data"].decode("utf-8"))["event_id"] for r in rec_a
+    )
+    ids_b = sorted(
+        _json.loads(r["data"].decode("utf-8"))["event_id"] for r in rec_b
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(ids_a),
+                len(ids_b),
+                ids_a == ids_b,
+                len(set(ids_a)) == len(ids_a),
+            )
+        ],
+        (
+            "n_records_a long, n_records_b long, "
+            "fanout_independent boolean, no_dupes boolean"
+        ),
+    )

@@ -39,6 +39,8 @@ EXECUTING_OPS = {
     "avro_schema_evolution_agg",
     "kcl_lease_coordination_agg",
     "tokenizer_eval_report_audit",
+    "kinesis_stream_source_agg",
+    "kinesis_efo_fanout_agg",
 }
 
 #: Max shuffle Exchanges a lazy promotion op may plan. Census at r8:

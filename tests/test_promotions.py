@@ -51,3 +51,46 @@ def test_promotion_names_match_promotion_md():
     ).read()
     missing = [n for n in PROMOTION_OPS if n not in md]
     assert not missing, f"ops not documented in PROMOTION.md: {missing}"
+
+
+def test_register_all_flip_rehearsal():
+    """The r9/r10 flip is one register_all() call — rehearse it in a
+    subprocess (the live registry must stay frozen at 391 for every
+    other test): all 47 promotion names must land in queries() with
+    their oracles and scale notes intact, alongside the 391."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = """
+import sys
+sys.path.insert(0, %r)
+from python_kinesis_streaming_spark import registry
+from python_kinesis_streaming_spark.promotions import (
+    PROMOTION_OPS, register_all,
+)
+before = len(registry.all_queries())
+assert before == 391, before
+register_all()
+qs = registry.all_queries()
+oracles = registry.all_oracles()
+assert len(qs) == before + len(PROMOTION_OPS), (len(qs), before)
+missing = [n for n in PROMOTION_OPS if n not in qs]
+assert not missing, missing
+no_oracle = [n for n in PROMOTION_OPS if not oracles.get(n)]
+assert no_oracle == [], no_oracle
+no_scale = [
+    n for n in PROMOTION_OPS if not registry.get_op(n).scale_notes
+]
+assert no_scale == [], no_scale
+print("FLIP-OK", len(qs))
+""" % (repo,)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "FLIP-OK 438" in out.stdout, out.stdout
