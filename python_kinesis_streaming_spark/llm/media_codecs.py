@@ -307,6 +307,10 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
         while nbits >= width:
             code = (acc >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
+            # trim consumed high bits: without this, acc accumulates the
+            # whole strip as one growing bignum and every shift goes
+            # O(strip) — quadratic on multi-MB strips
+            acc &= (1 << nbits) - 1
             if code == CLEAR:
                 table = table[:258]
                 width = 9
@@ -514,17 +518,27 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
     growing to 12 bits, deferred-clear tolerated (no growth past 4096)."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    stream = int.from_bytes(data, "little")
-    total_bits = len(data) * 8
-    bitpos = 0
+    # incremental LSB-first accumulator: decoding the whole stream as one
+    # int.from_bytes bignum makes every per-code shift O(stream) —
+    # quadratic on large images
+    acc = nbits = 0
+    pos = 0
+    n = len(data)
     code_size = min_code_size + 1
     table: dict[int, list[int]] = {i: [i] for i in range(clear)}
     next_code = eoi + 1
     out: list[int] = []
     prev: list[int] | None = None
-    while bitpos + code_size <= total_bits:
-        code = (stream >> bitpos) & ((1 << code_size) - 1)
-        bitpos += code_size
+    while True:
+        while nbits < code_size and pos < n:
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < code_size:
+            break
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
         if code == clear:
             code_size = min_code_size + 1
             table = {i: [i] for i in range(clear)}
