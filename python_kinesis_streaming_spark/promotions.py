@@ -1025,17 +1025,6 @@ def classifier_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tokenizer_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train BPE + unigram on the corpus; audit lossless round-trips."""
-    from python_kinesis_streaming_spark.llm.bpe import (
-        PRETOKEN_RE,
-        apply_bpe,
-        train_bpe,
-        word_frequencies,
-    )
-    from python_kinesis_streaming_spark.llm.unigram import (
-        train_unigram,
-        viterbi_encode,
-    )
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     with _bounded_shuffle(spark):
@@ -3385,7 +3374,6 @@ def kcl_lease_coordination_agg(
         1
         for sid in shard_ids
         if (table.read(sid) or {}).get("checkpoint") is not None
-        or not (ids_a or ids_b)
     )
     return spark.createDataFrame(
         [
