@@ -54,7 +54,10 @@ def test_promotion_names_match_promotion_md():
 
 
 def test_register_all_flip_rehearsal():
-    """The r9/r10 flip is one register_all() call — rehearse it in a
+    """The r9/r10 flip is one _OP_MODULES line pointing at the
+    promotions_flip import hook (registry._ensure_loaded only IMPORTS —
+    a module must register at import time, and promotions.py's
+    decorators deliberately don't). Rehearse the exact flip path in a
     subprocess (the live registry must stay frozen at 391 for every
     other test): all 47 promotion names must land in queries() with
     their oracles and scale notes intact, alongside the 391."""
@@ -65,14 +68,13 @@ def test_register_all_flip_rehearsal():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = """
 import sys
+import importlib
 sys.path.insert(0, %r)
 from python_kinesis_streaming_spark import registry
-from python_kinesis_streaming_spark.promotions import (
-    PROMOTION_OPS, register_all,
-)
+from python_kinesis_streaming_spark.promotions import PROMOTION_OPS
 before = len(registry.all_queries())
 assert before == 391, before
-register_all()
+importlib.import_module("python_kinesis_streaming_spark.promotions_flip")
 qs = registry.all_queries()
 oracles = registry.all_oracles()
 assert len(qs) == before + len(PROMOTION_OPS), (len(qs), before)
