@@ -129,6 +129,7 @@ from python_kinesis_streaming_spark.sources.lakehouse import (
 )
 from python_kinesis_streaming_spark.sources.lakehouse import (
     cluster_zorder,
+    compact_small_files,
     delete_where,
     merge_upsert,
     purge_deletes,

@@ -3718,3 +3718,55 @@ def kinesis_efo_fanout_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fanout_independent boolean, no_dupes boolean"
         ),
     )
+
+
+@promo_op(
+    "lakehouse_compact_audit",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               TRUE AS files_reduced,
+               TRUE AS dvs_folded,
+               TRUE AS history_intact
+        FROM documents WHERE n_chars % 5 <> 0
+    """,
+    scale=(
+        "Small-file compaction (Delta OPTIMIZE shape): 8 DV'd files "
+        "first-fit-decreasing packed and rewritten under a byte "
+        "target, deletion vectors folded in, removes+adds in one "
+        "fenced commit. Survivor parity proves no row moved wrong; "
+        "the booleans pin fewer live files, zero remaining DVs, and "
+        "an intact pre-compaction version. Driver work is bounded by "
+        "file count; each group is one right-sized write task."
+    ),
+)
+def lakehouse_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed 8 files → DV delete → compact → parity + invariants."""
+    from python_kinesis_streaming_spark.sources.lakehouse import (
+        compact_small_files,
+        delete_where,
+        read_table,
+    )
+    from python_kinesis_streaming_spark.sources.snapshots import (
+        _replay_state,
+        write_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tdir = os.path.join(SCRATCH, f"promo_compact_{sf_tag(sf_dir)}")
+    _clear_scratch(tdir)
+    write_snapshot(docs.repartition(8, "doc_id"), tdir, message="seed")
+    delete_where(spark, tdir, "n_chars % 5 = 0", mode="dv")
+    n_before = len(_replay_state(tdir, None).live)
+    res = compact_small_files(spark, tdir, target_bytes=1 << 20)
+    st = _replay_state(tdir, None)
+    old = _replay_state(tdir, res["version"] - 1)
+    return read_table(spark, tdir).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.lit(len(st.live) < n_before).alias("files_reduced"),
+        F.lit(len(st.dvs) == 0).alias("dvs_folded"),
+        F.lit(len(old.live) == n_before).alias("history_intact"),
+    )

@@ -492,6 +492,89 @@ def purge_deletes(
     return commit(table_dir, actions, message=message, expected_version=base)
 
 
+def compact_small_files(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 << 20,
+    small_bytes: int | None = None,
+    message: str = "compact",
+) -> dict:
+    """Bin-pack small data files into target-sized ones, one atomic
+    commit — the streaming-ingest maintenance op (Delta OPTIMIZE /
+    Iceberg rewrite_data_files shape).
+
+    Every live file smaller than ``small_bytes`` (default
+    ``target_bytes // 2``) is a candidate; candidates are first-fit-
+    decreasing packed into groups whose input sizes sum to at most
+    ``target_bytes``, and each group of two or more files is rewritten
+    as ONE file with its deletion vectors folded in — compacted files
+    come out clean. Removes + adds land in one commit with
+    ``expected_version`` fencing, so a concurrent writer loses cleanly
+    instead of corrupting the log; pre-compaction versions still
+    time-travel to the original files (immutable data).
+
+    Driver work is bounded by FILE COUNT (manifest walk + the pack);
+    row data moves only executor-side, one right-sized write task per
+    group (``coalesce(1)`` is correct here BECAUSE the group's bytes
+    are capped at ``target_bytes``). At scale the groups are
+    independent — submit them from a thread pool on the same session
+    to overlap; the commit protocol is unchanged.
+    """
+    from .snapshots import _replay_state
+
+    base = current_version(table_dir)
+    st = _replay_state(table_dir, base)
+    cutoff = small_bytes if small_bytes is not None else target_bytes // 2
+    small = sorted(
+        (p for p in st.live if st.live[p]["size"] < cutoff),
+        key=lambda p: (-st.live[p]["size"], p),
+    )
+    groups: list[list[str]] = []
+    residual: list[int] = []
+    for p in small:  # first-fit-decreasing on byte size
+        size = st.live[p]["size"]
+        for i, r in enumerate(residual):
+            if size <= r:
+                groups[i].append(p)
+                residual[i] = r - size
+                break
+        else:
+            groups.append([p])
+            residual.append(target_bytes - size)
+    groups = [g for g in groups if len(g) >= 2]
+    if not groups:
+        return {"version": base, "files_compacted": 0, "files_created": 0}
+    actions: list[dict] = []
+    compacted = created = 0
+    for group in groups:
+        gdvs = {p: st.dvs[p] for p in group if p in st.dvs}
+        df = _scan_files(
+            spark, table_dir, st, sorted(group), with_meta=bool(gdvs)
+        )
+        if gdvs:
+            cols = [c for c in df.columns if c not in ("__fp", "__ri")]
+            deleted = spark.createDataFrame(
+                _deleted_positions(table_dir, gdvs),
+                "__fp string, __ri bigint",
+            )
+            df = df.join(
+                F.broadcast(deleted), ["__fp", "__ri"], "left_anti"
+            ).select(*cols)
+        adds = _write_data_files(df.coalesce(1), table_dir)
+        actions += [{"action": "remove", "path": p} for p in group]
+        actions += adds
+        compacted += len(group)
+        created += len(adds)
+    version = commit(
+        table_dir, actions, message=message, expected_version=base
+    )
+    return {
+        "version": version,
+        "files_compacted": compacted,
+        "files_created": created,
+    }
+
+
 # ---------------------------------------------------------------------------
 # MERGE
 # ---------------------------------------------------------------------------

@@ -16,6 +16,7 @@ from hypothesis import strategies as st
 from python_kinesis_streaming_spark.sources.lakehouse import (
     checkpoint,
     cluster_zorder,
+    compact_small_files,
     decode_dv,
     delete_where,
     encode_dv,
@@ -357,3 +358,83 @@ def test_delete_large_fraction_dv_rewrite_parity(spark, tmp_path):
     ob = delete_where(spark, b, pred, mode="rewrite")
     assert oa["deleted_rows"] == ob["deleted_rows"] > 800
     assert _ids(spark, a) == _ids(spark, b)
+
+
+# ---------------------------------------------------------------------------
+# Compaction (small-file OPTIMIZE)
+# ---------------------------------------------------------------------------
+
+
+def _seed_docs(spark, tmp_path, n_files=8):
+    from python_kinesis_streaming_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tdir = str(tmp_path / "compact_tbl")
+    write_snapshot(docs.repartition(n_files, "doc_id"), tdir, message="seed")
+    return docs, tdir
+
+
+def test_compact_folds_dvs_and_preserves_survivors(spark, tmp_path):
+    """8 small DV'd files -> 1 clean file; survivor rows identical;
+    pre-compaction version still time-travels to the originals."""
+    docs, tdir = _seed_docs(spark, tmp_path)
+    delete_where(spark, tdir, "n_chars % 5 = 0", mode="dv")
+    before = read_table(spark, tdir)
+    exp_rows = before.count()
+    exp_sum = before.agg({"n_chars": "sum"}).collect()[0][0]
+    n_before = len(live_files(tdir))
+
+    res = compact_small_files(spark, tdir, target_bytes=1 << 20)
+    assert res["files_compacted"] == n_before
+    assert res["files_created"] < n_before
+
+    after = read_table(spark, tdir)
+    assert after.count() == exp_rows
+    assert after.agg({"n_chars": "sum"}).collect()[0][0] == exp_sum
+    from python_kinesis_streaming_spark.sources.snapshots import (
+        _replay_state,
+    )
+
+    st = _replay_state(tdir, None)
+    assert not st.dvs  # folded in: compacted files come out clean
+    assert len(st.live) == res["files_created"]
+    old = _replay_state(tdir, res["version"] - 1)
+    assert len(old.live) == n_before  # immutable history
+
+
+def test_compact_respects_target_bytes(spark, tmp_path):
+    """A target just above the largest file forces multiple groups; no
+    output group's INPUT bytes exceed the target."""
+    from python_kinesis_streaming_spark.sources.snapshots import (
+        _replay_state,
+    )
+
+    docs, tdir = _seed_docs(spark, tmp_path)
+    sizes = [a["size"] for a in _replay_state(tdir, None).live.values()]
+    target = max(sizes) * 2 + 1024  # fits ~2 inputs per group
+    res = compact_small_files(spark, tdir, target_bytes=target)
+    assert res["files_compacted"] >= 2
+    assert res["files_created"] >= 2  # forced into multiple groups
+    assert (
+        read_table(spark, tdir).count()
+        == docs.count()
+    )
+
+
+def test_compact_is_a_noop_when_nothing_qualifies(spark, tmp_path):
+    docs, tdir = _seed_docs(spark, tmp_path, n_files=1)
+    v = current_version(tdir)
+    res = compact_small_files(spark, tdir, target_bytes=1 << 20)
+    assert res == {
+        "version": v,
+        "files_compacted": 0,
+        "files_created": 0,
+    }
+    # second compaction after a real one is also a no-op
+    docs2, tdir2 = _seed_docs(spark, tmp_path / "b", n_files=6)
+    compact_small_files(spark, tdir2, target_bytes=1 << 20)
+    v2 = current_version(tdir2)
+    res2 = compact_small_files(spark, tdir2, target_bytes=1 << 20)
+    assert res2["version"] == v2 and res2["files_compacted"] == 0

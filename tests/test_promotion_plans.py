@@ -41,6 +41,7 @@ EXECUTING_OPS = {
     "tokenizer_eval_report_audit",
     "kinesis_stream_source_agg",
     "kinesis_efo_fanout_agg",
+    "lakehouse_compact_audit",
 }
 
 #: Max shuffle Exchanges a lazy promotion op may plan. Census at r8:
