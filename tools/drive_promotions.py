@@ -6,8 +6,11 @@ promotion op against its DuckDB oracle with the driver's canonical
 comparison — but over ``promotions.PROMOTION_OPS`` instead of the
 frozen registry. Run before the r9/r10 registration flip.
 
-    python tools/drive_promotions.py            # all promotion ops
-    python tools/drive_promotions.py op1 op2    # just the named ops
+    python tools/drive_promotions.py              # all promotion ops
+    python tools/drive_promotions.py op1 op2      # just the named ops
+    python tools/drive_promotions.py --double-run # each op TWICE in the
+                                                  # same session (scratch
+                                                  # idempotency gate)
 """
 
 from __future__ import annotations
@@ -51,20 +54,30 @@ def main() -> int:
             f"read_parquet('{SF}/{t}.parquet')"
         )
 
-    names = sys.argv[1:] or list(PROMOTION_OPS)
+    args = sys.argv[1:]
+    runs = 2 if "--double-run" in args else 1
+    names = [a for a in args if not a.startswith("--")] or list(
+        PROMOTION_OPS
+    )
     fails: list[str] = []
     for i, name in enumerate(names, 1):
         spec = PROMOTION_OPS[name]
-        t0 = time.time()
-        try:
-            sdf = spec.fn(spark, SF).toPandas()
-            ddf = con.execute(spec.oracle).df()
-            assert_twin_match(sdf, ddf, name)
-            print(f"[{i}/{len(names)}] {name}: ok ({time.time() - t0:.1f}s)")
-        except Exception as e:  # noqa: BLE001 — report, keep sweeping
-            fails.append(name)
-            print(f"[{i}/{len(names)}] {name}: FAIL {e}")
-    print(f"\n{len(names) - len(fails)}/{len(names)} pass; fails: {fails}")
+        for run in range(1, runs + 1):
+            tag = f"{name}#r{run}" if runs > 1 else name
+            t0 = time.time()
+            try:
+                sdf = spec.fn(spark, SF).toPandas()
+                ddf = con.execute(spec.oracle).df()
+                assert_twin_match(sdf, ddf, tag)
+                print(
+                    f"[{i}/{len(names)}] {tag}: ok "
+                    f"({time.time() - t0:.1f}s)"
+                )
+            except Exception as e:  # noqa: BLE001 — report, keep sweeping
+                fails.append(tag)
+                print(f"[{i}/{len(names)}] {tag}: FAIL {e}")
+    total = len(names) * runs
+    print(f"\n{total - len(fails)}/{total} pass; fails: {fails}")
     return 1 if fails else 0
 
 
