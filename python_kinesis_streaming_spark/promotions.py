@@ -2725,15 +2725,16 @@ def media_tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t_pal = build_tiff(
                     "<", 10, 6, 3, 1, [raw], 6, colormap=cmap
                 )
-                sums = [
+                g = dec(t_gray)
+                sums = [int(g.astype(np.int64).sum())] + [
                     int(dec(t).astype(np.int64).sum())
-                    for t in (t_gray, t_wiz, t_lzw, t_pal)
+                    for t in (t_wiz, t_lzw, t_pal)
                 ]
                 rows.append(
                     {
                         "doc_id": doc_id,
-                        "height": int(dec(t_gray).shape[0]),
-                        "width": int(dec(t_gray).shape[1]),
+                        "height": int(g.shape[0]),
+                        "width": int(g.shape[1]),
                         "sum_gray": sums[0],
                         "sum_wiz": sums[1],
                         "sum_lzw": sums[2],

@@ -148,6 +148,19 @@ def _deleted_positions(table_dir: str, dvs: dict[str, dict]) -> list[tuple]:
     return rows
 
 
+def _minus_deleted(spark, table_dir: str, dvs: dict, df: DataFrame):
+    """Anti-join a ``__fp``/``__ri``-carrying frame against the deletion
+    vectors in ``dvs`` — the ONE definition of "apply DVs" (broadcast:
+    vectors are delete-sized, not table-sized). Keeps ``__fp``/``__ri``
+    so callers can continue joining on file/row identity."""
+    if not dvs:
+        return df
+    deleted = spark.createDataFrame(
+        _deleted_positions(table_dir, dvs), "__fp string, __ri bigint"
+    )
+    return df.join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
+
+
 def _schema_info(st):
     if not st.schema:
         return None, {}
@@ -225,12 +238,7 @@ def read_table(
     )
     if st.dvs:
         cols = [c for c in df.columns if c not in ("__fp", "__ri")]
-        deleted = spark.createDataFrame(
-            _deleted_positions(table_dir, st.dvs), "__fp string, __ri bigint"
-        )
-        df = df.join(
-            F.broadcast(deleted), ["__fp", "__ri"], "left_anti"
-        ).select(*cols)
+        df = _minus_deleted(spark, table_dir, st.dvs, df).select(*cols)
     return df
 
 
@@ -423,15 +431,9 @@ def delete_where(
     cols = [c for c in df.columns if c not in ("__fp", "__ri")]
     touched_dvs = {p: dvs[p] for p in touched if p in dvs}
     survivors = df.where(~F.coalesce(F.expr(predicate), F.lit(False)))
-    if touched_dvs:
-        deleted = spark.createDataFrame(
-            _deleted_positions(table_dir, touched_dvs),
-            "__fp string, __ri bigint",
-        )
-        survivors = survivors.join(
-            F.broadcast(deleted), ["__fp", "__ri"], "left_anti"
-        )
-    survivors = survivors.select(*cols)
+    survivors = _minus_deleted(
+        spark, table_dir, touched_dvs, survivors
+    ).select(*cols)
     actions = [{"action": "remove", "path": p} for p in touched]
     actions += _write_data_files(survivors, table_dir)
     version = commit(table_dir, actions, message=message, expected_version=base)
@@ -481,12 +483,7 @@ def purge_deletes(
     dirty = sorted(dvs)
     df = _scan_files(spark, table_dir, st, dirty, with_meta=True)
     cols = [c for c in df.columns if c not in ("__fp", "__ri")]
-    deleted = spark.createDataFrame(
-        _deleted_positions(table_dir, dvs), "__fp string, __ri bigint"
-    )
-    kept = df.join(
-        F.broadcast(deleted), ["__fp", "__ri"], "left_anti"
-    ).select(*cols)
+    kept = _minus_deleted(spark, table_dir, dvs, df).select(*cols)
     actions = [{"action": "remove", "path": p} for p in dirty]
     actions += _write_data_files(kept, table_dir)
     return commit(table_dir, actions, message=message, expected_version=base)
@@ -553,13 +550,7 @@ def compact_small_files(
         )
         if gdvs:
             cols = [c for c in df.columns if c not in ("__fp", "__ri")]
-            deleted = spark.createDataFrame(
-                _deleted_positions(table_dir, gdvs),
-                "__fp string, __ri bigint",
-            )
-            df = df.join(
-                F.broadcast(deleted), ["__fp", "__ri"], "left_anti"
-            ).select(*cols)
+            df = _minus_deleted(spark, table_dir, gdvs, df).select(*cols)
         adds = _write_data_files(df.coalesce(1), table_dir)
         actions += [{"action": "remove", "path": p} for p in group]
         actions += adds
@@ -650,12 +641,7 @@ def merge_upsert(
         df = _scan_files(spark, table_dir, st, touched, with_meta=True)
         cols = [c for c in df.columns if c not in ("__fp", "__ri")]
         touched_dvs = {p: dvs[p] for p in touched if p in dvs}
-        if touched_dvs:
-            deleted = spark.createDataFrame(
-                _deleted_positions(table_dir, touched_dvs),
-                "__fp string, __ri bigint",
-            )
-            df = df.join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
+        df = _minus_deleted(spark, table_dir, touched_dvs, df)
         survivors = df.join(
             F.broadcast(source.select(*key_cols).distinct()), key_cols, "left_anti"
         ).select(*cols)

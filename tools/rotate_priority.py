@@ -88,8 +88,11 @@ def main() -> int:
 
     current = list(registry._GRADING_PRIORITY)
     all_names = set(registry.all_queries())
-    _, latest_failed = load_results(latest)
-    green_ever = all_green_ever()
+    latest_green, latest_failed = load_results(latest)
+    # union the latest file explicitly: it may live outside the repo
+    # root that all_green_ever() globs, and its green ops must never be
+    # misclassified as never-graded (that would waste the next window)
+    green_ever = all_green_ever() | latest_green
 
     front = [n for n in current if n in latest_failed]
     never = [
@@ -101,10 +104,14 @@ def main() -> int:
         from python_kinesis_streaming_spark.promotions import PROMOTION_OPS
 
         promos = [n for n in PROMOTION_OPS if n not in current]
+        # the names are only real once the flip hook is in _OP_MODULES —
+        # validate against the POST-flip registry, and on --write make
+        # sure the hook line lands too (see below)
+        all_names = all_names | set(PROMOTION_OPS)
     back = [n for n in current if n in green_ever and n not in latest_failed]
     new = front + never + promos + back
 
-    stale = [n for n in current if n not in all_names]
+    stale = [n for n in new if n not in all_names]
     if stale:
         print(f"WARNING: priority names not in registry: {stale}")
     print(f"regrade-first (failed in {os.path.basename(latest)}): "
@@ -124,6 +131,22 @@ def main() -> int:
         return 0
 
     src = open(REGISTRY_PATH).read()
+    FLIP_MOD = "python_kinesis_streaming_spark.promotions_flip"
+    if with_promos and FLIP_MOD not in src:
+        # the priority names do NOTHING without the registration hook:
+        # _ensure_loaded only imports _OP_MODULES, and promotions.py's
+        # decorators never touch the registry — insert the hook line so
+        # one command performs the WHOLE flip
+        m_mods = re.search(r"_OP_MODULES = \[\n(.*?)^\]", src, re.S | re.M)
+        if not m_mods:
+            print("ERROR: could not locate the _OP_MODULES literal")
+            return 1
+        src = (
+            src[: m_mods.end(1)]
+            + f'    "{FLIP_MOD}",\n'
+            + src[m_mods.end(1):]
+        )
+        print(f"inserted {FLIP_MOD} into _OP_MODULES (the flip hook)")
     m = re.search(
         r"(_GRADING_PRIORITY = \[\n)(.*?)(^\])", src, re.S | re.M
     )
