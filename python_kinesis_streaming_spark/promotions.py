@@ -3771,3 +3771,86 @@ def lakehouse_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(st.dvs) == 0).alias("dvs_folded"),
         F.lit(len(old.live) == n_before).alias("history_intact"),
     )
+
+
+@promo_op(
+    "lakehouse_schema_evolution_agg",
+    oracle="""
+        WITH old AS (
+            SELECT doc_id, n_chars, 0.5 AS quality FROM documents
+        ), new AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   CAST(doc_id % 100 AS BIGINT) AS n_chars,
+                   (doc_id % 7) / 10.0 AS quality
+            FROM documents WHERE doc_id % 3 = 0
+        ), unioned AS (
+            SELECT * FROM old UNION ALL SELECT * FROM new
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               floor(sum(quality) * 100.0 + 0.505) / 100.0 AS sum_quality,
+               TRUE AS dropped_gone,
+               TRUE AS time_travel_has_lang
+        FROM unioned
+    """,
+    scale=(
+        "Log-only schema evolution: add_column with a default "
+        "back-fills OLD files at read time from metadata alone (no "
+        "rewrite — the fill is a literal projection per file era), "
+        "new rows arrive through the merge insert leg under the "
+        "evolved schema, and drop_column is logical (time travel "
+        "still sees the dropped column). The oracle replays the "
+        "two-era union in SQL; at 100 TB this is the only evolution "
+        "mechanism that doesn't rewrite the table."
+    ),
+)
+def lakehouse_schema_evolution_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seed → add_column(default) → insert new-era rows → drop_column →
+    read both eras through one scan."""
+    from python_kinesis_streaming_spark.functions.rounding import rnd
+    from python_kinesis_streaming_spark.sources.lakehouse import (
+        merge_upsert,
+        read_table,
+    )
+    from python_kinesis_streaming_spark.sources.snapshots import (
+        write_snapshot,
+    )
+    from python_kinesis_streaming_spark.sources.table_schema import (
+        add_column,
+        drop_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tdir = os.path.join(SCRATCH, f"promo_schema_evo_{sf_tag(sf_dir)}")
+    _clear_scratch(tdir)
+    write_snapshot(docs.repartition(4, "doc_id"), tdir, message="seed")
+    add_column(tdir, "quality", "double", default=0.5)
+    newbies = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("xx").alias("lang"),
+            (F.col("doc_id") % 100).cast("long").alias("n_chars"),
+            ((F.col("doc_id") % 7) / 10.0).alias("quality"),
+        )
+    )
+    merge_upsert(spark, tdir, newbies, ["doc_id"])
+    drop_column(tdir, "lang")
+    cur = read_table(spark, tdir)
+    from python_kinesis_streaming_spark.sources.snapshots import (
+        current_version,
+    )
+
+    old_view = read_table(spark, tdir, version=current_version(tdir) - 1)
+    return cur.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        rnd(F.sum("quality"), 2).alias("sum_quality"),
+        F.lit("lang" not in cur.columns).alias("dropped_gone"),
+        F.lit("lang" in old_view.columns).alias("time_travel_has_lang"),
+    )

@@ -42,6 +42,7 @@ EXECUTING_OPS = {
     "kinesis_stream_source_agg",
     "kinesis_efo_fanout_agg",
     "lakehouse_compact_audit",
+    "lakehouse_schema_evolution_agg",
 }
 
 #: Max shuffle Exchanges a lazy promotion op may plan. Census at r8:
