@@ -3854,3 +3854,64 @@ def lakehouse_schema_evolution_agg(
         F.lit("lang" not in cur.columns).alias("dropped_gone"),
         F.lit("lang" in old_view.columns).alias("time_travel_has_lang"),
     )
+
+
+@promo_op(
+    "txn_exactly_once_agg",
+    oracle="""
+        SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+                    + (SELECT count(*) FROM documents WHERE doc_id % 2 = 1)
+                    AS BIGINT) AS n_rows,
+               TRUE AS dup_skipped,
+               TRUE AS rebase_ok,
+               CAST(1 AS BIGINT) AS last_batch
+    """,
+    scale=(
+        "The exactly-once writer protocol: append_batch stages data "
+        "files, then commits an (app, batch) txn action — a replayed "
+        "batch id returns None and removes its staged files, so "
+        "foreachBatch retries never double-append; commit_with_rebase "
+        "replays a stale-based commit over DISJOINT concurrent commits "
+        "instead of failing it. Both are O(log tail) driver-side; data "
+        "volume only flows through the staged parquet writes."
+    ),
+)
+def txn_exactly_once_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """append batch 0, replay batch 0 (skipped), append batch 1,
+    rebase a stale commit → counts + protocol booleans."""
+    from python_kinesis_streaming_spark.sources.snapshots import (
+        current_version,
+        read_snapshot,
+    )
+    from python_kinesis_streaming_spark.sources.txn import (
+        append_batch,
+        commit_with_rebase,
+        last_committed_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    tdir = os.path.join(SCRATCH, f"promo_txn_{sf_tag(sf_dir)}")
+    _clear_scratch(tdir)
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    v0 = append_batch(even, tdir, "loader", 0)
+    replay = append_batch(even, tdir, "loader", 0)  # must be skipped
+    append_batch(odd, tdir, "loader", 1)
+    # stale-based but disjoint commit: rebases instead of failing
+    stale_base = v0
+    v_rebase = commit_with_rebase(
+        tdir,
+        [{"action": "txn", "app": "rebase-probe", "batch": 0}],
+        base=stale_base,
+        message="stale disjoint commit",
+    )
+    return read_snapshot(spark, tdir).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(replay is None).alias("dup_skipped"),
+        F.lit(v_rebase == current_version(tdir)).alias("rebase_ok"),
+        F.lit(last_committed_batch(tdir, "loader")).cast("long").alias(
+            "last_batch"
+        ),
+    )

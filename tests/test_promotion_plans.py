@@ -43,6 +43,7 @@ EXECUTING_OPS = {
     "kinesis_efo_fanout_agg",
     "lakehouse_compact_audit",
     "lakehouse_schema_evolution_agg",
+    "txn_exactly_once_agg",
 }
 
 #: Max shuffle Exchanges a lazy promotion op may plan. Census at r8:
