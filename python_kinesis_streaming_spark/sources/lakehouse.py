@@ -489,6 +489,27 @@ def purge_deletes(
     return commit(table_dir, actions, message=message, expected_version=base)
 
 
+def _ffd_pack(sizes: dict[str, int], target: int) -> list[list[str]]:
+    """First-fit-decreasing bin packing of ``{path: bytes}`` into groups
+    whose input sizes sum to at most ``target``. Deterministic: items
+    sort by (-size, path); an item larger than ``target`` gets its own
+    group (never split). Pure function so the invariants are
+    property-testable without a table on disk."""
+    groups: list[list[str]] = []
+    residual: list[int] = []
+    for p in sorted(sizes, key=lambda p: (-sizes[p], p)):
+        size = sizes[p]
+        for i, r in enumerate(residual):
+            if size <= r:
+                groups[i].append(p)
+                residual[i] = r - size
+                break
+        else:
+            groups.append([p])
+            residual.append(target - size)
+    return groups
+
+
 def compact_small_files(
     spark: SparkSession,
     table_dir: str,
@@ -522,23 +543,9 @@ def compact_small_files(
     base = current_version(table_dir)
     st = _replay_state(table_dir, base)
     cutoff = small_bytes if small_bytes is not None else target_bytes // 2
-    small = sorted(
-        (p for p in st.live if st.live[p]["size"] < cutoff),
-        key=lambda p: (-st.live[p]["size"], p),
-    )
-    groups: list[list[str]] = []
-    residual: list[int] = []
-    for p in small:  # first-fit-decreasing on byte size
-        size = st.live[p]["size"]
-        for i, r in enumerate(residual):
-            if size <= r:
-                groups[i].append(p)
-                residual[i] = r - size
-                break
-        else:
-            groups.append([p])
-            residual.append(target_bytes - size)
-    groups = [g for g in groups if len(g) >= 2]
+    small = {p: st.live[p]["size"] for p in st.live
+             if st.live[p]["size"] < cutoff}
+    groups = [g for g in _ffd_pack(small, target_bytes) if len(g) >= 2]
     if not groups:
         return {"version": base, "files_compacted": 0, "files_created": 0}
     actions: list[dict] = []

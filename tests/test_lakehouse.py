@@ -438,3 +438,34 @@ def test_compact_is_a_noop_when_nothing_qualifies(spark, tmp_path):
     v2 = current_version(tdir2)
     res2 = compact_small_files(spark, tdir2, target_bytes=1 << 20)
     assert res2["version"] == v2 and res2["files_compacted"] == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sizes=st.dictionaries(
+        st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=1 << 22),
+        min_size=0,
+        max_size=40,
+    ),
+    target=st.integers(min_value=1 << 16, max_value=1 << 23),
+)
+def test_ffd_pack_properties(sizes, target):
+    """FFD invariants for any size distribution: partition (every path
+    exactly once), capacity (group input sums ≤ target unless a single
+    oversized item), and the BFD/FFD tightness bound (no two groups can
+    both be ≤ half the target — the later one's seed would have fit the
+    earlier one)."""
+    from python_kinesis_streaming_spark.sources.lakehouse import _ffd_pack
+
+    groups = _ffd_pack(sizes, target)
+    flat = [p for g in groups for p in g]
+    assert sorted(flat) == sorted(sizes)  # partition, no dup/loss
+    fills = [sum(sizes[p] for p in g) for g in groups]
+    for g, fill in zip(groups, fills):
+        assert fill <= target or len(g) == 1  # oversized items isolate
+    half_empty = [f for f in fills if 2 * f <= target]
+    assert len(half_empty) <= 1
+    # determinism
+    assert _ffd_pack(dict(reversed(list(sizes.items()))), target) == groups
