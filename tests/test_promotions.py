@@ -59,7 +59,7 @@ def test_register_all_flip_rehearsal():
     a module must register at import time, and promotions.py's
     decorators deliberately don't). Rehearse the exact flip path in a
     subprocess (the live registry must stay frozen at 391 for every
-    other test): all 50 promotion names must land in queries() with
+    other test): all 51 promotion names must land in queries() with
     their oracles and scale notes intact, alongside the 391."""
     import os
     import subprocess
@@ -95,4 +95,4 @@ print("FLIP-OK", len(qs))
         timeout=300,
     )
     assert out.returncode == 0, out.stderr
-    assert "FLIP-OK 441" in out.stdout, out.stdout
+    assert "FLIP-OK 442" in out.stdout, out.stdout

@@ -51,7 +51,7 @@ def test_dry_run_reproduces_the_committed_rotation():
 def test_with_promotions_appends_behind_never_graded_block():
     out = _run(LATEST, "--with-promotions")
     assert out.returncode == 0, out.stderr
-    assert "promotion block: 50" in out.stdout
+    assert "promotion block: 51" in out.stdout
     # promotions must NOT dilute the next window
     assert (
         "next window (first 50): agg_geometric_mean .. "
@@ -97,7 +97,7 @@ def test_write_with_promotions_is_a_complete_reversible_flip(tmp_path):
             "import sys; sys.path.insert(0, %r)\n"
             "from python_kinesis_streaming_spark import registry\n"
             "qs = list(registry.all_queries())\n"
-            "assert len(qs) == 441, len(qs)\n"
+            "assert len(qs) == 442, len(qs)\n"
             "assert qs[0] == 'agg_geometric_mean', qs[0]\n"
             "assert qs[101] == 'media_png_roundtrip_stats', qs[101]\n"
             "print('POST-FLIP-OK')\n" % str(work),
