@@ -3825,10 +3825,15 @@ def lakehouse_schema_evolution_agg(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
+    from python_kinesis_streaming_spark.sources.snapshots import (
+        current_version,
+    )
+    from python_kinesis_streaming_spark.sources.table_schema import (
+        table_schema,
+    )
+
     tdir = os.path.join(SCRATCH, f"promo_schema_evo_{sf_tag(sf_dir)}")
     _clear_scratch(tdir)
-    write_snapshot(docs.repartition(4, "doc_id"), tdir, message="seed")
-    add_column(tdir, "quality", "double", default=0.5)
     newbies = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 3 == 0)
@@ -3839,20 +3844,24 @@ def lakehouse_schema_evolution_agg(
             ((F.col("doc_id") % 7) / 10.0).alias("quality"),
         )
     )
-    merge_upsert(spark, tdir, newbies, ["doc_id"])
-    drop_column(tdir, "lang")
+    # the builder collects (merge_upsert's dup-check and prune aggs):
+    # bound its shuffles like the other eager promotion ops
+    with _bounded_shuffle(spark):
+        write_snapshot(docs.repartition(4, "doc_id"), tdir, message="seed")
+        add_column(tdir, "quality", "double", default=0.5)
+        merge_upsert(spark, tdir, newbies, ["doc_id"])
+        drop_column(tdir, "lang")
     cur = read_table(spark, tdir)
-    from python_kinesis_streaming_spark.sources.snapshots import (
-        current_version,
-    )
-
-    old_view = read_table(spark, tdir, version=current_version(tdir) - 1)
+    # time-travel column check from the commit log alone — no scan plan
+    old_struct, _ = table_schema(tdir, current_version(tdir) - 1)
     return cur.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
         rnd(F.sum("quality"), 2).alias("sum_quality"),
         F.lit("lang" not in cur.columns).alias("dropped_gone"),
-        F.lit("lang" in old_view.columns).alias("time_travel_has_lang"),
+        F.lit("lang" in old_struct.fieldNames()).alias(
+            "time_travel_has_lang"
+        ),
     )
 
 
