@@ -96,3 +96,23 @@ print("FLIP-OK", len(qs))
     )
     assert out.returncode == 0, out.stderr
     assert "FLIP-OK 442" in out.stdout, out.stdout
+
+
+def test_bounded_shuffle_restores_conf(spark):
+    """_bounded_shuffle must restore spark.sql.shuffle.partitions on
+    exit — including on exception — or every later plan in the session
+    (ours OR the driver's) silently runs at 16 partitions."""
+    from python_kinesis_streaming_spark.promotions import _bounded_shuffle
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _bounded_shuffle(spark, 7):
+        assert spark.conf.get(key) == "7"
+    assert spark.conf.get(key) == before
+    try:
+        with _bounded_shuffle(spark, 9):
+            assert spark.conf.get(key) == "9"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
