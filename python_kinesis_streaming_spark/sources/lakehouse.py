@@ -268,6 +268,14 @@ def delete_where(
     matched-row count: DV mode builds and writes each sidecar inside
     the executor task that owns the file, and rewrite mode collects
     only per-file match counts.
+
+    Deployment constraint: executor-side sidecar writes address
+    ``table_dir`` directly from inside mapInPandas tasks, so every
+    executor must see the table directory through a SHARED filesystem
+    (this repo's single-machine layout, or NFS/HDFS-fuse/object-store
+    mounts on a cluster). On plain object storage without a shared
+    mount, the sidecar writer would need a filesystem-API port; the
+    O_EXCL commit log makes the same assumption.
     """
     from .snapshots import _replay_state
 

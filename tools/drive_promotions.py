@@ -59,9 +59,20 @@ def main() -> int:
     names = [a for a in args if not a.startswith("--")] or list(
         PROMOTION_OPS
     )
+    unknown = [n for n in names if n not in PROMOTION_OPS]
+    if unknown:
+        print(f"unknown promotion op(s): {unknown}")
+        print(f"known names: {sorted(PROMOTION_OPS)}")
+        return 2
     fails: list[str] = []
     for i, name in enumerate(names, 1):
         spec = PROMOTION_OPS[name]
+        if not spec.oracle:
+            # a promotion without an oracle can't be hash-graded — flag
+            # it loudly instead of passing None to duckdb mid-sweep
+            fails.append(f"{name} (no oracle)")
+            print(f"[{i}/{len(names)}] {name}: FAIL no oracle on spec")
+            continue
         for run in range(1, runs + 1):
             tag = f"{name}#r{run}" if runs > 1 else name
             t0 = time.time()
