@@ -221,6 +221,17 @@ BNLJ_ALLOWED = {
     "agg_distinct_methods_matrix",  # four 1-row method legs × 1-row truth
     "ts_forecast_backtest",  # holdout days × 1-row fitted (level, trend) state
     "part_brand_positioning",  # 25 brand rows × 1-row global split points
+    # wave-2 (r9): exact-baseline legs join the corpus against the
+    # broadcast 1-in-50 query sample (vec_id != qid — same shape as
+    # sim_truncated_dims); funnel/leakage cross 1-row count aggregates
+    "sim_ivf_nprobe_sweep",
+    "sim_cascade_recall_audit",
+    "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
+    "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
+    # r9-flip promotions: packing audits cross their 1-row conservation
+    # totals (chunk count / byte sum) against the packed layout
+    "pack_concat_audit",
+    "pack_best_fit_audit",
     "events_day_n_retention",  # 1-row horizon aggregate × 1-row signup count
     "events_churn_last_touch",  # 5-row last-type groups × 1-row denominator
     "agg_chi_square",  # 1-row statistic × 1-row degrees-of-freedom
@@ -254,6 +265,14 @@ _EXECUTES_EXTRA = {
     "edge_empty_inputs",  # runs its five count() checks on build
     "set_ops_all_variants",  # runs its four count() checks on build
 }
+
+# r9-flip promotions whose BUILDER executes work (trainer loops, loopback
+# servers, snapshot writes) — same classification test_promotion_plans.py
+# uses; their final-aggregate plans are gated there, and re-running the
+# builders here just to read a plan would double their cost.
+from tests.test_promotion_plans import EXECUTING_OPS as _PROMO_EXECUTING  # noqa: E402
+
+_EXECUTES_EXTRA = _EXECUTES_EXTRA | _PROMO_EXECUTING
 
 
 def test_no_unbounded_nested_loop_anywhere(spark, sf_dir, no_table_cache):

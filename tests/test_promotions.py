@@ -1,31 +1,34 @@
 """Twin gates for the promotion ops (PROMOTION.md).
 
-Promotion ops are the r6/r7 library surface pre-packaged in the driver
-contract shape, kept OUT of the frozen 391-op registry until the
-grading backlog drains. This file applies the exact driver comparison
-(column-sorted canonical multiset, tests/twin.py) to every implemented
-promotion op at sf0.01 — so the r9/r10 registration flip ships with
-the same evidence as any registered op.
+Promotion ops are the r6-r8 library surface pre-packaged in the driver
+contract shape. They were staged OUT of the frozen 391-op registry
+until the grading backlog drained; the r9 flip (promotions_flip in
+_OP_MODULES) registered all 51 (450 total with the r9 wave-2 ops). This file
+applies the exact driver comparison (column-sorted canonical multiset,
+tests/twin.py) to every promotion op at sf0.01, and pins that the flip
+landed completely.
 """
 
 from __future__ import annotations
 
-import pytest
-
 from python_kinesis_streaming_spark.promotions import PROMOTION_OPS
 from python_kinesis_streaming_spark.registry import all_queries
 
-from tests.twin import assert_twin_match
 
-_SLOW = {"classifier_train_audit", "tokenizer_train_audit"}
+def test_promotion_specs_are_the_registered_ops():
+    """Since the r9 flip, tests/test_oracle_parity.py twin-gates every
+    promotion op through the registry (same assert_twin_match, same
+    fixtures) — this pin guarantees the registered callable IS the
+    promotion spec's, so that coverage transfers and the old
+    per-promotion twin parametrization stays retired (running the 51
+    twins twice per suite would double the heavy codec/tokenizer cost
+    for zero extra evidence)."""
+    from python_kinesis_streaming_spark.registry import get_op
 
-
-@pytest.mark.parametrize("name", sorted(PROMOTION_OPS))
-def test_promotion_twin(name, spark, duck, sf_dir):
-    spec = PROMOTION_OPS[name]
-    spark_df = spec.fn(spark, sf_dir).toPandas()
-    duck_df = duck.execute(spec.oracle).df()
-    assert_twin_match(spark_df, duck_df, name)
+    for name, spec in PROMOTION_OPS.items():
+        reg = get_op(name)
+        assert reg.fn is spec.fn, name
+        assert reg.oracle == spec.oracle, name
 
 
 def test_promotions_all_have_oracles_and_scale_notes():
@@ -34,12 +37,14 @@ def test_promotions_all_have_oracles_and_scale_notes():
         assert spec.scale_notes, f"{spec.name}: missing scale notes"
 
 
-def test_promotions_do_not_leak_into_frozen_registry():
-    """Importing the promotions module must NOT grow queries() — the
-    registration freeze holds until register_all() is called at the
-    r9/r10 flip."""
-    overlap = set(PROMOTION_OPS) & set(all_queries())
-    assert not overlap, f"promotion ops leaked into the registry: {overlap}"
+def test_promotions_registered_by_the_r9_flip():
+    """The r9 flip (promotions_flip in _OP_MODULES) must register every
+    promotion name — a partial flip would silently orphan ops from the
+    driver's grading rotation."""
+    qs = all_queries()
+    missing = [n for n in PROMOTION_OPS if n not in qs]
+    assert not missing, f"promotion ops missing from the registry: {missing}"
+    assert len(qs) == 450, len(qs)
 
 
 def test_promotion_names_match_promotion_md():
@@ -53,14 +58,12 @@ def test_promotion_names_match_promotion_md():
     assert not missing, f"ops not documented in PROMOTION.md: {missing}"
 
 
-def test_register_all_flip_rehearsal():
-    """The r9/r10 flip is one _OP_MODULES line pointing at the
-    promotions_flip import hook (registry._ensure_loaded only IMPORTS —
-    a module must register at import time, and promotions.py's
-    decorators deliberately don't). Rehearse the exact flip path in a
-    subprocess (the live registry must stay frozen at 391 for every
-    other test): all 51 promotion names must land in queries() with
-    their oracles and scale notes intact, alongside the 391."""
+def test_register_all_flip_is_live_and_idempotent():
+    """Post-flip pin (rehearsed pre-flip in r8, live since r9): a fresh
+    process's registry must load 450 ops with every promotion name
+    carrying its oracle and scale notes, and re-importing the flip hook
+    must be a no-op (module caching — register_all runs once; a second
+    run would raise duplicate-registration)."""
     import os
     import subprocess
     import sys
@@ -72,12 +75,9 @@ import importlib
 sys.path.insert(0, %r)
 from python_kinesis_streaming_spark import registry
 from python_kinesis_streaming_spark.promotions import PROMOTION_OPS
-before = len(registry.all_queries())
-assert before == 391, before
-importlib.import_module("python_kinesis_streaming_spark.promotions_flip")
 qs = registry.all_queries()
 oracles = registry.all_oracles()
-assert len(qs) == before + len(PROMOTION_OPS), (len(qs), before)
+assert len(qs) == 450, len(qs)
 missing = [n for n in PROMOTION_OPS if n not in qs]
 assert not missing, missing
 no_oracle = [n for n in PROMOTION_OPS if not oracles.get(n)]
@@ -86,6 +86,8 @@ no_scale = [
     n for n in PROMOTION_OPS if not registry.get_op(n).scale_notes
 ]
 assert no_scale == [], no_scale
+importlib.import_module("python_kinesis_streaming_spark.promotions_flip")
+assert len(registry.all_queries()) == 450
 print("FLIP-OK", len(qs))
 """ % (repo,)
     out = subprocess.run(
@@ -95,7 +97,7 @@ print("FLIP-OK", len(qs))
         timeout=300,
     )
     assert out.returncode == 0, out.stderr
-    assert "FLIP-OK 442" in out.stdout, out.stdout
+    assert "FLIP-OK 450" in out.stdout, out.stdout
 
 
 def test_bounded_shuffle_restores_conf(spark):

@@ -29,6 +29,7 @@ STATEFUL_ON_DISK = [
     "scan_text_format",
     "scan_csv_malformed",
     "sink_sketch_roundtrip",
+    "stream_minhash_dedup",  # doc-replay chunks + per-run uuid checkpoint
 ]
 
 

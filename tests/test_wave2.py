@@ -1,0 +1,133 @@
+"""Semantic invariants for the r9 wave-2 ops (llm/wave2.py).
+
+Value-level twin parity is covered by tests/test_oracle_parity.py's
+registry sweep; these tests pin the properties that make the audits
+meaningful — monotone recall in nprobe, funnel conservation, injected
+leaks actually detected — which a hash match alone can't express.
+"""
+
+from __future__ import annotations
+
+from python_kinesis_streaming_spark.registry import all_queries
+
+Q = all_queries()
+
+
+def test_nprobe_recall_and_cost_are_monotone(spark, sf_dir):
+    rows = {
+        r["nprobe"]: r
+        for r in Q["sim_ivf_nprobe_sweep"](spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 2, 4]
+    n_queries = {r["n_queries"] for r in rows.values()}
+    assert len(n_queries) == 1 and n_queries.pop() > 0
+    for lo, hi in [(1, 2), (2, 4)]:
+        assert rows[hi]["avg_candidates"] >= rows[lo]["avg_candidates"], (
+            "probing more lists must scan at least as many candidates"
+        )
+        assert rows[hi]["mean_recall_at_5"] >= rows[lo]["mean_recall_at_5"], (
+            "recall must be monotone in nprobe (supersets of candidates)"
+        )
+    for r in rows.values():
+        assert 0.0 <= r["mean_recall_at_5"] <= 1.0
+
+
+def test_cascade_recall_bounds(spark, sf_dir):
+    rows = Q["sim_cascade_recall_audit"](spark, sf_dir).collect()
+    assert rows, "query sample must be non-empty"
+    for r in rows:
+        assert 0 <= r["hits"] <= 5
+        assert abs(r["recall_at_5"] - round(r["hits"] / 5.0, 4)) < 1e-9
+    # a 16-of-64-dim prefilter keeping 50 candidates should be far
+    # better than chance (5/499) on average
+    mean = sum(r["recall_at_5"] for r in rows) / len(rows)
+    assert mean >= 0.2, mean
+
+
+def test_dedup_funnel_conserves_counts(spark, sf_dir):
+    rows = {
+        r["stage"]: r for r in Q["corpus_dedup_funnel"](spark, sf_dir).collect()
+    }
+    assert list(sorted(rows)) == ["0_raw", "1_exact", "2_normalized", "3_near"]
+    order = ["0_raw", "1_exact", "2_normalized", "3_near"]
+    for prev, cur in zip(order, order[1:]):
+        assert rows[cur]["survivors"] <= rows[prev]["survivors"]
+        assert (
+            rows[prev]["survivors"] - rows[cur]["survivors"]
+            == rows[cur]["removed"]
+        ), f"{cur}: removed must equal the stage delta"
+    # every injected class is caught by its stage (exact copies every
+    # 5th doc, case variants every 7th, near-dups every 11th)
+    assert rows["1_exact"]["removed"] > 0
+    assert rows["2_normalized"]["removed"] > 0
+    assert rows["3_near"]["removed"] > 0
+
+
+def test_split_leakage_detects_injected_twins(spark, sf_dir):
+    row = Q["corpus_split_leakage_audit"](spark, sf_dir).collect()[0]
+    assert row["n_train"] > 0 and row["n_test"] > 0
+    # injected twins are one-token mutants of train docs forced into
+    # test — the LSH+confirm pipeline must catch them
+    assert row["leaked_pairs"] > 0
+    assert 0 < row["leaked_test_docs"] <= row["leaked_pairs"]
+
+
+def test_generator_audit_classifies_injections(spark, sf_dir):
+    rows = {
+        r["generator"]: r["n_pairs"]
+        for r in Q["dedup_candidate_generator_audit"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"both", "only_exact_norm", "only_minhash"}
+    # identical texts have identical signatures, so every exact-norm
+    # pair must also be an LSH candidate
+    assert rows["only_exact_norm"] == 0, rows
+    assert rows["both"] > 0, "injected exact copies must be found by both"
+    assert rows["only_minhash"] > 0, "injected mutants are minhash-only"
+
+
+def test_pii_stats_count_injections(spark, sf_dir, duck):
+    rows = {
+        r["pattern"]: r
+        for r in Q["text_pii_scrub_stats"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"email", "ipv4", "ssn"}
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    # injection floors: every 3rd doc gets an email, 4th an ip, 5th an ssn
+    assert rows["email"]["docs_matched"] >= (n_docs + 2) // 3
+    assert rows["ipv4"]["docs_matched"] >= (n_docs + 3) // 4
+    assert rows["ssn"]["docs_matched"] >= (n_docs + 4) // 5
+    for r in rows.values():
+        assert r["total_matches"] >= r["docs_matched"]
+        assert r["chars_redacted"] > r["total_matches"], (
+            "every match is more than one character"
+        )
+
+
+def test_stream_minhash_dedup_suppresses_twins(spark, sf_dir, duck):
+    rows = Q["stream_minhash_dedup"](spark, sf_dir).collect()
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    n_twins = duck.execute(
+        "SELECT count(*) FROM documents WHERE doc_id % 10 = 0"
+    ).fetchone()[0]
+    assert len(rows) == n_docs + n_twins, "one verdict row per arrival"
+    by_doc = {r["doc_id"]: r for r in rows}
+    twins = [r for r in rows if r["doc_id"] >= 1_000_000]
+    # a one-token mutant shares almost all shingles with its original —
+    # the overwhelming majority must be caught by >= 1 band
+    caught = [r for r in twins if not r["survived"]]
+    assert len(caught) >= 0.8 * len(twins), (len(caught), len(twins))
+    for r in rows:
+        assert 0 <= r["n_dup_bands"] <= 8
+        assert r["survived"] == (r["n_dup_bands"] == 0)
+        # every twin's original arrives earlier (smaller ord)
+        orig = by_doc.get(r["doc_id"] - 1_000_000)
+        if r["doc_id"] >= 1_000_000 and orig is not None:
+            assert orig["ord"] < r["ord"]
+
+
+def test_shard_drift_is_a_full_upper_triangle(spark, sf_dir):
+    rows = Q["emb_shard_drift"](spark, sf_dir).collect()
+    pairs = {(r["shard_a"], r["shard_b"]) for r in rows}
+    assert pairs == {(a, b) for a in range(8) for b in range(8) if a < b}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9
