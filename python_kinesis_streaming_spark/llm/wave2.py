@@ -1337,3 +1337,401 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dup_bands"),
         (F.sum(F.when(F.col("dup"), 1).otherwise(0)) == 0).alias("survived"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lakehouse-integrated incremental ingest dedup
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "lakehouse_incremental_dedup",
+    oracle="""
+        WITH seed AS (SELECT doc_id, md5(text) AS h FROM documents),
+        resent AS (
+            SELECT doc_id, md5(text) AS h FROM documents
+            WHERE doc_id % 3 = 0
+        ),
+        newd AS (
+            SELECT doc_id + 5000000 AS doc_id, md5(text || ' v2') AS h
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        batch AS (
+            SELECT * FROM resent UNION ALL SELECT * FROM newd
+        ),
+        novel AS (
+            SELECT * FROM batch WHERE h NOT IN (SELECT h FROM seed)
+        )
+        SELECT s.stage, s.n_rows FROM (
+            SELECT '0_seed' AS stage, CAST(count(*) AS BIGINT) AS n_rows
+            FROM seed
+            UNION ALL
+            SELECT '1_batch', CAST(count(*) AS BIGINT) FROM batch
+            UNION ALL
+            SELECT '2_appended_novel', CAST(count(*) AS BIGINT) FROM novel
+            UNION ALL
+            SELECT '3_final', CAST((SELECT count(*) FROM seed)
+                                   + (SELECT count(*) FROM novel) AS BIGINT)
+            UNION ALL
+            SELECT '4_final_distinct_hashes',
+                   CAST(count(DISTINCT h) AS BIGINT)
+            FROM (SELECT h FROM seed UNION ALL SELECT h FROM novel)
+        ) s
+    """,
+    scale=(
+        "Incremental ingest with content dedup against the LIVE table — "
+        "the exactly-once corpus-growth pattern: the seed snapshot holds "
+        "the corpus keyed by content hash, an incoming batch (a re-crawl "
+        "mixing resent and genuinely new pages) is anti-joined against "
+        "the table's hash set, and ONLY novel content is committed as an "
+        "append version. The anti-join shuffles 16-byte hashes, never "
+        "texts; at 100 TB the hash set is a bucketed column (or a Bloom "
+        "prefilter feeding the exact anti-join) so the per-batch cost is "
+        "|batch| + |matching buckets|, not a table scan. The final "
+        "invariant — table rows == distinct hashes — is emitted as a "
+        "stage row so the oracle proves the table stayed duplicate-free "
+        "across the commit."
+    ),
+)
+def lakehouse_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seed snapshot → dedup-append a re-crawl batch → invariant stages."""
+    import os
+    import shutil
+
+    from python_kinesis_streaming_spark.sources.lakehouse import read_table
+    from python_kinesis_streaming_spark.sources.snapshots import (
+        write_snapshot,
+    )
+    from python_kinesis_streaming_spark.sources.tables import sf_tag
+    from python_kinesis_streaming_spark.streaming.replay import SCRATCH
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.select("doc_id", F.md5("text").alias("h"))
+    tdir = os.path.join(SCRATCH, f"w2_incdedup_{sf_tag(sf_dir)}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    os.makedirs(tdir, exist_ok=True)
+    write_snapshot(seed.repartition(4, "doc_id"), tdir, "seed")
+
+    resent = seed.where(F.col("doc_id") % 3 == 0)
+    newd = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("h"),
+    )
+    batch = resent.unionByName(newd)
+    existing = read_table(spark, tdir).select("h")
+    novel = batch.join(existing, "h", "left_anti")
+    write_snapshot(novel, tdir, "dedup-append", mode="append")
+    final = read_table(spark, tdir)
+
+    stages = [
+        seed.agg(
+            F.lit("0_seed").alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ),
+        batch.agg(
+            F.lit("1_batch").alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ),
+        novel.agg(
+            F.lit("2_appended_novel").alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ),
+        final.agg(
+            F.lit("3_final").alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ),
+        final.agg(
+            F.lit("4_final_distinct_hashes").alias("stage"),
+            F.countDistinct("h").alias("n_rows"),
+        ),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# batch 3: time-series downsampling, vocab drift, weighted near-dup
+# ---------------------------------------------------------------------------
+
+#: the repo's cross-engine event ordinal (CLAUDE.md quirk list): DuckDB
+#: max_by rejects STRUCT order keys, so both engines order first/last
+#: picks by this int64 (ms since the fixture epoch, spread by event_id).
+_ORD_SQL = (
+    "CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)"
+    " / 1000.0) AS BIGINT) * 3500000 + event_id"
+)
+
+
+def _ord_col():
+    return (
+        F.floor((F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(1000.0))
+        .cast("long")
+        * F.lit(3500000)
+        + F.col("event_id")
+    )
+
+
+@op(
+    "ts_downsample_m4",
+    oracle=f"""
+        WITH o AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                   value, {_ORD_SQL} AS ord
+            FROM events
+        )
+        SELECT CAST(bucket AS TIMESTAMP) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_rnd("min_by(value, ord)")} AS v_first,
+               {sql_rnd("max_by(value, ord)")} AS v_last,
+               {sql_rnd("min(value)")} AS v_min,
+               {sql_rnd("max(value)")} AS v_max
+        FROM o GROUP BY bucket
+    """,
+    scale=(
+        "M4 downsampling — the error-free line-chart reduction "
+        "(per pixel-column bucket keep first/last/min/max): the standard "
+        "way to ship a 100 TB series to a dashboard without losing "
+        "extremes. One mergeable aggregate per bucket (min_by/max_by/"
+        "min/max are all partial-agg friendly, 4 scalars of state), so "
+        "the shuffle carries |buckets| rows regardless of event count. "
+        "First/last ordering uses the repo's cross-engine int64 event "
+        "ordinal (DuckDB max_by rejects STRUCT order keys)."
+    ),
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/min/max of value per hour bucket (M4 reduction)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "value",
+        _ord_col().alias("ord"),
+    )
+    return o.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        rnd(F.min_by("value", "ord")).alias("v_first"),
+        rnd(F.max_by("value", "ord")).alias("v_last"),
+        rnd(F.min("value")).alias("v_min"),
+        rnd(F.max("value")).alias("v_max"),
+    )
+
+
+@op(
+    "text_source_kl_divergence",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, u.t AS token
+            FROM documents, unnest(string_split(lower(text), ' ')) AS u(t)
+        ),
+        vocab AS (
+            SELECT token FROM (
+                SELECT token, count(*) AS c,
+                       row_number() OVER (
+                           ORDER BY count(*) DESC, token
+                       ) AS rk
+                FROM tok GROUP BY token
+            ) WHERE rk <= 50
+        ),
+        vt AS (SELECT tok.* FROM tok JOIN vocab USING (token)),
+        vsize AS (SELECT count(*) AS v FROM vocab),
+        g AS (
+            SELECT token, count(*) AS c FROM vt GROUP BY token
+        ),
+        gtot AS (SELECT sum(c) AS tot FROM g),
+        s AS (
+            SELECT source, token, count(*) AS c FROM vt GROUP BY 1, 2
+        ),
+        stot AS (SELECT source, sum(c) AS tot FROM s GROUP BY source),
+        spine AS (
+            SELECT st.source, v.token, st.tot
+            FROM stot st, vocab v
+        ),
+        cells AS (
+            SELECT sp.source,
+                   (COALESCE(s.c, 0) + 1.0)
+                       / (sp.tot + (SELECT v FROM vsize)) AS p,
+                   (g.c + 1.0)
+                       / ((SELECT tot FROM gtot)
+                          + (SELECT v FROM vsize)) AS q
+            FROM spine sp
+            LEFT JOIN s ON s.source = sp.source AND s.token = sp.token
+            JOIN g ON g.token = sp.token
+        )
+        SELECT source,
+               {sql_rnd("sum(p * ln(p / q))", 6)} AS kl_vs_corpus,
+               CAST((SELECT tot FROM stot st2
+                     WHERE st2.source = cells.source) AS BIGINT)
+                   AS n_vocab_tokens
+        FROM cells GROUP BY source
+    """,
+    scale=(
+        "Per-source vocabulary drift: add-one-smoothed distribution of "
+        "each source over the global top-50 tokens (smoothing "
+        "denominator = the vocab size actually selected, so both p and "
+        "q stay proper distributions even when the corpus has fewer "
+        "than 50 distinct tokens — Gibbs' inequality then guarantees "
+        "KL >= 0), scored by KL "
+        "divergence against the whole-corpus distribution — the "
+        "monitoring table that flags a source whose language suddenly "
+        "shifts (spam influx, scraper breakage) before it poisons a "
+        "training mix. Token counting is explode + two mergeable "
+        "groupBys; the KL itself runs on a |sources| x 50 spine "
+        "(bounded dims cross), so corpus size only enters through the "
+        "counting pass. Top-50 cut ties on (count DESC, token) and the "
+        "KL rounds at 1e-6 — engine-identical."
+    ),
+)
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed KL(source ‖ corpus) over the global top-50 tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("c"), "token")),
+        )
+        .where(F.col("rk") <= 50)
+        .select("token")
+    )
+    vt = tok.join(F.broadcast(vocab), "token")
+    vsize = vocab.agg(F.count("*").alias("v"))
+    g = vt.groupBy("token").agg(F.count("*").alias("gc"))
+    gtot = g.agg(F.sum("gc").alias("gtot"))
+    s = vt.groupBy("source", "token").agg(F.count("*").alias("c"))
+    stot = s.groupBy("source").agg(F.sum("c").alias("tot"))
+    spine = stot.crossJoin(F.broadcast(vocab))
+    cells = (
+        spine.join(s, ["source", "token"], "left")
+        .join(F.broadcast(g), "token")
+        .crossJoin(F.broadcast(gtot))
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "source",
+            "tot",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("tot") + F.col("v"))
+            ).alias("p"),
+            ((F.col("gc") + 1.0) / (F.col("gtot") + F.col("v"))).alias("q"),
+        )
+    )
+    return cells.groupBy("source").agg(
+        rnd(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias(
+            "kl_vs_corpus"
+        ),
+        F.max("tot").cast("long").alias("n_vocab_tokens"),
+    )
+
+
+_IDF_INJ_SQL = """
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text || ' mutant'
+            FROM documents WHERE doc_id % 25 = 0
+"""
+_IDF_CAND_SQL = _mh_cand_sql(_IDF_INJ_SQL)
+
+
+@op(
+    "dedup_idf_weighted_jaccard",
+    oracle=f"""
+        WITH {_IDF_CAND_SQL},
+        n AS (SELECT count(*) AS n FROM inj),
+        idf AS (
+            SELECT shingle,
+                   ln(CAST((SELECT n FROM n) AS DOUBLE)
+                      / count(DISTINCT doc_id)) AS w
+            FROM sh GROUP BY shingle
+        ),
+        wsize AS (
+            SELECT sh.doc_id, sum(idf.w) AS ws
+            FROM sh JOIN idf USING (shingle) GROUP BY sh.doc_id
+        ),
+        winter AS (
+            SELECT c.doc_a, c.doc_b, sum(idf.w) AS wi,
+                   count(*) AS isect
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            JOIN idf ON idf.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        scored AS (
+            SELECT w.doc_a, w.doc_b,
+                   CAST(w.isect AS BIGINT) AS isect,
+                   {sql_rnd("w.wi / (sa.ws + sb.ws - w.wi)", 4)}
+                       AS weighted_jaccard
+            FROM winter w
+            JOIN wsize sa ON sa.doc_id = w.doc_a
+            JOIN wsize sb ON sb.doc_id = w.doc_b
+        )
+        SELECT doc_a, doc_b, isect, weighted_jaccard
+        FROM scored WHERE weighted_jaccard >= 0.5
+    """,
+    scale=(
+        "IDF-weighted near-dup scoring: raw Jaccard over-counts "
+        "boilerplate shingles (headers, footers, license blocks) that "
+        "appear in thousands of documents; weighting each shingle by "
+        "ln(N/df) makes the similarity reflect SHARED RARE content. "
+        "Candidates still come from the banded MinHash self-join (no "
+        "new all-pairs work); the IDF table is one groupBy over the "
+        "shingle stream and joins back on the candidate set only. The "
+        "0.5 cut applies to the 1e-4-rounded score on both engines."
+    ),
+)
+def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs scored by IDF-weighted Jaccard >= 0.5."""
+    from python_kinesis_streaming_spark.llm.dedup import inject_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    inj = inject_near_dups(docs.select("doc_id", "text"))
+    sh = word_shingles(inj, n=3)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    n = inj.agg(F.count("*").alias("n"))
+    idf = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "shingle",
+            F.log(F.col("n").cast("double") / F.col("df")).alias("w"),
+        )
+    )
+    wsize = (
+        sh.join(idf, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("ws"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    winter = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .join(idf.alias("idf"), F.col("idf.shingle") == F.col("a.shingle"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("wi"), F.count("*").alias("isect"))
+    )
+    sa, sb = wsize.alias("sa"), wsize.alias("sb")
+    return (
+        winter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("isect").cast("long").alias("isect"),
+            rnd(
+                F.col("wi") / (F.col("sa.ws") + F.col("sb.ws") - F.col("wi")),
+                4,
+            ).alias("weighted_jaccard"),
+        )
+        .where(F.col("weighted_jaccard") >= 0.5)
+    )

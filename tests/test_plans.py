@@ -232,6 +232,8 @@ BNLJ_ALLOWED = {
     # totals (chunk count / byte sum) against the packed layout
     "pack_concat_audit",
     "pack_best_fit_audit",
+    "text_source_kl_divergence",  # |sources| rows × 50-token vocab spine
+    "dedup_idf_weighted_jaccard",  # IDF table × 1-row corpus-size scalar
     "events_day_n_retention",  # 1-row horizon aggregate × 1-row signup count
     "events_churn_last_touch",  # 5-row last-type groups × 1-row denominator
     "agg_chi_square",  # 1-row statistic × 1-row degrees-of-freedom
@@ -264,6 +266,7 @@ _EXECUTES_EXTRA = {
     "dedup_clusters",
     "edge_empty_inputs",  # runs its five count() checks on build
     "set_ops_all_variants",  # runs its four count() checks on build
+    "lakehouse_incremental_dedup",  # writes snapshot versions on build
 }
 
 # r9-flip promotions whose BUILDER executes work (trainer loops, loopback

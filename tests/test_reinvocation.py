@@ -30,6 +30,7 @@ STATEFUL_ON_DISK = [
     "scan_csv_malformed",
     "sink_sketch_roundtrip",
     "stream_minhash_dedup",  # doc-replay chunks + per-run uuid checkpoint
+    "lakehouse_incremental_dedup",  # clears + rebuilds its table dir per call
 ]
 
 

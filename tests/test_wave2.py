@@ -125,6 +125,66 @@ def test_stream_minhash_dedup_suppresses_twins(spark, sf_dir, duck):
             assert orig["ord"] < r["ord"]
 
 
+def test_incremental_dedup_stage_invariants(spark, sf_dir, duck):
+    rows = {
+        r["stage"]: r["n_rows"]
+        for r in Q["lakehouse_incremental_dedup"](spark, sf_dir).collect()
+    }
+    n = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    n_resent = duck.execute(
+        "SELECT count(*) FROM documents WHERE doc_id % 3 = 0"
+    ).fetchone()[0]
+    n_new = duck.execute(
+        "SELECT count(*) FROM documents WHERE doc_id % 7 = 0"
+    ).fetchone()[0]
+    assert rows["0_seed"] == n
+    assert rows["1_batch"] == n_resent + n_new
+    # resent content is all deduped away; only the ' v2' docs append
+    assert rows["2_appended_novel"] == n_new
+    assert rows["3_final"] == n + n_new
+    assert rows["4_final_distinct_hashes"] == rows["3_final"], (
+        "table must stay duplicate-free across the commit"
+    )
+
+
+def test_m4_downsample_envelope(spark, sf_dir, duck):
+    rows = Q["ts_downsample_m4"](spark, sf_dir).collect()
+    n_events = duck.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_events, "M4 partitions all events"
+    for r in rows:
+        assert r["v_min"] <= r["v_first"] <= r["v_max"]
+        assert r["v_min"] <= r["v_last"] <= r["v_max"]
+
+
+def test_source_kl_is_nonnegative_per_source(spark, sf_dir, duck):
+    rows = Q["text_source_kl_divergence"](spark, sf_dir).collect()
+    n_sources = duck.execute(
+        "SELECT count(DISTINCT source) FROM documents"
+    ).fetchone()[0]
+    assert len(rows) == n_sources
+    for r in rows:
+        # Gibbs' inequality (up to the 1e-6 output rounding)
+        assert r["kl_vs_corpus"] >= -1e-6, r
+        assert r["n_vocab_tokens"] > 0
+
+
+def test_idf_weighted_jaccard_finds_injected_mutants(spark, sf_dir, duck):
+    rows = Q["dedup_idf_weighted_jaccard"](spark, sf_dir).collect()
+    n_inj = duck.execute(
+        "SELECT count(*) FROM documents WHERE doc_id % 25 = 0"
+    ).fetchone()[0]
+    mutant_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in rows
+        if r["doc_b"] == r["doc_a"] + 1_000_000
+    }
+    assert len(mutant_pairs) >= 0.9 * n_inj, (len(mutant_pairs), n_inj)
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.5 <= r["weighted_jaccard"] <= 1.0 + 1e-9
+        assert r["isect"] > 0
+
+
 def test_shard_drift_is_a_full_upper_triangle(spark, sf_dir):
     rows = Q["emb_shard_drift"](spark, sf_dir).collect()
     pairs = {(r["shard_a"], r["shard_b"]) for r in rows}
