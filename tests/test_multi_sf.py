@@ -63,6 +63,11 @@ REPRESENTATIVE = [
     "ts_forecast_backtest",  # train/holdout split must hold at any density
     "dedup_survivorship_golden",  # every-25th injection at varying doc counts
     "part_brand_positioning",  # per-brand medians over varying fact sizes
+    # round-9 wave-2 ops with size-sensitive logic
+    "sim_cascade_recall_audit",  # top-50 prefilter over a 50-vec sf0.001 corpus
+    "corpus_dedup_funnel",  # three injection cadences at varying doc counts
+    "text_source_kl_divergence",  # vocab-size smoothing at tiny corpora
+    "lakehouse_incremental_dedup",  # novel-batch arithmetic at any doc count
 ]
 
 
