@@ -1735,3 +1735,124 @@ def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("weighted_jaccard") >= 0.5)
     )
+
+
+@op(
+    "events_ks_two_sample",
+    oracle=f"""
+        WITH g AS (
+            SELECT value,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        pv AS (
+            SELECT value, sum(p) AS np, sum(c) AS nc
+            FROM g GROUP BY value
+        ),
+        tot AS (
+            SELECT sum(np) AS n1, sum(nc) AS n2 FROM pv
+        ),
+        ecdf AS (
+            SELECT value,
+                   sum(np) OVER (ORDER BY value
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cp,
+                   sum(nc) OVER (ORDER BY value
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cc
+            FROM pv
+        ),
+        diffs AS (
+            SELECT value,
+                   {sql_rnd(
+                       "abs(CAST(cp AS DOUBLE) / (SELECT n1 FROM tot)"
+                       " - CAST(cc AS DOUBLE) / (SELECT n2 FROM tot))", 6)}
+                       AS d
+            FROM ecdf
+        ),
+        best AS (
+            SELECT value, d,
+                   row_number() OVER (ORDER BY d DESC, value) AS rk
+            FROM diffs
+        )
+        SELECT CAST((SELECT n1 FROM tot) AS BIGINT) AS n_purchase,
+               CAST((SELECT n2 FROM tot) AS BIGINT) AS n_click,
+               b.d AS ks_d,
+               {sql_rnd("b.value")} AS ks_at_value,
+               {sql_rnd(
+                   "b.d * sqrt(CAST((SELECT n1 FROM tot) AS DOUBLE)"
+                   " * (SELECT n2 FROM tot)"
+                   " / ((SELECT n1 FROM tot) + (SELECT n2 FROM tot)))",
+                   4)} AS ks_scaled
+        FROM best b WHERE b.rk = 1
+    """,
+    scale=(
+        "Two-sample Kolmogorov-Smirnov: do purchase and click events "
+        "draw their values from the same distribution? Exact D = max "
+        "|ECDF_p - ECDF_c| evaluated at every distinct value: one "
+        "groupBy(value) with two conditional counts (mergeable — the "
+        "shuffle carries |distinct values| rows), then a single ordered "
+        "cumulative window over that AGGREGATE output (bounded by "
+        "distinct-value cardinality, not event count). At 100 TB with "
+        "a near-continuous value domain you first quantize to a fixed "
+        "grid (the agg_ecdf_grid pattern) or run the two-level prefix "
+        "sum — D on the quantized grid lower-bounds exact D by at most "
+        "one grid cell's mass. Diffs round at 1e-6 BEFORE the argmax "
+        "and ties break on value, so both engines pick the same "
+        "location."
+    ),
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between purchase and click values."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("c"),
+    )
+    pv = g.groupBy("value").agg(
+        F.sum("p").alias("np"), F.sum("c").alias("nc")
+    )
+    tot = pv.agg(
+        F.sum("np").alias("n1"), F.sum("nc").alias("n2")
+    )
+    w = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = pv.select(
+        "value",
+        F.sum("np").over(w).alias("cp"),
+        F.sum("nc").over(w).alias("cc"),
+    )
+    diffs = ecdf.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "n1",
+        "n2",
+        rnd(
+            F.abs(
+                F.col("cp").cast("double") / F.col("n1")
+                - F.col("cc").cast("double") / F.col("n2")
+            ),
+            6,
+        ).alias("d"),
+    )
+    best = diffs.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("d"), "value"))
+    ).where(F.col("rk") == 1)
+    return best.select(
+        F.col("n1").cast("long").alias("n_purchase"),
+        F.col("n2").cast("long").alias("n_click"),
+        F.col("d").alias("ks_d"),
+        rnd(F.col("value")).alias("ks_at_value"),
+        rnd(
+            F.col("d")
+            * F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+            ),
+            4,
+        ).alias("ks_scaled"),
+    )

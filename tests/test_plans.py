@@ -234,6 +234,7 @@ BNLJ_ALLOWED = {
     "pack_best_fit_audit",
     "text_source_kl_divergence",  # |sources| rows × 50-token vocab spine
     "dedup_idf_weighted_jaccard",  # IDF table × 1-row corpus-size scalar
+    "events_ks_two_sample",  # ECDF rows × 1-row (n1, n2) totals
     "events_day_n_retention",  # 1-row horizon aggregate × 1-row signup count
     "events_churn_last_touch",  # 5-row last-type groups × 1-row denominator
     "agg_chi_square",  # 1-row statistic × 1-row degrees-of-freedom

@@ -185,6 +185,20 @@ def test_idf_weighted_jaccard_finds_injected_mutants(spark, sf_dir, duck):
         assert r["isect"] > 0
 
 
+def test_ks_two_sample_is_a_valid_statistic(spark, sf_dir, duck):
+    rows = Q["events_ks_two_sample"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    np_, nc = duck.execute(
+        "SELECT count(*) FILTER (WHERE event_type = 'purchase'),"
+        "       count(*) FILTER (WHERE event_type = 'click') FROM events"
+    ).fetchone()
+    assert r["n_purchase"] == np_ and r["n_click"] == nc
+    assert 0.0 <= r["ks_d"] <= 1.0
+    expected_scaled = r["ks_d"] * (np_ * nc / (np_ + nc)) ** 0.5
+    assert abs(r["ks_scaled"] - expected_scaled) < 1e-3
+
+
 def test_shard_drift_is_a_full_upper_triangle(spark, sf_dir):
     rows = Q["emb_shard_drift"](spark, sf_dir).collect()
     pairs = {(r["shard_a"], r["shard_b"]) for r in rows}
