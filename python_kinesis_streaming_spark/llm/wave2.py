@@ -652,7 +652,12 @@ def _funnel_inject(docs: DataFrame) -> DataFrame:
     ),
 )
 def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Survivors and removals per dedup stage over an injected corpus."""
+    """Survivors and removals per dedup stage over an injected corpus.
+
+    ASCII-text assumption: the injected case variant relies on Spark
+    (Java) lower()/upper() agreeing with DuckDB (utf8proc) per character;
+    non-ASCII case folds (e.g. ß→SS in Java only) would diverge. Fixture
+    document text is ASCII (FIXTURES.md)."""
     docs = load_table(spark, sf_dir, "documents")
     inj = _funnel_inject(docs)
     normed = inj.withColumn(
@@ -1242,16 +1247,21 @@ _STREAM_BANDED = "\n            UNION ALL\n".join(
         "dedup_near_minhash: documents arrive in micro-batches (time-"
         "ordered chunk replay, the Kinesis stand-in), each doc's 16-perm "
         "MinHash signature is computed MAP-SIDE inside the stream "
-        "(array_min over the shingle array per permutation — no "
-        "streaming aggregation, so the only stateful operator is the "
-        "dedup itself), and applyInPandasWithState keyed by LSH band "
-        "bucket keeps one long (the bucket's minimum arrival ordinal) "
-        "per key. A doc is a duplicate iff ANY of its 8 band buckets "
+        "(an Arrow-batched pandas_udf with a per-batch distinct-gram "
+        "cache — no streaming aggregation, so the only stateful "
+        "operator is the dedup itself), and applyInPandasWithState "
+        "keyed by a HASH SHARD of the LSH bucket id keeps the shard's "
+        "bucket->first-arrival-ordinal map as parallel long arrays. "
+        "Sharding (bucket_id % NSHARDS) amortizes the per-key Python "
+        "state-protocol round trip across ~|rows|/NSHARDS buckets "
+        "while keeping entries-per-shard bounded at |buckets|/NSHARDS; "
+        "NSHARDS is the scale knob (1024 local, 2^20+ with RocksDB). "
+        "A doc is a duplicate iff ANY of its 8 band buckets "
         "has seen an earlier doc — decided once at arrival, so the "
         "per-(doc, band) verdicts stream out in append mode and the "
         "per-doc fold happens batch-side on the sink. State size is "
-        "|distinct buckets| longs (RocksDB at scale), per-batch work is "
-        "map-side hashing + one shuffle on the band key — the same "
+        "|distinct buckets| longs total, per-batch work is "
+        "map-side hashing + one shuffle on the shard key — the same "
         "shuffle shape as the batch LSH join, amortized per batch. The "
         "batch twin (the oracle) is the window rule ord > min(ord) per "
         "bucket over the full injected corpus."
@@ -1261,9 +1271,9 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash-LSH dedup: per-doc band verdicts maintained as
     bucket state across micro-batches; final result == the batch
     min-ordinal-per-bucket rule."""
+    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from python_kinesis_streaming_spark.llm.dedup import md5_hash64
     from python_kinesis_streaming_spark.streaming.replay import run_to_memory
 
     d = _ensure_doc_chunks(spark, sf_dir)
@@ -1273,60 +1283,130 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-    )
 
-    def minh(i: int):
-        return F.array_min(
-            F.transform(grams, lambda g: md5_hash64(g, seed=i))
+    n_bands, n_rows = LSH_BANDS, LSH_ROWS
+
+    def band_keys_fn(texts):
+        # Nested: cloudpickled by value (bare-session rule). Arrow seam
+        # replacing the interpreted md5-HOF signature kernel (r9 VERDICT
+        # item 2): hash-identical to md5_hash64 (first 15 md5 hex chars
+        # as a 60-bit long; seeded grams "s:gram", band key "m0:m1").
+        # A per-batch gram cache exploits the ~10x shingle redundancy
+        # so each distinct gram is hashed once per permutation.
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+        seeds = [("%d:" % s).encode() for s in range(n_bands * n_rows)]
+        cache: dict = {}
+        out = []
+        for text in texts:
+            toks = text.split(" ")
+            hi = max(len(toks) - 3, 0)
+            gram_vals = []
+            seen = set()
+            for i in range(hi + 1):
+                g = " ".join(toks[i : i + 3])
+                if g in seen:
+                    continue
+                seen.add(g)
+                v = cache.get(g)
+                if v is None:
+                    gb = g.encode()
+                    v = tuple(
+                        int(md5(p + gb).hexdigest()[:15], 16) for p in seeds
+                    )
+                    cache[g] = v
+                gram_vals.append(v)
+            sig = [min(col) for col in zip(*gram_vals)]
+            # bucket_id packs (band, bkey) into one long: bkey is 60
+            # bits (15 md5 hex chars), band < 8, so band<<60 | bkey
+            # stays inside a signed int64 and is injective.
+            out.append(
+                [
+                    (b << 60)
+                    | int(
+                        md5(
+                            (
+                                "%d:%d"
+                                % (sig[b * n_rows], sig[b * n_rows + 1])
+                            ).encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    band_keys = pandas_udf(band_keys_fn, "array<long>")
+
+    # State is sharded: key = bucket_id % NSHARDS, value = parallel
+    # arrays (bucket_ids, min_ords). Per-bucket keying is semantically
+    # identical but pays the applyInPandasWithState per-key Python
+    # protocol cost once per DISTINCT BUCKET per batch (~11k tiny
+    # groups/batch here — measured 0.36 ms each, the whole op's
+    # bottleneck); sharding amortizes it to once per shard. Entries
+    # per shard stay bounded at |buckets|/NSHARDS; NSHARDS is the
+    # scale knob (1024 local, 2^20+ on a RocksDB-backed cluster).
+    nshards = 1024
+    banded = (
+        sdf.select(
+            "doc_id", "ord", F.posexplode(band_keys(F.col("text"))).alias("band", "bid")
         )
-
-    banded = sdf.select(
-        "doc_id",
-        "ord",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    md5_hash64(
-                        F.concat_ws(
-                            ":", minh(b * LSH_ROWS), minh(b * LSH_ROWS + 1)
-                        )
-                    ).alias("bkey"),
-                )
-                for b in range(LSH_BANDS)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "ord", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        .select(
+            "doc_id",
+            "ord",
+            "bid",
+            (F.col("bid") % nshards).cast("int").alias("shard"),
+        )
+    )
 
     def bucket_verdicts(key, pdfs, state):
         # Nested: cloudpickled by value (bare-session executors can't
-        # import this module by name).
+        # import this module by name). One call per SHARD per batch:
+        # replay this shard's arrivals in ord order against the
+        # persisted bucket->first-arrival-ordinal map; a row is a dup
+        # iff its bucket was already claimed (in state, or by an
+        # earlier-ord row of this batch).
+        import numpy as np
         import pandas as pd
 
-        rows = pd.concat(list(pdfs))[["doc_id", "ord"]].sort_values("ord")
-        prior = state.get[0] if state.exists else None
-        dup = [True] * len(rows)
-        if prior is None and len(rows):
-            dup[0] = False
-        new_min = prior if prior is not None else int(rows["ord"].iloc[0])
-        state.update((int(new_min),))
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        bids = pdf["bid"].to_numpy()
+        ords = pdf["ord"].to_numpy()
+        ids = pdf["doc_id"].to_numpy()
+        if len(ords) > 1:
+            order = np.argsort(ords, kind="stable")
+            bids, ords, ids = bids[order], ords[order], ids[order]
+        if state.exists:
+            sb, sm = state.get
+            seen = dict(zip(sb, sm))
+        else:
+            seen = {}
+        dup = np.empty(len(ords), dtype=bool)
+        for i, (b, o) in enumerate(zip(bids.tolist(), ords.tolist())):
+            if b in seen:
+                dup[i] = True
+            else:
+                dup[i] = False
+                seen[b] = o
+        state.update((list(seen.keys()), list(seen.values())))
         yield pd.DataFrame(
             {
-                "doc_id": rows["doc_id"].to_numpy(),
-                "ord": rows["ord"].to_numpy(),
-                "band": [int(key[0])] * len(rows),
+                "doc_id": ids,
+                "ord": ords,
+                "band": (bids >> 60).astype(np.int32),
                 "dup": dup,
             }
         )
 
-    verdicts = banded.groupBy("band", "bkey").applyInPandasWithState(
+    verdicts = banded.groupBy("shard").applyInPandasWithState(
         bucket_verdicts,
         outputStructType="doc_id long, ord long, band int, dup boolean",
-        stateStructType="min_ord long",
+        stateStructType="bucket_ids array<long>, min_ords array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -1360,7 +1440,11 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT * FROM resent UNION ALL SELECT * FROM newd
         ),
         novel AS (
-            SELECT * FROM batch WHERE h NOT IN (SELECT h FROM seed)
+            -- NOT EXISTS (not NOT IN): matches Spark left_anti's null
+            -- semantics — a NULL hash in seed would make NOT IN return
+            -- NULL for every batch row and silently empty the stage.
+            SELECT b.* FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM seed s WHERE s.h = b.h)
         )
         SELECT s.stage, s.n_rows FROM (
             SELECT '0_seed' AS stage, CAST(count(*) AS BIGINT) AS n_rows
