@@ -986,12 +986,19 @@ def classifier_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         (F.col("doc_id") % 2).cast("int").alias("label"),
     )
-    feats = hashed_features(docs, "doc_id", "t", dim=256)
-    labels = docs.select("doc_id", "label")
-    model = train_logreg(feats, labels, dim=256, lr=1.0, iters=6)
-    scored = predict_scores(feats, model["weights"], model["bias"])
-    m = binary_metrics(scored, labels).collect()[0]
-    hist = model["history"]
+    # 6 GD iterations x (gradient groupBy + loss agg) — at the bare
+    # session's default 200 shuffle partitions that is ~40 s of task
+    # overhead for 256-row gradients (measured r10); the 16-partition
+    # floor takes it to single digits. Safe: everything through the
+    # metrics row COLLECTS inside the window and the returned frame is
+    # a literal.
+    with _bounded_shuffle(spark):
+        feats = hashed_features(docs, "doc_id", "t", dim=256)
+        labels = docs.select("doc_id", "label")
+        model = train_logreg(feats, labels, dim=256, lr=1.0, iters=6)
+        scored = predict_scores(feats, model["weights"], model["bias"])
+        m = binary_metrics(scored, labels).collect()[0]
+        hist = model["history"]
     return spark.createDataFrame(
         [
             (
