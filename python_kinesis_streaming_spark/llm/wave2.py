@@ -1302,6 +1302,12 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache: dict = {}
         out = []
         for text in texts:
+            if text is None:
+                # preserve the replaced column-kernel's NULL semantics:
+                # F.split(NULL) propagated NULL and the explode dropped
+                # the row — emit an empty band list (ADVICE r10 item 2)
+                out.append([])
+                continue
             toks = text.split(" ")
             hi = max(len(toks) - 3, 0)
             gram_vals = []

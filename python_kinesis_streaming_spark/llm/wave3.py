@@ -583,8 +583,10 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         q AS (
             SELECT x.vec_id, x.j, x.x, sc.scale,
-                   greatest(least(floor(x.x / sc.scale + 0.5), 127), -127)
-                       AS q
+                   CASE WHEN sc.scale = 0 THEN 0
+                        ELSE greatest(
+                            least(floor(x.x / sc.scale + 0.5), 127), -127)
+                   END AS q
             FROM x JOIN sc USING (j)
         ),
         err AS (
@@ -631,9 +633,16 @@ def emb_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = x.groupBy("j").agg((F.max(F.abs("x")) / 127.0).alias("scale"))
     q = x.join(F.broadcast(sc), "j").withColumn(
         "q",
-        F.greatest(
-            F.least(F.floor(F.col("x") / F.col("scale") + 0.5), F.lit(127.0)),
-            F.lit(-127.0),
+        # zero-variance (all-zero) dimension gives scale=0: quantize to 0
+        # on both engines instead of dividing by zero (Spark would yield
+        # NaN/Inf where DuckDB errors — ADVICE r10 item 3)
+        F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+            F.greatest(
+                F.least(
+                    F.floor(F.col("x") / F.col("scale") + 0.5), F.lit(127.0)
+                ),
+                F.lit(-127.0),
+            )
         ),
     )
     err = q.groupBy("j", "scale").agg(

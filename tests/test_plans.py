@@ -226,6 +226,13 @@ BNLJ_ALLOWED = {
     # sim_truncated_dims); funnel/leakage cross 1-row count aggregates
     "sim_ivf_nprobe_sweep",
     "sim_cascade_recall_audit",
+    # wave-3: 64x16 Rademacher-Omega spine (range(64) x range(16) literal
+    # cross) + the broadcast sample-bounded exact-baseline leg — the same
+    # bounded shape as sim_cascade_recall_audit / emb_random_projection
+    "sim_cascade_sketch_recall_audit",
+    # wave-3: |sources| rows × 3-row literal alpha grid + × 1-row
+    # token-budget scalar — both broadcast, bounded by construction
+    "corpus_mixture_temperature",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation

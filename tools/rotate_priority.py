@@ -99,6 +99,19 @@ def main() -> int:
         n for n in current
         if n not in green_ever and n not in latest_failed
     ]
+    # registered ops missing from the current list (e.g. a wave module
+    # whose names were never appended) join the never-graded block in
+    # registry order — otherwise they'd silently fall behind the
+    # rotated-back greens and never enter a window (ADVICE r10 item 1)
+    unlisted = [
+        n for n in registry.all_queries()
+        if n not in set(current)
+        and n not in green_ever
+        and n not in latest_failed
+    ]
+    if unlisted:
+        print(f"WARNING: registered but unlisted ops fronted: {unlisted}")
+        never = never + unlisted
     promos: list[str] = []
     if with_promos:
         from python_kinesis_streaming_spark.promotions import PROMOTION_OPS
