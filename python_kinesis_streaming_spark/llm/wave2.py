@@ -36,6 +36,11 @@ from python_kinesis_streaming_spark.llm.similarity import cosine
 from python_kinesis_streaming_spark.registry import op
 from python_kinesis_streaming_spark.sources.tables import load_table
 
+# Per-batch StreamingQueryProgress dicts from stream_minhash_dedup's last
+# run — a test-inspection seam so the RocksDB state-store test can assert
+# on state metrics (rows in state, update counts), not just sink contents.
+LAST_STREAM_PROGRESS: list = []
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments
 # ---------------------------------------------------------------------------
@@ -1356,7 +1361,12 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bottleneck); sharding amortizes it to once per shard. Entries
     # per shard stay bounded at |buckets|/NSHARDS; NSHARDS is the
     # scale knob (1024 local, 2^20+ on a RocksDB-backed cluster).
-    nshards = 1024
+    # SPARK_GRAFT_MINHASH_NSHARDS overrides it (read driver-side at plan
+    # time) so tests/test_wave2.py can demonstrate the knob against the
+    # RocksDB state-store provider — output is shard-count-invariant.
+    import os as _os
+
+    nshards = int(_os.environ.get("SPARK_GRAFT_MINHASH_NSHARDS", "1024"))
     banded = (
         sdf.select(
             "doc_id", "ord", F.posexplode(band_keys(F.col("text"))).alias("band", "bid")
@@ -1416,7 +1426,8 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    mem = run_to_memory(verdicts, "append")
+    LAST_STREAM_PROGRESS.clear()
+    mem = run_to_memory(verdicts, "append", progress=LAST_STREAM_PROGRESS)
     return mem.groupBy("doc_id", "ord").agg(
         F.sum(F.when(F.col("dup"), 1).otherwise(0))
         .cast("long")

@@ -147,6 +147,7 @@ def run_to_memory(
     sdf_sink_ready: DataFrame,
     output_mode: str,
     shuffle_partitions: int = 8,
+    progress: list | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into an in-memory table.
 
@@ -171,6 +172,11 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+        if progress is not None:
+            # per-batch StreamingQueryProgress dicts (stateOperators
+            # rows/memory metrics) for tests that assert on state-store
+            # behavior rather than only on sink contents
+            progress.extend(q.recentProgress)
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -50,6 +50,16 @@ ITERATIVE_ALLOWLIST = {
     # 4-stage funnel: the MinHash-LSH and Jaccard-confirm legs each
     # re-derive the canonical (normalized-dedup) corpus — measured 16
     "corpus_dedup_funnel": 17,
+    # 3 prefilter legs over the shared coords lineage; the static plan
+    # re-expands the cn self-join diamond per leg (runtime dedups via
+    # ReusedExchange). Every Exchange is d*k- or sample-bounded —
+    # measured 19 (the 2-leg wave-3 sibling measures 14)
+    "sim_prefilter_quality_report": 20,
+    # NN-descent iteration shape: the seed graph feeds both hop ends,
+    # the candidate union AND the stage-1 audit — 4 consumers of one
+    # lineage, re-expanded in the static plan; all edge tables are
+    # N*k rows, exact legs sample-bounded — measured 17
+    "emb_nndescent_round": 18,
 }
 
 

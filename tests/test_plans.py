@@ -233,6 +233,14 @@ BNLJ_ALLOWED = {
     # wave-3: |sources| rows × 3-row literal alpha grid + × 1-row
     # token-budget scalar — both broadcast, bounded by construction
     "corpus_mixture_temperature",
+    # wave-4: every cross is bounded — 64x16 Ω spine + 3-row legs
+    # table + sample-bounded broadcast exact legs (report), 4-row lvls
+    # table (matryoshka), 2-row stages table + broadcast exact leg
+    # (nndescent), 1-row quartile-splits scalar (curriculum)
+    "sim_prefilter_quality_report",
+    "emb_matryoshka_prefix_recall",
+    "emb_nndescent_round",
+    "corpus_curriculum_order",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
