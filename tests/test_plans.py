@@ -241,6 +241,12 @@ BNLJ_ALLOWED = {
     "emb_matryoshka_prefix_recall",
     "emb_nndescent_round",
     "corpus_curriculum_order",
+    # wave-5: corpus × broadcast sample (MMR relevance leg), |sources|
+    # rows × 1-row corpus-total scalar (reservoir), corpus × 8-row
+    # broadcast seed table (IVF balance) — all bounded
+    "sim_mmr_diversify",
+    "sample_reservoir_hash",
+    "emb_ivf_balance_audit",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
