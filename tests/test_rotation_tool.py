@@ -204,3 +204,41 @@ def test_real_tree_dry_run_is_nondestructive():
     assert "dry run" in out.stdout
     assert "next window (first 50):" in out.stdout
     assert open(reg_path, "rb").read() == before
+
+
+FAKE_REGISTRY_UNLISTED = FAKE_REGISTRY.replace(
+    "def all_queries():\n"
+    '    return {n: None for n in _GRADING_PRIORITY}\n',
+    "def all_queries():\n"
+    "    # two REGISTERED ops missing from the priority literal: w was\n"
+    "    # never graded (must be fronted into the never block), g is\n"
+    "    # already green (must stay out of the rewritten list — unknown\n"
+    "    # names sort behind everything in _ordered_names anyway)\n"
+    '    return {n: None for n in (*_GRADING_PRIORITY, "w", "g")}\n'
+)
+
+
+def test_registered_but_unlisted_ops_join_the_never_block(tmp_path):
+    """ADVICE r10 item 1 regression: an op module whose names were never
+    appended to _GRADING_PRIORITY must still reach a grading window —
+    the tool unions registry.all_queries() into the never-graded
+    computation instead of building only from the current list."""
+    results = dict(BASE_RESULTS)
+    results["CORRECTNESS_r01.json"] = {
+        **BASE_RESULTS["CORRECTNESS_r01.json"],
+        "g": GREEN,
+    }
+    work = _make_sandbox(tmp_path, results)
+    reg = os.path.join(work, "python_kinesis_streaming_spark", "registry.py")
+    open(reg, "w").write(FAKE_REGISTRY_UNLISTED)
+    out = _run_in(
+        work, os.path.join(work, "CORRECTNESS_r02.json"), "--write"
+    )
+    assert out.returncode == 0, out.stderr
+    assert "registered but unlisted ops fronted: ['w']" in out.stdout
+    assert "never-graded block: 2" in out.stdout
+    scope: dict = {}
+    exec(compile(open(reg).read(), "registry.py", "exec"), scope)
+    # w lands behind the in-list never-graded e, ahead of the greens;
+    # the green unlisted g is NOT pulled in
+    assert scope["_GRADING_PRIORITY"] == ["c", "e", "w", "a", "b", "d"]
