@@ -247,6 +247,11 @@ BNLJ_ALLOWED = {
     "sim_mmr_diversify",
     "sample_reservoir_hash",
     "emb_ivf_balance_audit",
+    # wave-6: 1-row |sources| scalar (signature terms), 2-row eps grid
+    # (DP release), 1-row grand-total scalar (split audit) — broadcast
+    "text_source_signature_terms",
+    "dq_dp_count_release",
+    "corpus_split_stratified_audit",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
