@@ -129,7 +129,9 @@ _ETOP_SQL = """
         ),
         ts AS (
             SELECT prefilter, qid, vec_id,
-                   {sql_rnd("tdot / (nnq * nnv)", 4)} AS tsim
+                   {sql_rnd(
+                       "CASE WHEN nnq * nnv = 0 THEN 0 "
+                       "ELSE tdot / (nnq * nnv) END", 4)} AS tsim
             FROM td
         ),
         cand AS (
@@ -290,7 +292,12 @@ def sim_prefilter_quality_report(
         "prefilter",
         "qid",
         "vec_id",
-        rnd(F.col("tdot") / (F.col("nnq") * F.col("nnv")), 4).alias("tsim"),
+        rnd(
+            F.when(F.col("nnq") * F.col("nnv") == 0, F.lit(0.0)).otherwise(
+                F.col("tdot") / (F.col("nnq") * F.col("nnv"))
+            ),
+            4,
+        ).alias("tsim"),
     )
     cand = (
         ts.withColumn(
@@ -413,7 +420,9 @@ def sim_prefilter_quality_report(
         ),
         sim AS (
             SELECT cd.lvl, cd.qid, cd.vec_id,
-                   {sql_rnd("cd.dot / sqrt(nq.cn * nv.cn)", 4)} AS s
+                   {sql_rnd(
+                       "CASE WHEN nq.cn * nv.cn = 0 THEN 0 "
+                       "ELSE cd.dot / sqrt(nq.cn * nv.cn) END", 4)} AS s
             FROM cd
             JOIN nrm nq ON nq.vec_id = cd.qid AND nq.lvl = cd.lvl
             JOIN nrm nv ON nv.vec_id = cd.vec_id AND nv.lvl = cd.lvl
@@ -525,7 +534,12 @@ def emb_matryoshka_prefix_recall(
             F.col("cd.qid").alias("qid"),
             F.col("cd.vec_id").alias("vec_id"),
             rnd(
-                F.col("cd.dot") / F.sqrt(F.col("nq.cn") * F.col("nv.cn")), 4
+                F.when(
+                    F.col("nq.cn") * F.col("nv.cn") == 0, F.lit(0.0)
+                ).otherwise(
+                    F.col("cd.dot") / F.sqrt(F.col("nq.cn") * F.col("nv.cn"))
+                ),
+                4,
             ).alias("s"),
         )
     )

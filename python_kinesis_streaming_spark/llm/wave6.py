@@ -328,22 +328,37 @@ def dq_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT source, count(*) AS n_src FROM documents GROUP BY source
         ),
         g AS (SELECT count(*) AS n_total FROM documents),
+        -- full split x source spine: a source entirely absent from a
+        -- split (the worst stratification failure) must still register
+        -- its full-share deviation (ADVICE r11 item 4)
+        spine AS (
+            SELECT s.split, gs.source, gs.n_src
+            FROM (SELECT unnest(
+                ['0_train', '1_val', '2_test']) AS split) s
+            CROSS JOIN gs
+        ),
         dev AS (
-            SELECT ss.split, ss.source,
-                   abs(ss.n * 1.0 / st.n_split
-                       - gs.n_src * 1.0 / g.n_total) AS d
-            FROM ss
-            JOIN st USING (split)
-            JOIN gs USING (source)
+            SELECT sp.split, sp.source,
+                   COALESCE(ss.n, 0) AS n,
+                   COALESCE(st.n_split, 0) AS n_split,
+                   CASE WHEN COALESCE(st.n_split, 0) = 0
+                        THEN sp.n_src * 1.0 / g.n_total
+                        ELSE abs(COALESCE(ss.n, 0) * 1.0 / st.n_split
+                                 - sp.n_src * 1.0 / g.n_total)
+                   END AS d
+            FROM spine sp
+            LEFT JOIN ss ON ss.split = sp.split AND ss.source = sp.source
+            LEFT JOIN st ON st.split = sp.split
             CROSS JOIN g
         )
-        SELECT d.split,
-               CAST(max(st.n_split) AS BIGINT) AS n_docs,
-               CAST(count(*) AS BIGINT) AS n_sources,
-               floor((max(d.d)) * 10000.0 + 0.505) / 10000.0
+        SELECT split,
+               CAST(max(n_split) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sources,
+               floor((max(d)) * 10000.0 + 0.505) / 10000.0
                    AS max_share_dev
-        FROM dev d JOIN st ON st.split = d.split
-        GROUP BY d.split
+        FROM dev
+        GROUP BY split
     """,
     scale=(
         "Stratified 80/10/10 train/val/test split by content-stable "
@@ -387,23 +402,42 @@ def corpus_split_stratified_audit(
     st = ss.groupBy("split").agg(F.sum("n").alias("n_split"))
     gs = docs.groupBy("source").agg(F.count("*").alias("n_src"))
     g = docs.agg(F.count("*").alias("n_total"))
+    # full split x source spine so an absent stratum registers its
+    # full-share deviation (ADVICE r11 item 4); 3 x |sources| rows,
+    # both sides broadcast-bounded
+    splits = spark.createDataFrame(
+        [("0_train",), ("1_val",), ("2_test",)], "split string"
+    )
+    spine = splits.crossJoin(F.broadcast(gs))
     dev = (
-        ss.join(F.broadcast(st), "split")
-        .join(F.broadcast(gs), "source")
+        spine.join(ss, ["split", "source"], "left")
+        .join(F.broadcast(st), "split", "left")
         .crossJoin(F.broadcast(g))
         .select(
             "split",
             "source",
-            "n_split",
-            F.abs(
-                F.col("n") * F.lit(1.0) / F.col("n_split")
-                - F.col("n_src") * F.lit(1.0) / F.col("n_total")
-            ).alias("d"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("n_split"), F.lit(0)).alias("n_split"),
+            F.when(
+                F.coalesce(F.col("n_split"), F.lit(0)) == 0,
+                F.col("n_src") * F.lit(1.0) / F.col("n_total"),
+            )
+            .otherwise(
+                F.abs(
+                    F.coalesce(F.col("n"), F.lit(0))
+                    * F.lit(1.0)
+                    / F.col("n_split")
+                    - F.col("n_src") * F.lit(1.0) / F.col("n_total")
+                )
+            )
+            .alias("d"),
         )
     )
     return dev.groupBy("split").agg(
         F.max("n_split").cast("long").alias("n_docs"),
-        F.count("*").cast("long").alias("n_sources"),
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sources"),
         rnd(F.max("d"), 4).alias("max_share_dev"),
     )
 

@@ -74,3 +74,23 @@ def test_grading_window_is_never_graded_ops():
     window = list(QUERIES)[:50]
     stale = [n for n in window if n in graded_before_latest]
     assert not stale, f"window wastes grades on already-green ops: {stale}"
+
+
+def test_claude_md_registry_count():
+    """CLAUDE.md's 'Registry total N' prose must match the live registry.
+
+    The count drifted three rounds in a row (r9 item 5, r10 item 2, r11
+    item 1) because it lives in prose the registry pin can't see. Every
+    'Registry total <N>' occurrence in CLAUDE.md must equal
+    len(all_queries()) — update the notes when registering new ops."""
+    import re
+
+    text = open(os.path.join(REPO, "CLAUDE.md")).read()
+    counts = [int(m) for m in re.findall(r"Registry total (?:at end of r\d+: )?(\d+)", text)]
+    assert counts, "CLAUDE.md no longer states the registry total"
+    live = len(QUERIES)
+    stale = [c for c in counts if c != live]
+    assert not stale, (
+        f"CLAUDE.md 'Registry total' says {stale} but the live registry "
+        f"has {live} ops — update the prose"
+    )

@@ -248,10 +248,28 @@ BNLJ_ALLOWED = {
     "sample_reservoir_hash",
     "emb_ivf_balance_audit",
     # wave-6: 1-row |sources| scalar (signature terms), 2-row eps grid
-    # (DP release), 1-row grand-total scalar (split audit) — broadcast
+    # (DP release), 3-row splits x broadcast |sources| spine + 1-row
+    # grand-total scalar (split audit) — all broadcast-bounded
     "text_source_signature_terms",
     "dq_dp_count_release",
     "corpus_split_stratified_audit",
+    # wave-7: SemDeDup ops cross the corpus with the broadcast 8-row
+    # centroid table (emb_kmeans_one_iter shape) + a 3-row eps grid and
+    # a 1-row total (sweep); DSIR crosses two 1-row count scalars into
+    # the 64-row LLR table; calibration crosses the 10-row bin table
+    # with its 1-row ECE scalar — all bounded by construction
+    "dedup_semdedup_prune",
+    "dedup_semdedup_eps_sweep",
+    "corpus_dsir_weights",
+    "dq_calibration_report",
+    # wave-8: temperature grid is a 4-row literal cross; Benford crosses
+    # the 9-digit table with its 1-row total; centroid shift reuses the
+    # SemDeDup broadcast-centroid cross; novelty crosses one broadcast
+    # max-doc-id scalar — all bounded by construction
+    "dq_temperature_scaling",
+    "dq_benford_audit",
+    "emb_semdedup_centroid_shift",
+    "corpus_ngram_novelty_curve",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation

@@ -94,7 +94,18 @@ def main() -> int:
     # misclassified as never-graded (that would waste the next window)
     green_ever = all_green_ever() | latest_green
 
+    current_set = set(current)
     front = [n for n in current if n in latest_failed]
+    # an op that FAILED but was never in the list would otherwise be
+    # dropped from the rewrite entirely (ADVICE r11 item 3) — front it
+    # with the other regrades, registry order
+    unlisted_failed = [
+        n for n in registry.all_queries()
+        if n not in current_set and n in latest_failed
+    ]
+    if unlisted_failed:
+        print(f"WARNING: unlisted FAILED ops fronted: {unlisted_failed}")
+        front = front + unlisted_failed
     never = [
         n for n in current
         if n not in green_ever and n not in latest_failed
@@ -105,7 +116,7 @@ def main() -> int:
     # rotated-back greens and never enter a window (ADVICE r10 item 1)
     unlisted = [
         n for n in registry.all_queries()
-        if n not in set(current)
+        if n not in current_set
         and n not in green_ever
         and n not in latest_failed
     ]
