@@ -270,6 +270,11 @@ BNLJ_ALLOWED = {
     "dq_benford_audit",
     "emb_semdedup_centroid_shift",
     "corpus_ngram_novelty_curve",
+    # wave-9: incremental top-k crosses the 1-row broadcast query vector
+    # + 1-row cut scalar (sim_truncated_dims shape); label agreement
+    # reuses the SemDeDup broadcast-centroid cross — bounded
+    "sim_topk_incremental_delta",
+    "emb_neardup_label_agreement",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
