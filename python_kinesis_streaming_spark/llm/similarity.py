@@ -141,10 +141,15 @@ def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def sim_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 most-similar vector pairs within each label (blocked all-pairs)."""
+    """Top-5 most-similar vector pairs within each label (blocked all-pairs).
+
+    Norms come precomputed from ``emb_with_norm`` (one HOF per VECTOR),
+    so each PAIR costs a single dot fold — identical arithmetic to
+    ``cosine`` (bit-identical doubles; the r12 SemDeDup kernel lesson,
+    PERF.md r12), 3x fewer HOF evaluations in the quadratic stage."""
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb_with_norm(spark, sf_dir)
     a = emb.alias("a")
     b = emb.alias("b")
     pairs = a.join(
@@ -155,7 +160,11 @@ def sim_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.label").alias("label"),
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        rnd(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("sim"),
+        rnd(
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.norm") * F.col("b.norm")),
+            4,
+        ).alias("sim"),
     )
     w = Window.partitionBy("label").orderBy(
         F.desc("sim"), F.asc("vec_a"), F.asc("vec_b")
@@ -192,8 +201,11 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (0.30 is calibrated to the synthetic fixtures — max within-label cosine
     is ~0.47 — so the op exercises a non-empty result; real pipelines use
-    ~0.9+ on normalized embeddings.)"""
-    emb = load_table(spark, sf_dir, "embeddings")
+    ~0.9+ on normalized embeddings.)
+
+    Pair similarity uses precomputed ``emb_with_norm`` norms + one dot
+    fold per pair — bit-identical to ``cosine`` (r12 kernel lesson)."""
+    emb = emb_with_norm(spark, sf_dir)
     a = emb.alias("a")
     b = emb.alias("b")
     return (
@@ -205,7 +217,11 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            rnd(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("sim"),
+            rnd(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.norm") * F.col("b.norm")),
+                4,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= 0.30)
     )
@@ -1143,8 +1159,9 @@ def sim_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair/doc counts at each candidate cosine threshold, from one
-    label-blocked pair join."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    label-blocked pair join (precomputed norms + one dot fold per pair —
+    bit-identical to ``cosine``, r12 kernel lesson)."""
+    emb = emb_with_norm(spark, sf_dir)
     a = emb.alias("a")
     b = emb.alias("b")
     pairs = a.join(
@@ -1153,7 +1170,11 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("b.vec_id").alias("vb"),
-        rnd(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("sim"),
+        rnd(
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.norm") * F.col("b.norm")),
+            4,
+        ).alias("sim"),
     )
     thresholds = F.explode(
         F.array(*[F.lit(t) for t in (0.25, 0.30, 0.35, 0.40)])

@@ -275,6 +275,14 @@ BNLJ_ALLOWED = {
     # reuses the SemDeDup broadcast-centroid cross — bounded
     "sim_topk_incremental_delta",
     "emb_neardup_label_agreement",
+    # wave-10: BM25/QL cross 1-row collection-stats scalars + the 3-row
+    # literal query-term grid; RRF crosses the 1-row query doc/vector;
+    # negative mining crosses the broadcast 1-in-50 anchor sample
+    # (sim_truncated_dims bound) — all bounded
+    "text_bm25_topk",
+    "text_ql_dirichlet_topk",
+    "sim_rrf_fusion",
+    "sim_negative_mining_audit",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation

@@ -3,7 +3,7 @@
 Promotion ops are the r6-r8 library surface pre-packaged in the driver
 contract shape. They were staged OUT of the frozen 391-op registry
 until the grading backlog drained; the r9 flip (promotions_flip in
-_OP_MODULES) registered all 51 (489 total with the r9 wave-2, r10 wave-3, r11 wave-4+5+6 and r12 wave-7+8+9 ops). This file
+_OP_MODULES) registered all 51 (494 total with the r9 wave-2, r10 wave-3, r11 wave-4+5+6 and r12 wave-7+8+9+10 ops). This file
 applies the exact driver comparison (column-sorted canonical multiset,
 tests/twin.py) to every promotion op at sf0.01, and pins that the flip
 landed completely.
@@ -44,7 +44,7 @@ def test_promotions_registered_by_the_r9_flip():
     qs = all_queries()
     missing = [n for n in PROMOTION_OPS if n not in qs]
     assert not missing, f"promotion ops missing from the registry: {missing}"
-    assert len(qs) == 489, len(qs)
+    assert len(qs) == 494, len(qs)
 
 
 def test_promotion_names_match_promotion_md():
@@ -60,7 +60,7 @@ def test_promotion_names_match_promotion_md():
 
 def test_register_all_flip_is_live_and_idempotent():
     """Post-flip pin (rehearsed pre-flip in r8, live since r9): a fresh
-    process's registry must load 489 ops with every promotion name
+    process's registry must load 494 ops with every promotion name
     carrying its oracle and scale notes, and re-importing the flip hook
     must be a no-op (module caching — register_all runs once; a second
     run would raise duplicate-registration)."""
@@ -77,7 +77,7 @@ from python_kinesis_streaming_spark import registry
 from python_kinesis_streaming_spark.promotions import PROMOTION_OPS
 qs = registry.all_queries()
 oracles = registry.all_oracles()
-assert len(qs) == 489, len(qs)
+assert len(qs) == 494, len(qs)
 missing = [n for n in PROMOTION_OPS if n not in qs]
 assert not missing, missing
 no_oracle = [n for n in PROMOTION_OPS if not oracles.get(n)]
@@ -87,7 +87,7 @@ no_scale = [
 ]
 assert no_scale == [], no_scale
 importlib.import_module("python_kinesis_streaming_spark.promotions_flip")
-assert len(registry.all_queries()) == 489
+assert len(registry.all_queries()) == 494
 print("FLIP-OK", len(qs))
 """ % (repo,)
     out = subprocess.run(
@@ -97,7 +97,7 @@ print("FLIP-OK", len(qs))
         timeout=300,
     )
     assert out.returncode == 0, out.stderr
-    assert "FLIP-OK 489" in out.stdout, out.stdout
+    assert "FLIP-OK 494" in out.stdout, out.stdout
 
 
 def test_bounded_shuffle_restores_conf(spark):
