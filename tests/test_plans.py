@@ -283,6 +283,24 @@ BNLJ_ALLOWED = {
     "text_ql_dirichlet_topk",
     "sim_rrf_fusion",
     "sim_negative_mining_audit",
+    # wave-11: burstiness crosses a 1-row doc-count scalar; label noise
+    # crosses a 1-row threshold scalar + the literal 2x2 spine + a 1-row
+    # total; rank metrics reuse the broadcast 1-in-50 exact leg
+    # (sim_truncated_dims bound) + a 1-row IDCG scalar; concentration
+    # crosses 1-row grand-total and HHI scalars — all bounded
+    "corpus_word_burstiness",
+    "dq_label_noise_confident",
+    "sim_rank_quality_ndcg",
+    "corpus_token_concentration",
+    # wave-12: heavy hitters cross a 1-row token-count scalar; z-order
+    # crosses a 1-row min/max extent scalar + the 16-row literal probe
+    # grid; the SemDeDup cell assignment is the broadcast 8-row
+    # centroid cross (emb_kmeans_one_iter shape); isotropy crosses
+    # three 1-row report scalars — all bounded
+    "text_heavy_hitters_mg",
+    "lakehouse_zorder_layout_audit",
+    "corpus_cluster_balanced_sample",
+    "emb_isotropy_audit",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
