@@ -301,6 +301,15 @@ BNLJ_ALLOWED = {
     "lakehouse_zorder_layout_audit",
     "corpus_cluster_balanced_sample",
     "emb_isotropy_audit",
+    # wave-13: gate sweep crosses the 4-row literal grid + a 1-row
+    # total; contrast reuses the broadcast 1-in-50 query sample
+    # (sim_truncated_dims bound); b-bit crosses a 1-row max-doc-id
+    # scalar; Rocchio crosses the 1-row collection-stats scalar in
+    # each BM25 pass — all bounded
+    "dq_quality_gate_sweep",
+    "sim_distance_contrast_audit",
+    "dedup_bbit_minhash_estimate",
+    "text_rocchio_prf_expansion",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
