@@ -310,6 +310,14 @@ BNLJ_ALLOWED = {
     "sim_distance_contrast_audit",
     "dedup_bbit_minhash_estimate",
     "text_rocchio_prf_expansion",
+    # wave-14: KN crosses a 1-row bigram-type total; CM crosses a
+    # 1-row token-count scalar; LOO crosses the 1-row global prior;
+    # beam search reuses the SemDeDup broadcast-centroid cross — all
+    # bounded
+    "text_kneser_ney_bigram",
+    "text_count_min_sketch_audit",
+    "feat_target_encode_loo",
+    "sim_graph_beam_recall",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
