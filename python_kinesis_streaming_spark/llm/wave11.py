@@ -427,7 +427,7 @@ def dq_label_noise_confident(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_rank_quality_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 / MRR / nDCG@10 of the truncated-dims prefilter
     ranking vs the exact cosine top-10, per sampled query."""
-    from python_kinesis_streaming_spark.llm.similarity import cosine
+    from python_kinesis_streaming_spark.llm.similarity import dot, l2norm
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -476,12 +476,26 @@ def sim_rank_quality_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("arank") <= 10)
         .select("qid", "vec_id", "arank")
     )
-    eq = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    # per-ROW norms hoisted out of the per-PAIR kernel (the r12
+    # SemDeDup lesson): one HOF per pair instead of three,
+    # bit-identical doubles, oracle untouched
+    embn = emb.withColumn("norm", l2norm(F.col("v")))
+    eq = embn.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
     q = eq.where(F.col("qid") % 50 == 0)
-    ex = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+    ex = embn.join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    ).select(
         "qid",
         "vec_id",
-        rnd(cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+        rnd(
+            dot(F.col("qv"), F.col("v"))
+            / (F.col("qnorm") * F.col("norm")),
+            4,
+        ).alias("sim"),
     )
     etop = (
         ex.withColumn(

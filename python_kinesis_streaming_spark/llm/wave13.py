@@ -384,10 +384,14 @@ def dq_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "sum(d2_micro) / (1000000.0 * count(*))", 4
                )} AS d2_mean,
                {sql_rnd("max(d2_micro) / 1000000.0", 4)} AS d2_max,
-               {sql_rnd(
-                   "(max(d2_micro) - min(d2_micro)) * 1.0"
-                   " / min(d2_micro)", 4
-               )} AS rel_contrast
+               -- duplicate vectors (d2_min = 0) make contrast
+               -- undefined: emit 0 instead of dividing (DuckDB NULLs,
+               -- ANSI Spark throws — the wave-4 zero-guard class)
+               CASE WHEN min(d2_micro) = 0 THEN 0.0
+                    ELSE {sql_rnd(
+                        "(max(d2_micro) - min(d2_micro)) * 1.0"
+                        " / min(d2_micro)", 4
+                    )} END AS rel_contrast
         FROM d GROUP BY qid
     """,
     scale=(
@@ -445,12 +449,16 @@ def sim_distance_contrast_audit(
             F.sum("d2_micro") / (F.lit(1000000.0) * F.count(F.lit(1))), 4
         ).alias("d2_mean"),
         rnd(F.max("d2_micro") / F.lit(1000000.0), 4).alias("d2_max"),
-        rnd(
-            (F.max("d2_micro") - F.min("d2_micro"))
-            * F.lit(1.0)
-            / F.min("d2_micro"),
-            4,
-        ).alias("rel_contrast"),
+        F.when(F.min("d2_micro") == 0, F.lit(0.0))
+        .otherwise(
+            rnd(
+                (F.max("d2_micro") - F.min("d2_micro"))
+                * F.lit(1.0)
+                / F.min("d2_micro"),
+                4,
+            )
+        )
+        .alias("rel_contrast"),
     )
 
 

@@ -318,6 +318,13 @@ BNLJ_ALLOWED = {
     "text_count_min_sketch_audit",
     "feat_target_encode_loo",
     "sim_graph_beam_recall",
+    # wave-15: HT crosses a 3-row literal k-grid + 1-row totals; ADC
+    # crosses the 1-row query vector + broadcast 64-row codebook/LUT;
+    # strength/CUPED cross 1-row moment scalars — all bounded
+    "sample_ht_estimator_audit",
+    "sim_pq_adc_recall",
+    "events_cuped_adjustment",
+    "ts_decomposition_strength",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
