@@ -325,6 +325,14 @@ BNLJ_ALLOWED = {
     "sim_pq_adc_recall",
     "events_cuped_adjustment",
     "ts_decomposition_strength",
+    # wave-16: hubness reuses the SemDeDup broadcast-centroid cross;
+    # PPS crosses the 2-row k-grid against the 101-row winner set +
+    # a 1-row total; bootstrap crosses two 1-row order-stat scalars;
+    # power analysis is a 1-row moment report — all bounded
+    "sim_hubness_audit",
+    "sample_pps_priority_audit",
+    "events_bootstrap_ci_hash",
+    "events_power_analysis_mde",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
