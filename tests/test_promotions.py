@@ -3,7 +3,10 @@
 Promotion ops are the r6-r8 library surface pre-packaged in the driver
 contract shape. They were staged OUT of the frozen 391-op registry
 until the grading backlog drained; the r9 flip (promotions_flip in
-_OP_MODULES) registered all 51 (494 total with the r9 wave-2, r10 wave-3, r11 wave-4+5+6 and r12 wave-7+8+9+10 ops). This file
+_OP_MODULES) registered all 51 (the running total lives in CLAUDE.md's
+"Registry total" line, itself pinned against the live registry by
+test_correctness_canary — the flip tests read THAT number instead of a
+third hand-maintained literal, which drifted twice). This file
 applies the exact driver comparison (column-sorted canonical multiset,
 tests/twin.py) to every promotion op at sf0.01, and pins that the flip
 landed completely.
@@ -11,8 +14,27 @@ landed completely.
 
 from __future__ import annotations
 
+import os
+import re
+
 from python_kinesis_streaming_spark.promotions import PROMOTION_OPS
 from python_kinesis_streaming_spark.registry import all_queries
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _expected_registry_total() -> int:
+    """The 'Registry total N' from CLAUDE.md — the single prose source
+    of truth, kept honest by test_claude_md_registry_count."""
+    text = open(os.path.join(_REPO, "CLAUDE.md")).read()
+    counts = {
+        int(m)
+        for m in re.findall(
+            r"Registry total (?:at end of r\d+: )?(\d+)", text
+        )
+    }
+    assert len(counts) == 1, f"CLAUDE.md registry totals disagree: {counts}"
+    return counts.pop()
 
 
 def test_promotion_specs_are_the_registered_ops():
@@ -44,7 +66,7 @@ def test_promotions_registered_by_the_r9_flip():
     qs = all_queries()
     missing = [n for n in PROMOTION_OPS if n not in qs]
     assert not missing, f"promotion ops missing from the registry: {missing}"
-    assert len(qs) == 494, len(qs)
+    assert len(qs) == _expected_registry_total(), len(qs)
 
 
 def test_promotion_names_match_promotion_md():
@@ -69,6 +91,7 @@ def test_register_all_flip_is_live_and_idempotent():
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    total = _expected_registry_total()
     code = """
 import sys
 import importlib
@@ -77,7 +100,7 @@ from python_kinesis_streaming_spark import registry
 from python_kinesis_streaming_spark.promotions import PROMOTION_OPS
 qs = registry.all_queries()
 oracles = registry.all_oracles()
-assert len(qs) == 494, len(qs)
+assert len(qs) == %d, len(qs)
 missing = [n for n in PROMOTION_OPS if n not in qs]
 assert not missing, missing
 no_oracle = [n for n in PROMOTION_OPS if not oracles.get(n)]
@@ -87,9 +110,9 @@ no_scale = [
 ]
 assert no_scale == [], no_scale
 importlib.import_module("python_kinesis_streaming_spark.promotions_flip")
-assert len(registry.all_queries()) == 494
+assert len(registry.all_queries()) == %d
 print("FLIP-OK", len(qs))
-""" % (repo,)
+""" % (repo, total, total)
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -97,7 +120,7 @@ print("FLIP-OK", len(qs))
         timeout=300,
     )
     assert out.returncode == 0, out.stderr
-    assert "FLIP-OK 494" in out.stdout, out.stdout
+    assert f"FLIP-OK {total}" in out.stdout, out.stdout
 
 
 def test_bounded_shuffle_restores_conf(spark):
