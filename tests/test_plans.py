@@ -333,6 +333,13 @@ BNLJ_ALLOWED = {
     "sample_pps_priority_audit",
     "events_bootstrap_ci_hash",
     "events_power_analysis_mde",
+    # wave-17: AA reuses the SemDeDup broadcast-centroid cross;
+    # truncation crosses the 3-row literal L-grid; the chart joins
+    # the literal weight tables (broadcast); bayes is a 1-row report
+    "graph_adamic_adar_linkpred",
+    "corpus_truncation_loss_curve",
+    "ts_ewma_control_chart",
+    "events_bayes_ab_posterior",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
