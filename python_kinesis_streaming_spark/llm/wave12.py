@@ -693,10 +693,13 @@ def corpus_cluster_balanced_sample(
             )
         ),
         nn AS (
+            -- per-row norm^2 frozen to integer micro BEFORE the N-row
+            -- cross-partition sum (order-free BIGINT addition)
             SELECT CAST(count(*) AS BIGINT) AS n_vecs,
-                   {sql_rnd(
-                       "avg(list_sum(list_transform(v, t -> t * t)))", 4
-                   )} AS mean_norm_sq
+                   CAST(sum(CAST(floor(
+                       list_sum(list_transform(v, t -> t * t))
+                       * 1000000.0 + 0.505) AS BIGINT)) AS BIGINT)
+                       AS nsq_micro_sum
             FROM e
         ),
         adj AS (
@@ -706,11 +709,15 @@ def corpus_cluster_balanced_sample(
                        AS cos_micro_sum
             FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
         )
-        SELECT nn.n_vecs, nn.mean_norm_sq,
+        SELECT nn.n_vecs,
+               {sql_rnd(
+                   "nn.nsq_micro_sum / (1000000.0 * nn.n_vecs)", 4
+               )} AS mean_norm_sq,
                {sql_rnd("cn.cn_nano / 1000000000.0", 6)}
                    AS centroid_norm_sq,
                {sql_rnd(
-                   "(cn.cn_nano / 1000000000.0) / nn.mean_norm_sq", 6
+                   "(cn.cn_nano / 1000000000.0)"
+                   " / (nn.nsq_micro_sum / (1000000.0 * nn.n_vecs))", 6
                )} AS anisotropy,
                {sql_rnd(
                    "adj.cos_micro_sum / (1000000.0 * adj.n_pairs)", 4
@@ -784,9 +791,15 @@ def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
+    # freeze per-row norm^2 to integer micro BEFORE the N-row sum —
+    # cross-partition double sums are order-dependent, BIGINTs are not
     nn = emb.agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        rnd(F.avg(norm_sq), 4).alias("mean_norm_sq"),
+        F.sum(
+            F.floor(norm_sq * F.lit(1000000.0) + F.lit(0.505)).cast("long")
+        )
+        .cast("long")
+        .alias("nsq_micro_sum"),
     )
     a, b = emb.alias("a"), emb.alias("b")
     adj = (
@@ -810,13 +823,20 @@ def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vshare))
         .select(
             "n_vecs",
-            "mean_norm_sq",
+            rnd(
+                F.col("nsq_micro_sum")
+                / (F.lit(1000000.0) * F.col("n_vecs")),
+                4,
+            ).alias("mean_norm_sq"),
             rnd(F.col("cn_nano") / F.lit(1000000000.0), 6).alias(
                 "centroid_norm_sq"
             ),
             rnd(
                 (F.col("cn_nano") / F.lit(1000000000.0))
-                / F.col("mean_norm_sq"),
+                / (
+                    F.col("nsq_micro_sum")
+                    / (F.lit(1000000.0) * F.col("n_vecs"))
+                ),
                 6,
             ).alias("anisotropy"),
             rnd(

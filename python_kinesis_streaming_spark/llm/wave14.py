@@ -116,7 +116,10 @@ _KN_D = 0.75
 def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigrams with interpolated Kneser-Ney vs MLE probability."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.split("text", " ").alias("t"))
+    # sequence(1, 0) runs DESCENDING in Spark ([1, 0]) and element_at(t, 0)
+    # raises — guard 0/1-token docs out before building bigrams (the DuckDB
+    # oracle's range(1, len(t)) is naturally empty for those rows).
+    toks = docs.select(F.split("text", " ").alias("t")).where(F.size("t") >= 2)
     bg = toks.select(
         F.explode(
             F.expr(

@@ -339,18 +339,23 @@ _PPS_KS = (50, 100)
             FROM grid g JOIN ranked r ON r.rk = g.k + 1
         ),
         est AS (
+            -- freeze each max(w, tau) term to integer micro BEFORE the
+            -- cross-partition sum so both engines add identical BIGINTs
             SELECT t.k,
                    CAST(count(*) AS BIGINT) AS n_sampled,
-                   sum(CASE WHEN r.w * 1.0 > t.tau THEN r.w * 1.0
-                            ELSE t.tau END) AS pps_total
+                   CAST(sum(CAST(floor(
+                       (CASE WHEN r.w * 1.0 > t.tau THEN r.w * 1.0
+                             ELSE t.tau END) * 1000000 + 0.505
+                   ) AS BIGINT)) AS BIGINT) AS pps_micro
             FROM tau t JOIN ranked r ON r.rk <= t.k
             GROUP BY t.k
         )
         SELECT CAST(e.k AS BIGINT) AS k, t.n_docs, t.exact_total,
                e.n_sampled,
-               {sql_rnd("e.pps_total", 2)} AS pps_estimate,
+               {sql_rnd("e.pps_micro / 1000000.0", 2)} AS pps_estimate,
                {sql_rnd(
-                   "abs(e.pps_total - t.exact_total) / t.exact_total", 4
+                   "abs(e.pps_micro / 1000000.0 - t.exact_total)"
+                   " / t.exact_total", 4
                )} AS rel_err
         FROM est e CROSS JOIN tot t
     """,
@@ -418,12 +423,18 @@ def sample_pps_priority_audit(
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            # freeze each max(w, tau) term to integer micro BEFORE the
+            # cross-partition sum — BIGINT addition is order-free
             F.sum(
-                F.when(
-                    F.col("w") * F.lit(1.0) > F.col("tau"),
-                    F.col("w") * F.lit(1.0),
-                ).otherwise(F.col("tau"))
-            ).alias("pps_total"),
+                F.floor(
+                    F.when(
+                        F.col("w") * F.lit(1.0) > F.col("tau"),
+                        F.col("w") * F.lit(1.0),
+                    ).otherwise(F.col("tau"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.505)
+                ).cast("long")
+            ).alias("pps_micro"),
         )
     )
     return est.crossJoin(F.broadcast(tot)).select(
@@ -431,9 +442,14 @@ def sample_pps_priority_audit(
         "n_docs",
         "exact_total",
         "n_sampled",
-        rnd(F.col("pps_total"), 2).alias("pps_estimate"),
+        rnd(F.col("pps_micro") / F.lit(1000000.0), 2).alias(
+            "pps_estimate"
+        ),
         rnd(
-            F.abs(F.col("pps_total") - F.col("exact_total"))
+            F.abs(
+                F.col("pps_micro") / F.lit(1000000.0)
+                - F.col("exact_total")
+            )
             / F.col("exact_total"),
             4,
         ).alias("rel_err"),

@@ -509,6 +509,21 @@ def graph_adamic_adar_linkpred(
 #: Phi(z) ~ 1 / (1 + exp(-1.702 z)) — a shared literal constant.
 _PHI_K = 1.702
 
+#: the logistic CDF tabled at z = -6.00, -5.75, ..., +6.00 (step 0.25,
+#: 49 entries) as Python-computed literals. Both engines linearly
+#: interpolate the SAME table with pure +,-,*,/ arithmetic, so no libm
+#: exp is evaluated in either engine (the ts_ewma_control_chart
+#: literal-table pattern; r12 verdict item 5 — bit-parity by
+#: construction, not observation). Linear-interp error over a 0.25
+#: step is < 0.003, well inside the surrogate's own ~0.0095 envelope.
+_LOGI_ZMIN_MICRO = -6_000_000
+_LOGI_STEP_MICRO = 250_000
+_LOGI_TABLE = [
+    1.0 / (1.0 + 2.718281828459045 ** (-_PHI_K * (-6.0 + 0.25 * i)))
+    for i in range(49)
+]
+_LOGI_TABLE_SQL = "[" + ", ".join(repr(v) for v in _LOGI_TABLE) + "]"
+
 
 @op(
     "events_bayes_ab_posterior",
@@ -535,31 +550,52 @@ _PHI_K = 1.702
                    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
                         AS BIGINT) AS c_b
             FROM u
+        ),
+        zz AS (
+            -- degenerate arms (all or none converted in both) make
+            -- the pooled variance 0: report z=0, P=0.5 instead of
+            -- dividing (the recurring zero-guard class). z freezes
+            -- to integer micro so the table lookup is exact.
+            SELECT n_a, c_a, n_b, c_b,
+                   {sql_rnd("c_a * 1.0 / n_a", 4)} AS rate_a,
+                   {sql_rnd("c_b * 1.0 / n_b", 4)} AS rate_b,
+                   (c_a * (n_a - c_a) = 0 AND c_b * (n_b - c_b) = 0)
+                       AS degen,
+                   CASE WHEN c_a * (n_a - c_a) = 0
+                             AND c_b * (n_b - c_b) = 0
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor(
+                   ((c_b * 1.0 / n_b - c_a * 1.0 / n_a)
+                   / sqrt((c_a * 1.0 / n_a) * (1.0 - c_a * 1.0 / n_a)
+                          / n_a
+                        + (c_b * 1.0 / n_b) * (1.0 - c_b * 1.0 / n_b)
+                          / n_b)) * 1000000 + 0.505) AS BIGINT)
+                   END AS z_micro
+            FROM s
+        ),
+        zi AS (
+            SELECT *, least(CAST(floor(
+                       (zc - ({_LOGI_ZMIN_MICRO}))
+                       / {_LOGI_STEP_MICRO}.0) AS BIGINT), 47) AS k
+            FROM (SELECT *,
+                         least(greatest(z_micro, {_LOGI_ZMIN_MICRO}),
+                               {-_LOGI_ZMIN_MICRO}) AS zc
+                  FROM zz)
         )
-        SELECT n_a, c_a, n_b, c_b,
-               {sql_rnd("c_a * 1.0 / n_a", 4)} AS rate_a,
-               {sql_rnd("c_b * 1.0 / n_b", 4)} AS rate_b,
-               -- degenerate arms (all or none converted in both) make
-               -- the pooled variance 0: report z=0, P=0.5 instead of
-               -- dividing (the recurring zero-guard class)
-               CASE WHEN c_a * (n_a - c_a) = 0 AND c_b * (n_b - c_b) = 0
-                    THEN 0.0 ELSE {sql_rnd(
-                   "(c_b * 1.0 / n_b - c_a * 1.0 / n_a)"
-                   " / sqrt((c_a * 1.0 / n_a) * (1.0 - c_a * 1.0 / n_a)"
-                   "        / n_a"
-                   "      + (c_b * 1.0 / n_b) * (1.0 - c_b * 1.0 / n_b)"
-                   "        / n_b)", 4
-               )} END AS z,
-               CASE WHEN c_a * (n_a - c_a) = 0 AND c_b * (n_b - c_b) = 0
-                    THEN 0.5 ELSE {sql_rnd(
-                   f"1.0 / (1.0 + exp(-{_PHI_K}"
-                   " * ((c_b * 1.0 / n_b - c_a * 1.0 / n_a)"
-                   " / sqrt((c_a * 1.0 / n_a) * (1.0 - c_a * 1.0 / n_a)"
-                   "        / n_a"
-                   "      + (c_b * 1.0 / n_b) * (1.0 - c_b * 1.0 / n_b)"
-                   "        / n_b))))", 4
+        SELECT n_a, c_a, n_b, c_b, rate_a, rate_b,
+               CASE WHEN degen THEN 0.0
+                    ELSE {sql_rnd("z_micro / 1000000.0", 4)} END AS z,
+               CASE WHEN degen THEN 0.5 ELSE {sql_rnd(
+                   f"list_extract({_LOGI_TABLE_SQL},"
+                   " CAST(k + 1 AS INTEGER))"
+                   f" + (list_extract({_LOGI_TABLE_SQL},"
+                   "     CAST(k + 2 AS INTEGER))"
+                   f"   - list_extract({_LOGI_TABLE_SQL},"
+                   "     CAST(k + 1 AS INTEGER)))"
+                   f" * ((zc - ({_LOGI_ZMIN_MICRO}) - k * "
+                   f"{_LOGI_STEP_MICRO}) / {_LOGI_STEP_MICRO}.0)", 4
                )} END AS p_b_beats_a
-        FROM s
+        FROM zi
     """,
     scale=(
         "Bayesian A/B read-out on conversion: users hash-split into "
@@ -570,9 +606,12 @@ _PHI_K = 1.702
         "1/(1+exp(-1.702 z)) (max error ~0.0095 — fine for a "
         "decision dashboard; exact Beta integrals need special "
         "functions neither engine shares bit-for-bit). All counts "
-        "are exact BIGINTs; the single transcendental exp() is the "
-        "accepted cross-engine class (calibration ops precedent), "
-        "applied after rounding-stable arithmetic. Completes the "
+        "are exact BIGINTs; the logistic itself is a 49-entry "
+        "Python-literal table linearly interpolated with pure "
+        "+,-,*,/ after freezing z to integer micro — NO libm "
+        "transcendental in either engine, parity by construction "
+        "(interp error < 0.003 inside the surrogate's ~0.0095 "
+        "envelope). Completes the "
         "experimentation stack: CUPED (variance), MDE (sizing), "
         "bootstrap (intervals), this op (the decision). 100 TB: one "
         "user-keyed agg + a 1-row report."
@@ -621,20 +660,49 @@ def events_bayes_ab_posterior(
     degenerate = (
         F.col("c_a") * (F.col("n_a") - F.col("c_a")) == 0
     ) & (F.col("c_b") * (F.col("n_b") - F.col("c_b")) == 0)
-    return s.select(
+    # z frozen to integer micro, then the logistic CDF read from the
+    # shared 49-entry literal table by linear interpolation — pure
+    # +,-,*,/ arithmetic, no libm exp in either engine.
+    zz = s.select(
         "n_a",
         "c_a",
         "n_b",
         "c_b",
         rnd(ra, 4).alias("rate_a"),
         rnd(rb, 4).alias("rate_b"),
-        F.when(degenerate, F.lit(0.0)).otherwise(rnd(z, 4)).alias("z"),
-        F.when(degenerate, F.lit(0.5))
-        .otherwise(
-            rnd(
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(_PHI_K) * z)), 4
-            )
-        )
+        degenerate.alias("degen"),
+        F.when(degenerate, F.lit(0).cast("long"))
+        .otherwise(F.floor(z * F.lit(1000000.0) + F.lit(0.505)).cast("long"))
+        .alias("z_micro"),
+    )
+    zc = F.least(
+        F.greatest(F.col("z_micro"), F.lit(_LOGI_ZMIN_MICRO)),
+        F.lit(-_LOGI_ZMIN_MICRO),
+    )
+    k = F.least(
+        F.floor(
+            (zc - F.lit(_LOGI_ZMIN_MICRO)) / F.lit(float(_LOGI_STEP_MICRO))
+        ).cast("long"),
+        F.lit(47),
+    )
+    frac = (
+        zc - F.lit(_LOGI_ZMIN_MICRO) - k * F.lit(_LOGI_STEP_MICRO)
+    ) / F.lit(float(_LOGI_STEP_MICRO))
+    tbl = F.array(*[F.lit(v) for v in _LOGI_TABLE])
+    t1 = F.element_at(tbl, (k + F.lit(1)).cast("int"))
+    t2 = F.element_at(tbl, (k + F.lit(2)).cast("int"))
+    return zz.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        "rate_a",
+        "rate_b",
+        F.when(F.col("degen"), F.lit(0.0))
+        .otherwise(rnd(F.col("z_micro") / F.lit(1000000.0), 4))
+        .alias("z"),
+        F.when(F.col("degen"), F.lit(0.5))
+        .otherwise(rnd(t1 + (t2 - t1) * frac, 4))
         .alias("p_b_beats_a"),
     )
 

@@ -116,3 +116,28 @@ def test_beam_recall_bounds(spark, sf_dir):
     # the graph search must find SOMETHING somewhere — a zero total
     # means the walk is broken, not that the space is hard
     assert sum(r["hits"] for r in rows) > 0
+
+
+def test_kneser_ney_short_doc_guard(spark, tmp_path):
+    """0/1-token docs must not crash the bigram builder (r12 ADVICE):
+    sequence(1, 0) runs DESCENDING in Spark and element_at(t, 0) raises —
+    the .where(size(t) >= 2) guard drops those rows, matching the oracle's
+    naturally-empty range(1, len(t))."""
+    import pandas as pd
+
+    d = str(tmp_path / "sf_short")
+    (tmp_path / "sf_short").mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["solo", "", "two tokens", "three little words"],
+            "lang": ["en"] * 4,
+            "source": ["web"] * 4,
+            "n_chars": [4, 0, 10, 18],
+        }
+    ).to_parquet(d + "/documents.parquet", index=False)
+    rows = Q["text_kneser_ney_bigram"](spark, d).collect()
+    bigrams = {(r["w1"], r["w2"]) for r in rows}
+    assert ("two", "tokens") in bigrams
+    assert ("three", "little") in bigrams
+    assert all(r["w1"] not in ("solo", "") for r in rows)
