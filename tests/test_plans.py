@@ -340,6 +340,14 @@ BNLJ_ALLOWED = {
     "corpus_truncation_loss_curve",
     "ts_ewma_control_chart",
     "events_bayes_ab_posterior",
+    # wave-18: fertility crosses the 3-row literal L-grid; perplexity
+    # crosses the 1-row bigram-type total + 1-row corpus-mean scalar;
+    # staleness crosses the broadcast 8-row stale/fresh centroid
+    # tables (emb_kmeans_one_iter shape) — all bounded
+    "text_tokenizer_fertility",
+    "text_kn_doc_perplexity",
+    "emb_ivf_staleness_audit",
+    "corpus_contamination_embedding",  # SemDeDup broadcast-centroid cross
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
