@@ -348,6 +348,12 @@ BNLJ_ALLOWED = {
     "text_kn_doc_perplexity",
     "emb_ivf_staleness_audit",
     "corpus_contamination_embedding",  # SemDeDup broadcast-centroid cross
+    # wave-19: vocab curve crosses the 3-row literal V-grid; PQ audit
+    # crosses the 8-row literal subspace grid; CUSUM crosses the 1-row
+    # (N, S) total scalar — all bounded by construction
+    "text_vocab_coverage_curve",
+    "emb_pq_train_audit",
+    "ts_cusum_page_alarm",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
