@@ -354,6 +354,16 @@ BNLJ_ALLOWED = {
     "text_vocab_coverage_curve",
     "emb_pq_train_audit",
     "ts_cusum_page_alarm",
+    # wave-20: whitening crosses five 1-row stat scalars; calibration
+    # drift crosses the 1-row midpoint + 1-row drift scalars; padding
+    # crosses the 3-row L-grid; binarize-recall joins the broadcast
+    # 1-in-50 query sample (sim_truncated_dims bound); winsorize
+    # crosses the 3-row literal cap grid — all bounded
+    "emb_whitening_audit",
+    "dq_calibration_drift",
+    "corpus_padding_waste_curve",
+    "emb_sign_binarize_recall",
+    "events_winsorize_sensitivity",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
