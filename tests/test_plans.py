@@ -364,6 +364,15 @@ BNLJ_ALLOWED = {
     "corpus_padding_waste_curve",
     "emb_sign_binarize_recall",
     "events_winsorize_sensitivity",
+    # wave-21: sequential crosses the 1-row day-count scalar; init
+    # sensitivity crosses the two broadcast 8-row centroid tables +
+    # 1-row cost/purity scalars; redundancy crosses the 1-row
+    # mean-|r| scalar; stickiness crosses the 7-row literal offset
+    # grid + 1-row min-day scalar — all bounded
+    "events_sequential_boundary_check",
+    "emb_kmeans_init_sensitivity",
+    "emb_dim_redundancy_audit",
+    "events_dau_wau_stickiness",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
