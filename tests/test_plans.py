@@ -373,6 +373,16 @@ BNLJ_ALLOWED = {
     "emb_kmeans_init_sensitivity",
     "emb_dim_redundancy_audit",
     "events_dau_wau_stickiness",
+    # wave-22: token funnel crosses four 1-row token scalars; cohort
+    # crosses the 1-row first-signup scalar; peak audit crosses the
+    # 1-row count/median/MAD scalars; histogram crosses 1-row totals;
+    # JS pairs the |sources|x|sources| aggregate (20x20) against the
+    # broadcast vocab-count tables — all aggregate/scalar-bounded
+    "corpus_dedup_token_funnel",
+    "events_retention_cohort_matrix",
+    "emb_peak_outlier_audit",
+    "dedup_bucket_size_histogram",
+    "text_js_divergence_sources",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
