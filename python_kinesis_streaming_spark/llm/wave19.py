@@ -253,9 +253,12 @@ def corpus_memorization_risk(
             FROM d GROUP BY source
         )
         SELECT source, n_docs,
-               {sql_rnd("(s1 * 1.0 * s1) / s2", 2)} AS ess_length,
-               {sql_rnd("(s2 * 1.0 * s2) / s4", 2)} AS ess_length_sq,
-               {sql_rnd("((s1 * 1.0 * s1) / s2) / n_docs", 4)}
+               -- 1.0::DOUBLE is load-bearing: a bare 1.0 is DECIMAL in
+               -- DuckDB and sum-times-sum runs (and can overflow) in
+               -- DECIMAL(38) at scale (the r13 lesson, retrofitted r14)
+               {sql_rnd("(s1 * 1.0::DOUBLE * s1) / s2", 2)} AS ess_length,
+               {sql_rnd("(s2 * 1.0::DOUBLE * s2) / s4", 2)} AS ess_length_sq,
+               {sql_rnd("((s1 * 1.0::DOUBLE * s1) / s2) / n_docs", 4)}
                    AS ess_length_ratio
         FROM s
     """,

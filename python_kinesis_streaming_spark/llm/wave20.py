@@ -48,222 +48,222 @@ from python_kinesis_streaming_spark.sources.tables import load_table
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
         x AS (
-            SELECT vec_id, CAST(u.i AS INTEGER) AS j, v[u.i + 1] AS x
+            SELECT vec_id, CAST(u.i AS BIGINT) AS j,
+                   CAST(floor(v[CAST(u.i AS INTEGER) + 1] * 1000000.0
+                        + 0.505) AS BIGINT) AS xm
             FROM e, unnest(range(0, 64)) AS u(i)
         ),
-        dim AS (
+        mom AS (
+            -- order-free BIGINT moments per dim (the ADVICE r13 fix:
+            -- no cross-partition double aggregation anywhere)
             SELECT j,
-                   {sql_rnd("avg(x)", 6)} AS c,
-                   {sql_rnd("var_pop(x)", 6)} AS variance
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(xm) AS BIGINT) AS sx,
+                   CAST(sum(xm * xm) AS BIGINT) AS sxx
             FROM x GROUP BY j
         ),
-        z AS (
-            -- standardized coordinate; the 1e-6 epsilon guards a
-            -- constant dimension (both engines share the literal)
-            SELECT x.vec_id, x.j,
-                   (x.x - d.c) / sqrt(d.variance + 0.000001) AS z
-            FROM x JOIN dim d ON d.j = x.j
+        der AS (
+            -- z = (x - c)/s is affine per dim, so every AFTER stat is
+            -- analytic: avg(z) = (mean - c)/s, var_pop(z) = var/s^2,
+            -- E[z^2] = vz + cz^2. Double arithmetic in identical
+            -- operand order both engines; 1.0::DOUBLE load-bearing
+            SELECT j, n,
+                   {sql_rnd("sx / (1000000.0::DOUBLE * n)", 6)} AS c,
+                   {sql_rnd(
+                       "(n * 1.0::DOUBLE * sxx - sx * 1.0::DOUBLE * sx)"
+                       " / (n * 1.0::DOUBLE * n * 1000000000000.0)", 6
+                   )} AS variance,
+                   sx / (1000000.0::DOUBLE * n) AS mean_raw,
+                   (n * 1.0::DOUBLE * sxx - sx * 1.0::DOUBLE * sx)
+                       / (n * 1.0::DOUBLE * n * 1000000000000.0)
+                       AS var_raw,
+                   sxx * 1.0::DOUBLE / (n * 1000000000000.0::DOUBLE)
+                       AS e2x
+            FROM mom
         ),
-        zdim AS (
-            SELECT j,
-                   {sql_rnd("avg(z)", 6)} AS cz,
-                   {sql_rnd("var_pop(z)", 6)} AS vz
-            FROM z GROUP BY j
+        der2 AS (
+            -- the 1e-6 epsilon guards a constant dimension (both
+            -- engines share the literal)
+            SELECT j, n, c, variance, e2x,
+                   (mean_raw - c) / sqrt(variance + 0.000001) AS cz,
+                   var_raw / (variance + 0.000001) AS vz
+            FROM der
         ),
-        cn_b AS (
-            SELECT CAST(sum(CAST(floor(c * c * 1000000000.0 + 0.505)
-                        AS BIGINT)) AS BIGINT) AS nano FROM dim
+        frz AS (
+            SELECT j, n,
+                   CAST(floor(c * c * 1000000000.0 + 0.505) AS BIGINT)
+                       AS cb_nano,
+                   CAST(floor(cz * cz * 1000000000.0 + 0.505) AS BIGINT)
+                       AS ca_nano,
+                   CAST(floor(e2x * 1000000.0 + 0.505) AS BIGINT)
+                       AS e2x_micro,
+                   CAST(floor((vz + cz * cz) * 1000000.0 + 0.505)
+                        AS BIGINT) AS e2z_micro,
+                   CAST(floor(variance * 1000000.0 + 0.505) AS BIGINT)
+                       AS vm_b,
+                   CAST(floor(vz * 1000000.0 + 0.505) AS BIGINT) AS vm_a
+            FROM der2
         ),
-        cn_a AS (
-            SELECT CAST(sum(CAST(floor(cz * cz * 1000000000.0 + 0.505)
-                        AS BIGINT)) AS BIGINT) AS nano FROM zdim
+        rk AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY vm_b DESC, j) AS rk_b,
+                   row_number() OVER (ORDER BY vm_a DESC, j) AS rk_a
+            FROM frz
         ),
-        nn_b AS (
-            SELECT CAST(count(*) AS BIGINT) AS n_vecs,
-                   CAST(sum(m) AS BIGINT) AS micro
-            FROM (SELECT vec_id, CAST(sum(CAST(floor(x * x * 1000000.0
-                       + 0.505) AS BIGINT)) AS BIGINT) AS m
-                  FROM x GROUP BY vec_id)
-        ),
-        nn_a AS (
-            SELECT CAST(sum(m) AS BIGINT) AS micro
-            FROM (SELECT vec_id, CAST(sum(CAST(floor(z * z * 1000000.0
-                       + 0.505) AS BIGINT)) AS BIGINT) AS m
-                  FROM z GROUP BY vec_id)
-        ),
-        vs_b AS (
-            SELECT CAST(sum(CASE WHEN rk <= 16 THEN vm ELSE 0 END)
-                        AS BIGINT) AS top16,
-                   CAST(sum(vm) AS BIGINT) AS total
-            FROM (SELECT CAST(floor(variance * 1000000.0 + 0.505)
-                             AS BIGINT) AS vm,
-                         row_number() OVER (ORDER BY variance DESC, j)
-                             AS rk
-                  FROM dim)
-        ),
-        vs_a AS (
-            SELECT CAST(sum(CASE WHEN rk <= 16 THEN vm ELSE 0 END)
-                        AS BIGINT) AS top16,
-                   CAST(sum(vm) AS BIGINT) AS total
-            FROM (SELECT CAST(floor(vz * 1000000.0 + 0.505)
-                             AS BIGINT) AS vm,
-                         row_number() OVER (ORDER BY vz DESC, j) AS rk
-                  FROM zdim)
+        rep AS (
+            SELECT CAST(max(n) AS BIGINT) AS n_vecs,
+                   CAST(sum(cb_nano) AS BIGINT) AS nano_b,
+                   CAST(sum(ca_nano) AS BIGINT) AS nano_a,
+                   CAST(sum(e2x_micro) AS BIGINT) AS msq_b,
+                   CAST(sum(e2z_micro) AS BIGINT) AS msq_a,
+                   CAST(sum(CASE WHEN rk_b <= 16 THEN vm_b ELSE 0 END)
+                        AS BIGINT) AS t16_b,
+                   CAST(sum(vm_b) AS BIGINT) AS tot_b,
+                   CAST(sum(CASE WHEN rk_a <= 16 THEN vm_a ELSE 0 END)
+                        AS BIGINT) AS t16_a,
+                   CAST(sum(vm_a) AS BIGINT) AS tot_a
+            FROM rk
         )
-        SELECT nn_b.n_vecs,
+        SELECT n_vecs,
                {sql_rnd(
-                   "(cn_b.nano / 1000000000.0)"
-                   " / (nn_b.micro / (1000000.0 * nn_b.n_vecs))", 6
+                   "(nano_b / 1000000000.0) / (msq_b / 1000000.0)", 6
                )} AS anisotropy_before,
                {sql_rnd(
-                   "(cn_a.nano / 1000000000.0)"
-                   " / (nn_a.micro / (1000000.0 * nn_b.n_vecs))", 6
+                   "(nano_a / 1000000000.0) / (msq_a / 1000000.0)", 6
                )} AS anisotropy_after,
-               {sql_rnd("vs_b.top16 * 1.0 / vs_b.total", 4)}
+               {sql_rnd("t16_b * 1.0 / tot_b", 4)}
                    AS top16_var_share_before,
-               {sql_rnd("vs_a.top16 * 1.0 / vs_a.total", 4)}
+               {sql_rnd("t16_a * 1.0 / tot_a", 4)}
                    AS top16_var_share_after,
-               {sql_rnd(
-                   "nn_a.micro / (1000000.0 * nn_b.n_vecs)", 4
-               )} AS mean_norm_sq_after
-        FROM nn_b CROSS JOIN nn_a CROSS JOIN cn_b CROSS JOIN cn_a
-        CROSS JOIN vs_b CROSS JOIN vs_a
+               {sql_rnd("msq_a / 1000000.0", 4)} AS mean_norm_sq_after
+        FROM rep
     """,
     scale=(
         "Whitening effectiveness audit (Mu & Viswanath 2018's "
-        "all-but-the-top, the diagonal version): standardize each "
-        "dimension by its 1e-6-frozen mean/std (epsilon-guarded "
-        "sqrt — IEEE-correctly-rounded, identical both engines) and "
-        "re-measure the two emb_isotropy_audit statistics. After "
-        "whitening, anisotropy must collapse toward 0 and the top-16 "
-        "variance share toward 16/64 = 0.25 — if they don't, the "
-        "space has cross-dim correlation that diagonal whitening "
-        "can't fix and cosine thresholds stay untrustworthy. Per-term "
-        "freezes: centroid nano, norms and variances micro, all "
-        "BIGINT sums order-free. Shape: one posexplode, two 64-key "
-        "aggs, two N-key norm aggs, 1-row report. 100 TB: two map "
-        "passes + k*d-bounded aggs — run it before and after every "
+        "all-but-the-top, the diagonal version). Key identity: "
+        "z = (x - c)/s is affine per dim, so the post-whitening "
+        "statistics are analytic functions of the SAME per-dim "
+        "moments — avg(z) = (mean - c)/s, var_pop(z) = var/s^2, "
+        "E[z_j^2] = vz + cz^2, E||z||^2 = sum_j E[z_j^2] — no second "
+        "pass over the data at all. All cross-partition aggregation "
+        "is BIGINT (1e-6-frozen coordinates; sums and squares stay "
+        "inside int64 at 10^6 vectors x 10^6 micro^2, the wave-21 "
+        "bound); the per-dim derivation is per-row double arithmetic "
+        "in identical operand order, then nano/micro-frozen before "
+        "the 64-row report agg. After whitening, anisotropy must "
+        "collapse toward 0 and the top-16 variance share toward "
+        "16/64 = 0.25. Shape: one posexplode, ONE 64-key moment agg, "
+        "two bounded 64-row rank windows, 1-row report. 100 TB: one "
+        "map pass + a d-key agg — run it before and after every "
         "re-embedding."
     ),
 )
 def emb_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row before/after whitening isotropy report."""
+    """One-row before/after whitening isotropy report (analytic z)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    x = emb.select("vec_id", F.posexplode("v").alias("j", "x"))
-    dim = x.groupBy("j").agg(
-        rnd(F.avg("x"), 6).alias("c"),
-        rnd(F.var_pop("x"), 6).alias("variance"),
+    x = emb.select(
+        "vec_id", F.posexplode("v").alias("j", "xd")
+    ).select(
+        F.col("j").cast("long").alias("j"),
+        F.floor(F.col("xd") * F.lit(1000000.0) + F.lit(0.505))
+        .cast("long")
+        .alias("xm"),
     )
-    z = x.join(F.broadcast(dim), "j").select(
-        "vec_id",
+    mom = x.groupBy("j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xm").cast("long").alias("sx"),
+        F.sum(F.col("xm") * F.col("xm")).cast("long").alias("sxx"),
+    )
+    mean_raw = F.col("sx") / (F.lit(1000000.0) * F.col("n"))
+    var_raw = (
+        F.col("n") * F.lit(1.0) * F.col("sxx")
+        - F.col("sx") * F.lit(1.0) * F.col("sx")
+    ) / (F.col("n") * F.lit(1.0) * F.col("n") * F.lit(1000000000000.0))
+    der = mom.select(
         "j",
+        "n",
+        rnd(mean_raw, 6).alias("c"),
+        rnd(var_raw, 6).alias("variance"),
+        mean_raw.alias("mean_raw"),
+        var_raw.alias("var_raw"),
         (
-            (F.col("x") - F.col("c"))
+            F.col("sxx") * F.lit(1.0)
+            / (F.col("n") * F.lit(1000000000000.0))
+        ).alias("e2x"),
+    )
+    der2 = der.select(
+        "j",
+        "n",
+        "c",
+        "variance",
+        "e2x",
+        (
+            (F.col("mean_raw") - F.col("c"))
             / F.sqrt(F.col("variance") + F.lit(0.000001))
-        ).alias("z"),
-    )
-    zdim = z.groupBy("j").agg(
-        rnd(F.avg("z"), 6).alias("cz"),
-        rnd(F.var_pop("z"), 6).alias("vz"),
+        ).alias("cz"),
+        (F.col("var_raw") / (F.col("variance") + F.lit(0.000001))).alias(
+            "vz"
+        ),
     )
 
-    def cn(d: DataFrame, col: str) -> DataFrame:
-        return d.agg(
-            F.sum(
-                F.floor(
-                    F.col(col) * F.col(col) * F.lit(1000000000.0)
-                    + F.lit(0.505)
-                ).cast("long")
-            )
-            .cast("long")
-            .alias("nano")
-        )
+    def _frz(e, scale: float):
+        return F.floor(e * F.lit(scale) + F.lit(0.505)).cast("long")
 
-    def nn(d: DataFrame, col: str):
-        per_vec = d.groupBy("vec_id").agg(
-            F.sum(
-                F.floor(
-                    F.col(col) * F.col(col) * F.lit(1000000.0)
-                    + F.lit(0.505)
-                ).cast("long")
-            )
-            .cast("long")
-            .alias("m")
-        )
-        return per_vec.agg(
-            F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.sum("m").cast("long").alias("micro"),
-        )
-
-    def vs(d: DataFrame, col: str) -> DataFrame:
-        return (
-            d.withColumn(
-                "rk",
-                F.row_number().over(Window.orderBy(F.desc(col), "j")),
-            )
-            .select(
-                F.floor(F.col(col) * F.lit(1000000.0) + F.lit(0.505))
-                .cast("long")
-                .alias("vm"),
-                "rk",
-            )
-            .agg(
-                F.sum(F.when(F.col("rk") <= 16, F.col("vm")).otherwise(0))
-                .cast("long")
-                .alias("top16"),
-                F.sum("vm").cast("long").alias("total"),
-            )
-        )
-
-    nn_b = nn(x, "x").select(
-        "n_vecs", F.col("micro").alias("micro_b")
+    frz = der2.select(
+        "j",
+        "n",
+        _frz(F.col("c") * F.col("c"), 1000000000.0).alias("cb_nano"),
+        _frz(F.col("cz") * F.col("cz"), 1000000000.0).alias("ca_nano"),
+        _frz(F.col("e2x"), 1000000.0).alias("e2x_micro"),
+        _frz(F.col("vz") + F.col("cz") * F.col("cz"), 1000000.0).alias(
+            "e2z_micro"
+        ),
+        _frz(F.col("variance"), 1000000.0).alias("vm_b"),
+        _frz(F.col("vz"), 1000000.0).alias("vm_a"),
     )
-    nn_a = nn(z, "z").select(F.col("micro").alias("micro_a"))
-    cn_b = cn(dim, "c").select(F.col("nano").alias("nano_b"))
-    cn_a = cn(zdim, "cz").select(F.col("nano").alias("nano_a"))
-    vs_b = vs(dim, "variance").select(
-        F.col("top16").alias("t16_b"), F.col("total").alias("tot_b")
+    rk = frz.withColumn(
+        "rk_b", F.row_number().over(Window.orderBy(F.desc("vm_b"), "j"))
+    ).withColumn(
+        "rk_a", F.row_number().over(Window.orderBy(F.desc("vm_a"), "j"))
     )
-    vs_a = vs(zdim, "vz").select(
-        F.col("top16").alias("t16_a"), F.col("total").alias("tot_a")
+    rep = rk.agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.sum("cb_nano").cast("long").alias("nano_b"),
+        F.sum("ca_nano").cast("long").alias("nano_a"),
+        F.sum("e2x_micro").cast("long").alias("msq_b"),
+        F.sum("e2z_micro").cast("long").alias("msq_a"),
+        F.sum(F.when(F.col("rk_b") <= 16, F.col("vm_b")).otherwise(0))
+        .cast("long")
+        .alias("t16_b"),
+        F.sum("vm_b").cast("long").alias("tot_b"),
+        F.sum(F.when(F.col("rk_a") <= 16, F.col("vm_a")).otherwise(0))
+        .cast("long")
+        .alias("t16_a"),
+        F.sum("vm_a").cast("long").alias("tot_a"),
     )
-    return (
-        nn_b.crossJoin(F.broadcast(nn_a))
-        .crossJoin(F.broadcast(cn_b))
-        .crossJoin(F.broadcast(cn_a))
-        .crossJoin(F.broadcast(vs_b))
-        .crossJoin(F.broadcast(vs_a))
-        .select(
-            "n_vecs",
-            rnd(
-                (F.col("nano_b") / F.lit(1000000000.0))
-                / (
-                    F.col("micro_b")
-                    / (F.lit(1000000.0) * F.col("n_vecs"))
-                ),
-                6,
-            ).alias("anisotropy_before"),
-            rnd(
-                (F.col("nano_a") / F.lit(1000000000.0))
-                / (
-                    F.col("micro_a")
-                    / (F.lit(1000000.0) * F.col("n_vecs"))
-                ),
-                6,
-            ).alias("anisotropy_after"),
-            rnd(
-                F.col("t16_b") * F.lit(1.0) / F.col("tot_b"), 4
-            ).alias("top16_var_share_before"),
-            rnd(
-                F.col("t16_a") * F.lit(1.0) / F.col("tot_a"), 4
-            ).alias("top16_var_share_after"),
-            rnd(
-                F.col("micro_a") / (F.lit(1000000.0) * F.col("n_vecs")),
-                4,
-            ).alias("mean_norm_sq_after"),
-        )
+    return rep.select(
+        "n_vecs",
+        rnd(
+            (F.col("nano_b") / F.lit(1000000000.0))
+            / (F.col("msq_b") / F.lit(1000000.0)),
+            6,
+        ).alias("anisotropy_before"),
+        rnd(
+            (F.col("nano_a") / F.lit(1000000000.0))
+            / (F.col("msq_a") / F.lit(1000000.0)),
+            6,
+        ).alias("anisotropy_after"),
+        rnd(F.col("t16_b") * F.lit(1.0) / F.col("tot_b"), 4).alias(
+            "top16_var_share_before"
+        ),
+        rnd(F.col("t16_a") * F.lit(1.0) / F.col("tot_a"), 4).alias(
+            "top16_var_share_after"
+        ),
+        rnd(F.col("msq_a") / F.lit(1000000.0), 4).alias(
+            "mean_norm_sq_after"
+        ),
     )
 
 

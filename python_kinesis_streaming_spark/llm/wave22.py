@@ -650,14 +650,14 @@ def dedup_bucket_size_histogram(
                    CAST(sum(
                        CASE WHEN COALESCE(ca.c, 0) > 0 THEN
                            CAST(floor((ca.c * 1.0 / na.n)
-                               * ln(2.0 * ca.c * nb.n * 1.0
+                               * ln(2.0::DOUBLE * ca.c * nb.n * 1.0
                                     / (ca.c * nb.n + COALESCE(cb.c, 0)
                                        * na.n))
                                * 1000000.0 + 0.505) AS BIGINT)
                        ELSE 0 END
                      + CASE WHEN COALESCE(cb.c, 0) > 0 THEN
                            CAST(floor((cb.c * 1.0 / nb.n)
-                               * ln(2.0 * cb.c * na.n * 1.0
+                               * ln(2.0::DOUBLE * cb.c * na.n * 1.0
                                     / (COALESCE(ca.c, 0) * nb.n
                                        + cb.c * na.n))
                                * 1000000.0 + 0.505) AS BIGINT)

@@ -92,8 +92,11 @@ def test_bucket_histogram_identities(spark, sf_dir, duck):
     for r in rows:
         assert r["total_pairs"] == tp
         lo, hi = 2 ** r["log2_class"], 2 ** (r["log2_class"] + 1)
-        if r["log2_class"] < 7:
-            assert lo <= r["max_bucket"] or r["n_buckets"] > 0
+        # max_bucket is global: it lives in the HIGHEST populated class
+        top = max(rr["log2_class"] for rr in rows)
+        assert r["max_bucket"] >= 2**top
+        if top < 7:
+            assert r["max_bucket"] < 2 ** (top + 1)
         assert 0.0 <= r["pair_share"] <= 1.0
         # s*(s-1)/2 bound: pairs in a class <= n_buckets * C(hi-1, 2)
         assert r["n_pairs"] <= r["n_buckets"] * (hi - 1) * (hi - 2) // 2
