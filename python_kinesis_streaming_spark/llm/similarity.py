@@ -48,8 +48,6 @@ def l2norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
-
-
 QUERY_VEC_ID = 0  # the deterministic "query" for knn ops
 
 #: (session, sf_dir) → embeddings with a precomputed L2 norm column, cached.

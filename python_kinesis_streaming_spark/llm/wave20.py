@@ -634,12 +634,23 @@ def emb_sign_binarize_recall(
         )
         .cast("long")
         .alias("ham"),
+        # HOF fold dot, norms hoisted (r12 lesson). A 64-term unrolled
+        # element_at expression was MEASURED 12x slower at x10 (134 s
+        # vs 11 s — PERF.md r14): the fold's tight loop beats 64
+        # codegen'd array probes. Don't re-try the unroll.
         rnd(
             dot(F.col("qv"), F.col("v"))
             / (F.col("qnrm") * F.col("nrm")),
             4,
         ).alias("sim"),
     )
+    # NOTE (r14, measured at x10): do NOT cache pairs and do NOT unroll
+    # the dot. Both rank windows shuffle the same pairs subtree by qid,
+    # so ReusedExchange already evaluates the 8M dots ONCE; a .cache()
+    # adds materialization (+17% cold), and a 64-term element_at unroll
+    # measured 12x slower than the HOF fold (134 s vs 11 s). The 7.4x
+    # ratio is the interpreted-HOF floor of the sample-bounded exact
+    # leg; production fixes the query budget so it stays linear.
     wq_sim = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
     wq_ham = Window.partitionBy("qid").orderBy(F.asc("ham"), "cid")
     exact_top = (

@@ -24,7 +24,7 @@ SKIP_PREFIXES = ("stream_", "source_stream", "sink_", "join_stream", "source_pyt
 
 #: non-prefixed ops whose builder executes work (snapshot writes) —
 #: their returned plan is a handful of one-row aggregates.
-SKIP_NAMES = {"lakehouse_incremental_dedup"}
+SKIP_NAMES = {"lakehouse_incremental_dedup", "lakehouse_time_travel_diff"}
 
 #: The 51 r9-flip promotion ops get the SAME three gates from
 #: tests/test_promotion_plans.py, which additionally classifies

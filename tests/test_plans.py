@@ -383,6 +383,16 @@ BNLJ_ALLOWED = {
     "emb_peak_outlier_audit",
     "dedup_bucket_size_histogram",
     "text_js_divergence_sources",
+    # wave-23: the quantile audit probes 256-row merged/4-row phi
+    # aggregates by rank inequality (cumw >= target) and crosses 1-row
+    # total/bound scalars; vocab overlap pairs the 20-row per-source
+    # top-V size table (a < b) and OR-probes the broadcast 190-row
+    # pair grid; lateness crosses the 6-row literal delay grid; neyman
+    # crosses two 1-row moment scalars — all aggregate/grid-bounded
+    "agg_mergeable_quantile_audit",
+    "text_vocab_overlap_matrix",
+    "events_watermark_lateness_audit",
+    "sample_neyman_allocation_audit",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
@@ -425,6 +435,7 @@ _EXECUTES_EXTRA = {
     "edge_empty_inputs",  # runs its five count() checks on build
     "set_ops_all_variants",  # runs its four count() checks on build
     "lakehouse_incremental_dedup",  # writes snapshot versions on build
+    "lakehouse_time_travel_diff",  # writes two snapshot versions on build
 }
 
 # r9-flip promotions whose BUILDER executes work (trainer loops, loopback

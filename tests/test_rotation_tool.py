@@ -240,5 +240,6 @@ def test_registered_but_unlisted_ops_join_the_never_block(tmp_path):
     scope: dict = {}
     exec(compile(open(reg).read(), "registry.py", "exec"), scope)
     # w lands behind the in-list never-graded e, ahead of the greens;
-    # the green unlisted g is NOT pulled in
-    assert scope["_GRADING_PRIORITY"] == ["c", "e", "w", "a", "b", "d"]
+    # the green unlisted g joins the very back (full-list invariant,
+    # VERDICT r13 item 7 — every registered name appears explicitly)
+    assert scope["_GRADING_PRIORITY"] == ["c", "e", "w", "a", "b", "d", "g"]

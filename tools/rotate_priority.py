@@ -133,7 +133,20 @@ def main() -> int:
         # sure the hook line lands too (see below)
         all_names = all_names | set(PROMOTION_OPS)
     back = [n for n in current if n in green_ever and n not in latest_failed]
-    new = front + never + promos + back
+    # full-list invariant (VERDICT r13 item 7): every registered name
+    # appears explicitly — green ops that rode the unlisted-union rule
+    # join the back in registry order, so the rotation diff is
+    # reviewable and no ordering is implicit
+    unlisted_green = [
+        n for n in registry.all_queries()
+        if n not in current_set
+        and n in green_ever
+        and n not in latest_failed
+    ]
+    if unlisted_green:
+        print(f"appending {len(unlisted_green)} green-but-unlisted names "
+              "to the back (full-list invariant)")
+    new = front + never + promos + back + unlisted_green
 
     stale = [n for n in new if n not in all_names]
     if stale:
