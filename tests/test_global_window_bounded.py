@@ -24,7 +24,11 @@ SKIP_PREFIXES = ("stream_", "source_stream", "sink_", "join_stream", "source_pyt
 
 #: non-prefixed ops whose builder executes work (snapshot writes) —
 #: their returned plan is a handful of one-row aggregates.
-SKIP_NAMES = {"lakehouse_incremental_dedup", "lakehouse_time_travel_diff"}
+SKIP_NAMES = {
+    "lakehouse_incremental_dedup",
+    "lakehouse_time_travel_diff",
+    "lakehouse_manifest_prune_audit",
+}
 
 #: The 51 r9-flip promotion ops get the SAME three gates from
 #: tests/test_promotion_plans.py, which additionally classifies

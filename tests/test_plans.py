@@ -393,6 +393,12 @@ BNLJ_ALLOWED = {
     "text_vocab_overlap_matrix",
     "events_watermark_lateness_audit",
     "sample_neyman_allocation_audit",
+    # wave-24: session sweep crosses the 5-row literal gap grid +
+    # 1-row totals; Heaps fit crosses the 1-row bounds/half/hapax
+    # scalars; ablation crosses the 1-row grand total — all bounded
+    "events_session_gap_sweep",
+    "text_heaps_law_fit",
+    "corpus_source_ablation_matrix",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
@@ -436,6 +442,7 @@ _EXECUTES_EXTRA = {
     "set_ops_all_variants",  # runs its four count() checks on build
     "lakehouse_incremental_dedup",  # writes snapshot versions on build
     "lakehouse_time_travel_diff",  # writes two snapshot versions on build
+    "lakehouse_manifest_prune_audit",  # 8 range-append commits + pruned reads on build
 }
 
 # r9-flip promotions whose BUILDER executes work (trainer loops, loopback
