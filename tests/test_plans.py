@@ -399,6 +399,17 @@ BNLJ_ALLOWED = {
     "events_session_gap_sweep",
     "text_heaps_law_fit",
     "corpus_source_ablation_matrix",
+    # wave-25: WoE crosses the 1-row G/B total + 1-row IV scalar;
+    # Ljung-Box crosses the 7-row literal lag grid + 1-row n_obs/Q
+    # scalars; bit balance crosses the 1-row worst-dev scalar; QTE
+    # probes the per-arm cumulative by rank inequality (cum >= target,
+    # 10-row broadcast want side); boilerplate crosses 1-row totals —
+    # all aggregate/grid-bounded
+    "feat_woe_iv_encoding",
+    "ts_ljung_box_whiteness",
+    "emb_sign_bit_balance_audit",
+    "events_quantile_treatment_effect",
+    "corpus_boilerplate_df_ngrams",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
