@@ -410,6 +410,10 @@ BNLJ_ALLOWED = {
     "emb_sign_bit_balance_audit",
     "events_quantile_treatment_effect",
     "corpus_boilerplate_df_ngrams",
+    # wave-26: attribution crosses the 1-row conservation total;
+    # budget plan crosses the 1-row budget scalar — both bounded
+    "events_attribution_position",
+    "corpus_token_budget_plan",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
