@@ -414,6 +414,14 @@ BNLJ_ALLOWED = {
     # budget plan crosses the 1-row budget scalar — both bounded
     "events_attribution_position",
     "corpus_token_budget_plan",
+    # wave-27: bloom crosses the 4-row literal seed grid (build +
+    # probe) + 1-row bit-count scalar; collision crosses the 3-row
+    # literal m grid; DB index crosses the 1-row index scalar;
+    # simpson crosses two 1-row sign/flag scalars — all bounded
+    "agg_bloom_membership_audit",
+    "feat_hash_collision_audit",
+    "emb_cluster_separation_db_index",
+    "events_simpson_paradox_check",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
