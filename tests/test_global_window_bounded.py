@@ -28,6 +28,7 @@ SKIP_NAMES = {
     "lakehouse_incremental_dedup",
     "lakehouse_time_travel_diff",
     "lakehouse_manifest_prune_audit",
+    "lakehouse_snapshot_restore_audit",
 }
 
 #: The 51 r9-flip promotion ops get the SAME three gates from

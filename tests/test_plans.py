@@ -422,6 +422,13 @@ BNLJ_ALLOWED = {
     "feat_hash_collision_audit",
     "emb_cluster_separation_db_index",
     "events_simpson_paradox_check",
+    # wave-28: sample-bias crosses the 3-row literal rate grid +
+    # 1-row full-corpus scalar; rollup crosses the 3-row width grid +
+    # 1-row base moments; hazard crosses the 1-row d0/max-week
+    # scalars — all bounded
+    "dedup_sample_bias_audit",
+    "ts_rollup_variance_retention",
+    "events_weekly_churn_hazard",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
@@ -466,6 +473,7 @@ _EXECUTES_EXTRA = {
     "lakehouse_incremental_dedup",  # writes snapshot versions on build
     "lakehouse_time_travel_diff",  # writes two snapshot versions on build
     "lakehouse_manifest_prune_audit",  # 8 range-append commits + pruned reads on build
+    "lakehouse_snapshot_restore_audit",  # v0/v1/restore commits + equality reads on build
 }
 
 # r9-flip promotions whose BUILDER executes work (trainer loops, loopback
