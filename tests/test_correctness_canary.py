@@ -76,6 +76,23 @@ def test_grading_window_is_never_graded_ops():
     assert not stale, f"window wastes grades on already-green ops: {stale}"
 
 
+def test_grading_priority_is_the_full_registry():
+    """_GRADING_PRIORITY must list EVERY registered op explicitly
+    (VERDICT r13 item 7): an explicit full list makes each rotation
+    diff reviewable and kills the silent-ordering class the
+    registered-but-unlisted union rule papered over. The rotation
+    tool enforces this on --write; this pin keeps manual edits
+    honest."""
+    from python_kinesis_streaming_spark.registry import _GRADING_PRIORITY
+
+    pri = list(_GRADING_PRIORITY)
+    assert len(pri) == len(set(pri)), "duplicate names in _GRADING_PRIORITY"
+    missing = set(QUERIES) - set(pri)
+    stale = set(pri) - set(QUERIES)
+    assert not missing, f"registered ops missing from the list: {sorted(missing)[:5]}"
+    assert not stale, f"priority names not in the registry: {sorted(stale)[:5]}"
+
+
 def test_claude_md_registry_count():
     """CLAUDE.md's 'Registry total N' prose must match the live registry.
 
