@@ -429,6 +429,14 @@ BNLJ_ALLOWED = {
     "dedup_sample_bias_audit",
     "ts_rollup_variance_retention",
     "events_weekly_churn_hazard",
+    # wave-29: energy crosses the 4-row literal cut grid; squares
+    # cross the 1-row edge-count scalar; I-chart crosses the 1-row
+    # moment scalar + 1-row alarm count; shard balance crosses the
+    # 1-row total scalar — all bounded
+    "emb_prefix_energy_share",
+    "graph_bipartite_square_density",
+    "ts_individuals_control_chart",
+    "corpus_shard_balance_plan",
     "corpus_dedup_funnel",  # four 1-row stage-count aggregates crossed
     "corpus_split_leakage_audit",  # 1-row split counts × 1-row leak counts
     # r9-flip promotions: packing audits cross their 1-row conservation
