@@ -87,6 +87,15 @@ def test_global_windows_only_consume_bounded_inputs(spark, sf_dir):
         shuffle_count,
     )
 
+    # Deterministic sweep (CLAUDE.md invariant 4): cached relations
+    # MATERIALIZED by whatever tests happened to run earlier in this session
+    # would be substituted into fresh plans by the CacheManager, making the
+    # per-op shuffle counts depend on test order (observed r14: the same op
+    # read 12 or 26 Exchanges depending on which test file ran first). With a
+    # cleared cache the sweep's own registration order — fixed — is the only
+    # cache state, so every count is reproducible.
+    spark.catalog.clearCache()
+
     queries = all_queries()
     promotions = _promotion_names()
     offenders: dict[str, object] = {}
