@@ -668,11 +668,16 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = inj.withColumn(
         "nh",
         F.md5(F.regexp_replace(F.trim(F.lower("text")), " +", " ")),
-    )
+    ).cache()
+    # normed feeds c012 and canon; canon feeds the shingle→LSH→confirm
+    # chain AND the c3 anti-join — cache both so the 4-scalar diamond
+    # plans each subtree once (the wave-22 token-funnel precedent: same
+    # shape, cached, measured 1.8× faster; CacheManager dedupes across
+    # re-invocations).
     canon = normed.groupBy("nh").agg(
         F.min("doc_id").alias("doc_id"),
         F.min_by("text", "doc_id").alias("text"),
-    ).select("doc_id", "text")
+    ).select("doc_id", "text").cache()
     sh = word_shingles(canon, n=3)
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     conf = _confirmed_pairs(pairs, sh)
