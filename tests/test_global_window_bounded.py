@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from python_kinesis_streaming_spark.plans.audit import global_window_violations
 from python_kinesis_streaming_spark.registry import all_queries
+from python_kinesis_streaming_spark.sources import tables
 
 #: ops whose builder executes a streaming query / writes side outputs —
 #: they are audited by their own suites, and the global-window rule is a
@@ -93,8 +94,14 @@ def test_global_windows_only_consume_bounded_inputs(spark, sf_dir):
     # per-op shuffle counts depend on test order (observed r14: the same op
     # read 12 or 26 Exchanges depending on which test file ran first). With a
     # cleared cache the sweep's own registration order — fixed — is the only
-    # cache state, so every count is reproducible.
+    # cache state, so every count is reproducible. The table memo must be
+    # cleared WITH the CacheManager: a memoized load_table frame whose
+    # cache entry was just dropped is never re-registered, leaving every
+    # LATER test in the session with un-substituted bare plans
+    # (test_live_plan_modes_agree read 0 codegen ids from exactly that
+    # state — the r14 inherited failure).
     spark.catalog.clearCache()
+    tables._CACHE.clear()
 
     queries = all_queries()
     promotions = _promotion_names()
