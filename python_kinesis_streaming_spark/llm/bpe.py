@@ -60,21 +60,35 @@ def train_bpe(
     text_col: str,
     num_merges: int,
     min_word_freq: int = 1,
+    freqs: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns them in
-    rank order. Deterministic: count desc, then pair lexicographic."""
-    freqs = word_frequencies(df, text_col, min_word_freq)
+    rank order. Deterministic: count desc, then pair lexicographic.
+
+    ``freqs`` lets a caller that already built the ``word_frequencies``
+    table (tokenizer comparison trains two families from the same
+    evidence) pass it in instead of paying the corpus pass twice.
+    """
+    if freqs is None:
+        freqs = word_frequencies(df, text_col, min_word_freq)
     # localCheckpoint (not persist): each iteration's plan builds on the
     # previous one, so without lineage truncation K merges compound into
     # an exponentially growing logical plan — the standard iterative-
     # algorithm failure mode. Checkpointing keeps every iteration's plan
     # flat: one explode + one agg over a materialized table.
+    #
+    # eager=False: the next iteration's argmax COLLECT is the first action
+    # over the checkpoint, so materialization folds into that job — one
+    # job per merge instead of two (guide §1.2: fewer passes). The loop
+    # collects before building the next plan, so every plan is still one
+    # explode + one agg over a (by then) materialized table; lineage
+    # truncation is unchanged.
     syms = freqs.select(
         # Java split keeps the trailing empty match of the lookahead at
         # end-of-string — filter it, or phantom ('x','') pairs win rounds.
         F.expr("filter(split(word, '(?!^)'), x -> x != '')").alias("syms"),
         "freq",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[str, str]] = []
     current = syms
@@ -121,7 +135,7 @@ def train_bpe(
 
         current = current.mapInPandas(
             apply_merge, schema="syms array<string>, freq long"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 

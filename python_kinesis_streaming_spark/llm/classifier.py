@@ -182,31 +182,63 @@ def train_logreg(
         ).persist()
 
         # mean log-loss via the numerically stable softplus identity:
-        # loss = softplus(score) - y*score  (softplus(x)=log1p(exp(-|x|))+max(x,0))
-        agg = resid.agg(
-            F.sum(
-                F.log1p(F.exp(-F.abs(F.col("score"))))
-                + F.greatest(F.col("score"), F.lit(0.0))
-                - F.col("y") * F.col("score")
-            ).alias("loss_sum"),
-            F.sum("r").alias("r_sum"),
-        ).collect()[0]
-        history.append(agg["loss_sum"] / n_docs)
-
-        grad_rows = (
+        # loss = softplus(score) - y*score  (softplus(x)=log1p(exp(-|x|))+max(x,0)).
+        # The loss/bias aggregate and the per-idx gradient are UNIONED into
+        # one action (sentinel idx −1 = loss_sum, −2 = r_sum): one job per
+        # iteration instead of two (guide §1.2 — fewer passes/scheduling
+        # waves; measured parity at sf0.01 where the stages dominate, the
+        # win is the halved driver round-trip count per iteration). The
+        # aggregates themselves are unchanged, so weights/bias/history are
+        # bit-identical; resid is persisted so both union legs share one
+        # evaluation.
+        loss_stats = (
+            resid.agg(
+                F.sum(
+                    F.log1p(F.exp(-F.abs(F.col("score"))))
+                    + F.greatest(F.col("score"), F.lit(0.0))
+                    - F.col("y") * F.col("score")
+                ).alias("loss_sum"),
+                F.sum("r").alias("r_sum"),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(-1).cast("long").alias("idx"),
+                            F.col("loss_sum").alias("g"),
+                        ),
+                        F.struct(
+                            F.lit(-2).cast("long").alias("idx"),
+                            F.col("r_sum").alias("g"),
+                        ),
+                    )
+                ).alias("s")
+            )
+            .select("s.idx", "s.g")
+        )
+        rows = (
             feats.join(resid.select("doc_id", "r"), "doc_id")
             .groupBy("idx")
             .agg(F.sum(F.col("val") * F.col("r")).alias("g"))
+            .select(F.col("idx").cast("long").alias("idx"), "g")
+            .unionByName(loss_stats)
             .collect()
         )
         resid.unpersist()
         grad = [0.0] * dim
-        for row in grad_rows:
-            grad[row["idx"]] = row["g"] / n_docs
+        loss_sum = r_sum = 0.0
+        for row in rows:
+            if row["idx"] == -1:
+                loss_sum = row["g"]
+            elif row["idx"] == -2:
+                r_sum = row["g"]
+            else:
+                grad[row["idx"]] = row["g"] / n_docs
+        history.append(loss_sum / n_docs)
         weights = [
             w - lr * (g + l2 * w) for w, g in zip(weights, grad)
         ]
-        bias -= lr * (agg["r_sum"] / n_docs)
+        bias -= lr * (r_sum / n_docs)
 
     feats.unpersist()
     labs.unpersist()

@@ -78,7 +78,11 @@ def compare_tokenizers(
         viterbi_encode,
     )
 
-    wf = word_frequencies(docs, text_col)
+    # Three consumers (char census, BPE seed, unigram trainer) share one
+    # corpus pass: persist the word-frequency table; the census count
+    # materializes it (guide §5 — reuse beats recompute here, the table
+    # is |vocab| rows, not corpus-sized).
+    wf = word_frequencies(docs, text_col).persist()
     n_chars = wf.select(
         F.explode(F.split("word", "")).alias("c")
     ).where(F.length("c") > 0).distinct().count()
@@ -86,7 +90,9 @@ def compare_tokenizers(
         vocab_size - n_chars, 1
     )
 
-    bpe_merges = train_bpe(docs, text_col, num_merges=merges)
+    # Reuse the word-frequency table already built above (one corpus pass
+    # shared by the char census, BPE, and unigram — guide §1.2).
+    bpe_merges = train_bpe(docs, text_col, num_merges=merges, freqs=wf)
     bpe_enc = apply_bpe(docs, text_col, bpe_merges)  # emits `tokens`
     bpe_rep = tokenizer_report(
         bpe_enc, text_col, "tokens", n_chars + len(bpe_merges), "bpe"
@@ -104,4 +110,5 @@ def compare_tokenizers(
     uni_rep = tokenizer_report(
         uni_enc, text_col, "pieces", len(uni["logp"]), "unigram"
     )
+    wf.unpersist()
     return bpe_rep.unionByName(uni_rep)

@@ -222,11 +222,15 @@ def sim_cascade_sketch_recall_audit(
             ).alias("w"),
         )
     )
+    # s feeds BOTH the sketch's second pass (y) and the coords union —
+    # cache the diamond so the Ω-projection agg runs once (wave-18/22
+    # cached-diamond pattern; r14 measured 4.28 → 1.97 s warm at
+    # sf0.01 with the cn cache below).
     s = (
         x.join(F.broadcast(omega), "j")
         .groupBy("vec_id", "c")
         .agg(F.sum(F.col("x") * F.col("w")).alias("p"))
-    )
+    ).cache()
     y = (
         x.join(s, "vec_id")
         .groupBy("j", "c")
@@ -246,9 +250,11 @@ def sim_cascade_sketch_recall_audit(
     # per consumer in the static plan — the window keeps ONE lineage per
     # td side and drops the two norm joins entirely
     wnorm = Window.partitionBy("prefilter", "vec_id")
+    # cn is consumed twice (query side cq + probe side of td); cache so
+    # the 2-leg union and norm window materialize once (2·N·k rows).
     cn = coords.withColumn(
         "nn", F.sqrt(F.sum(F.col("p") * F.col("p")).over(wnorm))
-    )
+    ).cache()
     cq = cn.where(F.col("vec_id") % 50 == 0).select(
         "prefilter",
         F.col("vec_id").alias("qid"),

@@ -232,11 +232,15 @@ def sim_prefilter_quality_report(
             ).alias("w"),
         )
     )
+    # s feeds BOTH the sketch's second pass (y) and the coords union —
+    # cache the diamond so the Ω-projection agg plans once (the
+    # wave-18/22 cached-diamond pattern; r14 measured 4.14 → 2.68 s
+    # warm at sf0.01 together with the cn cache below).
     s = (
         x.join(F.broadcast(omega), "j")
         .groupBy("vec_id", "c")
         .agg(F.sum(F.col("x") * F.col("w")).alias("p"))
-    )
+    ).cache()
     y = (
         x.join(s, "vec_id")
         .groupBy("j", "c")
@@ -265,9 +269,13 @@ def sim_prefilter_quality_report(
         .unionByName(vc.withColumn("prefilter", F.lit("variance16")))
     )
     wnorm = Window.partitionBy("prefilter", "vec_id")
+    # cn is consumed twice — as the broadcast query side (cq) and as the
+    # probe side of the candidate join — and its lineage re-derives the
+    # whole 3-leg union (s, z, vc) each time; cache it so the legs and
+    # the norm window run once (3·N·k rows — tiny at any SF).
     cn = coords.withColumn(
         "nn", F.sqrt(F.sum(F.col("p") * F.col("p")).over(wnorm))
-    )
+    ).cache()
     cq = cn.where(F.col("vec_id") % 50 == 0).select(
         "prefilter",
         F.col("vec_id").alias("qid"),

@@ -1520,22 +1520,28 @@ def media_jpeg_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # The audit row is a pure function of g = doc_id % 256 (the gray level
+    # is the only thing that varies), so run the pure-Python codec over the
+    # 256-row CLASS table and broadcast-join the verdicts back to the
+    # corpus — guide §8: decide on small rows, never pay per-row Python on
+    # the big side. Bit-identical rows (same codec calls per class);
+    # measured 1.41 → 0.89 s warm at sf0.01, and the corpus side is now
+    # pure JVM at any scale (the codec cost is a 256-row constant).
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                g = doc_id % 256
+            for g in pdf["g"]:
+                g = int(g)
                 img = np.full((16, 16), g, dtype=np.uint8)
                 base = dec(enc(img, quality=90))
                 prog = dec(enc(img, quality=90, progressive=True))
                 flat = base.astype(np.int64).ravel()
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "width": int(base.shape[1]),
                         "height": int(base.shape[0]),
                         "uniform": bool(flat.max() == flat.min()),
@@ -1547,12 +1553,26 @@ def media_jpeg_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    audited = spark.range(256).select(
+        F.col("id").cast("long").alias("g")
+    ).mapInPandas(
         kernel,
         schema=(
-            "doc_id long, width int, height int, uniform boolean, "
+            "g long, width int, height int, uniform boolean, "
             "err_le_3 boolean, prog_matches_baseline boolean"
         ),
+    )
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 256).alias("g"))
+        .join(F.broadcast(audited), "g")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "uniform",
+            "err_le_3",
+            "prog_matches_baseline",
+        )
     )
 
 
@@ -2282,25 +2302,29 @@ def media_mp4_demux_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Every per-row quantity is a pure function of g = doc_id % 256: frame
+    # pixels are (doc_id + f·40) % 256 and use_co64 = doc_id % 2 (2 | 256).
+    # Run build→probe→decode over the 256-row CLASS table and broadcast-
+    # join the verdicts back — guide §8 (decide on small rows); the corpus
+    # side is pure JVM. Bit-identical rows; measured 2.34 → 1.13 s warm at
+    # sf0.01 (the build→probe→decode cost is a 256-row constant).
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
+            for g in pdf["g"]:
+                g = int(g)
                 frames = [
-                    np.full(
-                        (16, 16, 3), (doc_id + f * 40) % 256, dtype=np.uint8
-                    )
+                    np.full((16, 16, 3), (g + f * 40) % 256, dtype=np.uint8)
                     for f in range(4)
                 ]
                 blob = build(
                     frames,
                     fps_num=25,
                     keyframe_every=2,
-                    use_co64=bool(doc_id % 2),
+                    use_co64=bool(g % 2),
                 )
                 info = probe("mp4", blob)
                 fr0 = info["frames"][0]
@@ -2309,7 +2333,7 @@ def media_mp4_demux_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "n_frames": int(info["n_frames"]),
                         "pts_sum": sum(
                             fr["pts_ms"] for fr in info["frames"]
@@ -2322,12 +2346,21 @@ def media_mp4_demux_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    audited = spark.range(256).select(
+        F.col("id").cast("long").alias("g")
+    ).mapInPandas(
         kernel,
         schema=(
-            "doc_id long, n_frames int, pts_sum int, n_keyframes int, "
+            "g long, n_frames int, pts_sum int, n_keyframes int, "
             "frame0_dims_ok boolean"
         ),
+    )
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 256).alias("g"))
+        .join(F.broadcast(audited), "g")
+        .select(
+            "doc_id", "n_frames", "pts_sum", "n_keyframes", "frame0_dims_ok"
+        )
     )
 
 
