@@ -1797,7 +1797,11 @@ def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     inj = inject_near_dups(docs.select("doc_id", "text"))
-    sh = word_shingles(inj, n=3)
+    # sh fans out to FIVE consumers (signatures, idf, wsize, both sides
+    # of the intersection join) — cache so the shingle explode+distinct
+    # runs once (cached-diamond pattern; r14 measured 2.2 → 1.6 s warm
+    # at sf0.01). idf likewise feeds wsize AND the scored join.
+    sh = word_shingles(inj, n=3).cache()
     cand = lsh_candidate_pairs(minhash_signatures(sh))
     n = inj.agg(F.count("*").alias("n"))
     idf = (
@@ -1808,7 +1812,7 @@ def dedup_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle",
             F.log(F.col("n").cast("double") / F.col("df")).alias("w"),
         )
-    )
+    ).cache()
     wsize = (
         sh.join(idf, "shingle")
         .groupBy("doc_id")
