@@ -18,9 +18,11 @@ Why this shape at 100 TB:
   iterations reuse them. This is the same driver-round-trip
   discipline as llm/bpe.py's argmax loop: the driver only ever sees
   bounded model state, never data.
-- **Two shuffles per iteration** (per-doc score agg, per-dim gradient
-  agg), both keyed on high-cardinality uniform keys (doc_id, hash
-  idx) — no skew by construction.
+- **Two shuffles, ONE action per iteration** (per-doc score agg, then
+  the per-dim gradient agg UNIONED with the loss/bias sums via
+  sentinel idx rows −1/−2 into a single collect — r14), both shuffles
+  keyed on high-cardinality uniform keys (doc_id, hash idx) — no skew
+  by construction.
 
 Training math (pinned against a dense numpy reference in tests):
 full-batch logistic regression, mean log-loss, optional L2;
@@ -135,17 +137,31 @@ def train_logreg(
     and (doc_id, label∈{0,1}) labels. Returns weights, bias, and the
     per-iteration mean log-loss history.
 
-    Driver state is O(dim) floats; each iteration runs two bounded
-    aggregations over the cached feature/label tables. Docs with a
-    label but no features (empty text) still contribute through the
-    bias term.
+    Driver state is O(dim) floats; each iteration runs ONE unioned
+    action (the per-idx gradient aggregate plus the loss/bias sums
+    multiplexed through sentinel idx values −1/−2) over the cached
+    feature/label tables. Feature ``idx`` MUST lie in [0, dim) —
+    validated up front, because a negative idx would collide with the
+    sentinels and silently corrupt the loss/bias (ADVICE r14). Docs
+    with a label but no features (empty text) still contribute through
+    the bias term.
     """
     feats = features.persist()
     labs = labels.select(
         "doc_id", F.col("label").cast("double").alias("y")
     ).persist()
     n_docs = labs.count()  # also materializes the cache
-    feats.count()
+    fstats = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("idx").alias("lo"),
+        F.max("idx").alias("hi"),
+    ).first()  # materializes the cache AND validates the idx contract
+    if fstats["n"] and not (0 <= fstats["lo"] and fstats["hi"] < dim):
+        raise ValueError(
+            f"feature idx out of [0, {dim}): saw [{fstats['lo']}, "
+            f"{fstats['hi']}] — negative idx would collide with the "
+            "sentinel rows of the unioned gradient/loss action"
+        )
     if n_docs == 0:
         raise ValueError("no labeled documents")
 

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
-from python_kinesis_streaming_spark.llm.similarity import cosine
+from python_kinesis_streaming_spark.llm.similarity import dot, l2norm
 from python_kinesis_streaming_spark.registry import op
 from python_kinesis_streaming_spark.sources.tables import load_table
 
@@ -244,64 +244,98 @@ def sim_cascade_sketch_recall_audit(
     coords = s.withColumn("prefilter", F.lit("randproj16")).unionByName(
         z.withColumn("prefilter", F.lit("sketch16"))
     )
-    # norms ride along as a window over the coords partition instead of
-    # a separate groupBy branch: a diamond reference (coords consumed by
-    # a norm agg AND both td sides) re-expands the whole sketch lineage
-    # per consumer in the static plan — the window keeps ONE lineage per
-    # td side and drops the two norm joins entirely
-    wnorm = Window.partitionBy("prefilter", "vec_id")
-    # cn is consumed twice (query side cq + probe side of td); cache so
-    # the 2-leg union and norm window materialize once (2·N·k rows).
-    cn = coords.withColumn(
-        "nn", F.sqrt(F.sum(F.col("p") * F.col("p")).over(wnorm))
+    # r15 spill-proof reshape (VERDICT r14 item 5 — same fix as
+    # sim_prefilter_quality_report, see wave4.py for the full rationale):
+    # per-vector c-sorted coord arrays + precomputed norms replace the
+    # k-fold (prefilter, c) join and its 2·N·|sample|-group hash
+    # aggregate, which OOM'd a 1 GB heap at ×10. The pair stream is one
+    # in-row HOF dot per (query, vector); the rank window's sort spills.
+    # Cores-proportional fan-out before the pair join (same rationale as
+    # sim_prefilter_quality_report in wave4.py): the partial
+    # WindowGroupLimit sorts the pair stream's pre-exchange partitions;
+    # fanning out the N-row vector side keeps each of those sorts a few
+    # MB at any scale, so the ×10/1 GB harness never hits the spill-merge
+    # buffer blow-up. Only N vector rows move, never pairs. No unpersist
+    # on cna/s: they feed the RETURNED lazy plan; MEMORY_AND_DISK + LRU
+    # bounds a long session (VERDICT r14 item 7).
+    fan = 4 * spark.sparkContext.defaultParallelism
+    cna = (
+        coords.groupBy("prefilter", "vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c", "p"))),
+                lambda st: st["p"],
+            ).alias("arr")
+        )
+        .withColumn("nn", l2norm(F.col("arr")))
+        .repartition(fan, "prefilter", "vec_id")
     ).cache()
-    cq = cn.where(F.col("vec_id") % 50 == 0).select(
+    cqa = cna.where(F.col("vec_id") % 50 == 0).select(
         "prefilter",
         F.col("vec_id").alias("qid"),
-        "c",
-        F.col("p").alias("pq"),
+        F.col("arr").alias("qarr"),
         F.col("nn").alias("nnq"),
     )
+
     # the query side is sample-bounded (|sample| x k coords) — it
     # broadcasts at any corpus size, so the only full-size shuffles
-    # are the sketch groupBys themselves
-    td = (
-        F.broadcast(cq).join(cn, ["prefilter", "c"])
-        .where(F.col("vec_id") != F.col("qid"))
-        .groupBy("prefilter", "qid", "vec_id")
-        .agg(
-            F.sum(F.col("pq") * F.col("p")).alias("tdot"),
-            F.max("nnq").alias("nnq"),
-            F.max("nn").alias("nnv"),
+    # are the sketch groupBys themselves. Top-50 rank runs PER LEG over
+    # pure-numeric rows (prefilter constant within a branch — identical
+    # candidate sets, smaller narrower sorts; see wave4).
+    def leg_cand(tag: str) -> DataFrame:
+        pairs = (
+            cna.where(F.col("prefilter") == tag)
+            .join(
+                F.broadcast(cqa.where(F.col("prefilter") == tag)),
+                "prefilter",
+            )
+            .where(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                "vec_id",
+                rnd(
+                    dot(F.col("arr"), F.col("qarr"))
+                    / (F.col("nnq") * F.col("nn")),
+                    4,
+                ).alias("tsim"),
+            )
         )
-    )
-    ts = td.select(
-        "prefilter",
-        "qid",
-        "vec_id",
-        rnd(F.col("tdot") / (F.col("nnq") * F.col("nnv")), 4).alias("tsim"),
-    )
-    cand = (
-        ts.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("prefilter", "qid").orderBy(
-                    F.desc("tsim"), "vec_id"
-                )
-            ),
+        return (
+            pairs.withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(
+                        F.desc("tsim"), "vec_id"
+                    )
+                ),
+            )
+            .where(F.col("rank") <= 50)
+            .select(F.lit(tag).alias("prefilter"), "qid", "vec_id")
         )
-        .where(F.col("rank") <= 50)
-        .select("prefilter", "qid", "vec_id")
+
+    cand = leg_cand("randproj16").unionByName(leg_cand("sketch16"))
+    # Norm-hoist (r15, the wave-7 kernel): per-pair cosine = dot/(nq·nv)
+    # with per-row norms computed once — identical arithmetic, one HOF
+    # per pair instead of three.
+    embn = emb.withColumn("nv", l2norm(F.col("v"))).repartition(
+        fan, "vec_id"
     )
-    eq = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    eq = embn.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
     rr = (
-        emb.join(F.broadcast(cand), "vec_id")
+        embn.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(eq), "qid")
         .select(
             "prefilter",
             "qid",
             "vec_id",
-            rnd(cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+            rnd(
+                dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                4,
+            ).alias("sim"),
         )
     )
     rtop = (
@@ -317,10 +351,13 @@ def sim_cascade_sketch_recall_audit(
         .select("prefilter", "qid", "vec_id")
     )
     q = eq.where(F.col("qid") % 50 == 0)
-    ex = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+    ex = embn.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
         "qid",
         "vec_id",
-        rnd(cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+        rnd(
+            dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
+            4,
+        ).alias("sim"),
     )
     etop = (
         ex.withColumn(

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from python_kinesis_streaming_spark.functions.rounding import rnd, sql_rnd
-from python_kinesis_streaming_spark.llm.similarity import cosine
+from python_kinesis_streaming_spark.llm.similarity import cosine, dot, l2norm
 from python_kinesis_streaming_spark.registry import op
 from python_kinesis_streaming_spark.sources.tables import load_table
 
@@ -268,66 +268,122 @@ def sim_prefilter_quality_report(
         .unionByName(z.withColumn("prefilter", F.lit("sketch16")))
         .unionByName(vc.withColumn("prefilter", F.lit("variance16")))
     )
-    wnorm = Window.partitionBy("prefilter", "vec_id")
-    # cn is consumed twice — as the broadcast query side (cq) and as the
-    # probe side of the candidate join — and its lineage re-derives the
-    # whole 3-leg union (s, z, vc) each time; cache it so the legs and
-    # the norm window run once (3·N·k rows — tiny at any SF).
-    cn = coords.withColumn(
-        "nn", F.sqrt(F.sum(F.col("p") * F.col("p")).over(wnorm))
+    # r15 spill-proof reshape (VERDICT r14 item 5, guide §5): the old
+    # shape posexploded to (prefilter, vec_id, c) rows, broadcast-joined
+    # the sample on (prefilter, c) — a k-fold row blowup — and rebuilt
+    # each dot in a 3·N·|sample|-group hash aggregate whose per-task hash
+    # maps OOM'd a 1 GB heap at ×10. Now each vector's k coords collect
+    # ONCE into a c-sorted array with a precomputed norm (the wave-7
+    # norm-hoist kernel), the broadcast pair join streams N·|sample|
+    # narrow rows with an in-row HOF dot, and the only wide state left is
+    # the rank window's sort, which spills. collect_list is k=16-bounded
+    # (never a wide buffer). cna is consumed by both join sides — cached
+    # (3·N rows of 16-double arrays; ~12 MB at ×10). No unpersist: it
+    # feeds the RETURNED lazy plan; MEMORY_AND_DISK + LRU bounds a long
+    # session (VERDICT r14 item 7 — same note at every op cache site).
+    # Fan-out the vector side before the pair join: the pair stream's
+    # partition count equals this side's, and the rank window's PARTIAL
+    # WindowGroupLimit sorts each pre-exchange partition — at a fixed
+    # shuffle_partitions (AQE off, the ×10 harness) those sorts are
+    # |pairs|/16 rows each and their spill merges OOM a 1 GB heap.
+    # Cores-proportional fan-out keeps every partial sort a few MB at any
+    # data size (the rows moved are N vectors, not pairs); AQE coalesces
+    # it when on.
+    fan = 4 * spark.sparkContext.defaultParallelism
+    cna = (
+        coords.groupBy("prefilter", "vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c", "p"))),
+                lambda st: st["p"],
+            ).alias("arr")
+        )
+        .withColumn("nn", l2norm(F.col("arr")))
+        .repartition(fan, "prefilter", "vec_id")
     ).cache()
-    cq = cn.where(F.col("vec_id") % 50 == 0).select(
+    cqa = cna.where(F.col("vec_id") % 50 == 0).select(
         "prefilter",
         F.col("vec_id").alias("qid"),
-        "c",
-        F.col("p").alias("pq"),
+        F.col("arr").alias("qarr"),
         F.col("nn").alias("nnq"),
     )
     # the query side is sample-bounded (|sample| x k x 3 legs) — it
-    # broadcasts at any corpus size; shuffling the full cn on the
-    # 48-distinct (prefilter, c) key would be the skew antipattern
-    td = (
-        cn.join(F.broadcast(cq), ["prefilter", "c"])
-        .where(F.col("vec_id") != F.col("qid"))
-        .groupBy("prefilter", "qid", "vec_id")
-        .agg(
-            F.sum(F.col("pq") * F.col("p")).alias("tdot"),
-            F.max("nnq").alias("nnq"),
-            F.max("nn").alias("nnv"),
+    # broadcasts at any corpus size; shuffling the full corpus on the
+    # 3-distinct prefilter key would be the skew antipattern.
+    # The top-50 rank runs PER LEG: prefilter is constant inside a leg,
+    # so partitionBy(qid) within the branch selects the identical
+    # candidate set as partitionBy(prefilter, qid) over the union, while
+    # each branch's window sorts one third of the pairs with narrower
+    # rows — the ×10/1 GB run's spill-merge (dozens of 1 MB read-ahead
+    # buffers per over-full task) stays bounded (guide §5: more, smaller
+    # per-task sorts).
+    def leg_cand(tag: str) -> DataFrame:
+        # prefilter is CONSTANT inside the branch — dropped before the
+        # rank so the window sorts pure-numeric (qid, vec_id, tsim) rows,
+        # and re-attached as a literal after (identical candidate set).
+        pairs = (
+            cna.where(F.col("prefilter") == tag)
+            .join(
+                F.broadcast(cqa.where(F.col("prefilter") == tag)),
+                "prefilter",
+            )
+            .where(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                "vec_id",
+                rnd(
+                    F.when(
+                        F.col("nnq") * F.col("nn") == 0, F.lit(0.0)
+                    ).otherwise(
+                        dot(F.col("arr"), F.col("qarr"))
+                        / (F.col("nnq") * F.col("nn"))
+                    ),
+                    4,
+                ).alias("tsim"),
+            )
         )
-    )
-    ts = td.select(
-        "prefilter",
-        "qid",
-        "vec_id",
-        rnd(
-            F.when(F.col("nnq") * F.col("nnv") == 0, F.lit(0.0)).otherwise(
-                F.col("tdot") / (F.col("nnq") * F.col("nnv"))
-            ),
-            4,
-        ).alias("tsim"),
-    )
+        return (
+            pairs.withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(
+                        F.desc("tsim"), "vec_id"
+                    )
+                ),
+            )
+            .where(F.col("rank") <= 50)
+            .select(F.lit(tag).alias("prefilter"), "qid", "vec_id")
+        )
+
     cand = (
-        ts.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("prefilter", "qid").orderBy(
-                    F.desc("tsim"), "vec_id"
-                )
-            ),
-        )
-        .where(F.col("rank") <= 50)
-        .select("prefilter", "qid", "vec_id")
+        leg_cand("randproj16")
+        .unionByName(leg_cand("sketch16"))
+        .unionByName(leg_cand("variance16"))
     )
-    eq = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    # Norm-hoist (r15, the wave-7 kernel): per-pair cosine drops from
+    # three interpreted HOFs (zip_with dot + two norms) to one — the dot —
+    # with the norms computed once per row. dot/(nq·nv) is the IDENTICAL
+    # arithmetic to the cosine helper (same index-order fold, same
+    # sqrt-product), so the doubles are bit-identical.
+    embn = emb.withColumn("nv", l2norm(F.col("v"))).repartition(
+        fan, "vec_id"
+    )
+    eq = embn.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
     rr = (
         cand.join(F.broadcast(eq), "qid")
-        .join(emb, "vec_id")
+        .join(embn, "vec_id")
         .select(
             "prefilter",
             "qid",
             "vec_id",
-            rnd(cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+            rnd(
+                dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                4,
+            ).alias("sim"),
         )
     )
     rtop = (
@@ -343,10 +399,13 @@ def sim_prefilter_quality_report(
         .select("prefilter", "qid", "vec_id")
     )
     q = eq.where(F.col("qid") % 50 == 0)
-    ex = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+    ex = embn.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
         "qid",
         "vec_id",
-        rnd(cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+        rnd(
+            dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
+            4,
+        ).alias("sim"),
     )
     etop = (
         ex.withColumn(

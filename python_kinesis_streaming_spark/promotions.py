@@ -913,6 +913,8 @@ def pack_concat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths = with_token_lengths(docs, "doc_id", "text")
     # Three invariant aggregates consume packed — cache so the concat
     # layout derives once (same diamond fix as pack_best_fit_audit).
+    # No unpersist: feeds the RETURNED lazy plan; MEMORY_AND_DISK + LRU
+    # bounds a long session (VERDICT r14 item 7).
     packed = pack_concat(lengths, 32).cache()
 
     per_seq = packed.groupBy("seq_id").agg(
@@ -3486,6 +3488,8 @@ def pack_best_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per_seq→per_bucket, off_ok, conserved) — uncached, each re-runs the
     # BFD bisect kernel; cache so the pack executes once (wave-18/22
     # cached-diamond pattern; r14 measured 2.91 → 1.72 s warm at sf0.01).
+    # No unpersist: feeds the RETURNED lazy plan; MEMORY_AND_DISK + LRU
+    # bounds a long session (VERDICT r14 item 7).
     packed = pack_best_fit(lengths, 32).cache()
 
     per_seq = packed.groupBy("seq_id").agg(

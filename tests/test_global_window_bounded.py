@@ -56,10 +56,14 @@ ITERATIVE_ALLOWLIST = {
     # 4-stage funnel: the MinHash-LSH and Jaccard-confirm legs each
     # re-derive the canonical (normalized-dedup) corpus — measured 16
     "corpus_dedup_funnel": 17,
-    # 3 prefilter legs over the shared coords lineage; the static plan
-    # re-expands the cn self-join diamond per leg (runtime dedups via
-    # ReusedExchange). Every Exchange is d*k- or sample-bounded —
-    # measured 19 (the 2-leg wave-3 sibling measures 14)
+    # 3 prefilter legs over the shared coords lineage; since the r15
+    # spill-proof reshape each leg ranks its own pair stream (smaller
+    # per-task sorts — the ×10/1 GB fix), so the static plan carries one
+    # window exchange + the cores-proportional fan-out repartition per
+    # leg plus the cached cna build re-expanded per consumer (runtime
+    # dedups via InMemoryRelation/ReusedExchange). Every Exchange is
+    # d*k-, N- or sample-bounded, never pairs — measured 20 (the 2-leg
+    # wave-3 sibling measures 14)
     "sim_prefilter_quality_report": 20,
     # NN-descent iteration shape: the seed graph feeds both hop ends,
     # the candidate union AND the stage-1 audit — 4 consumers of one
