@@ -123,10 +123,12 @@ class _bounded_shuffle:
     """,
     scale=(
         "Real PNG encode+decode per blob behind the Arrow seam — "
-        "partition-local, zero shuffle; the oracle recomputes the pixel "
+        "partition-local; the oracle recomputes the pixel "
         "stats from the generating formula, so a codec regression (not "
-        "just a crash) breaks the hash. Per-blob CPU cost, embarrassingly "
-        "parallel at any corpus size."
+        "just a crash) breaks the hash. Since r15 the codec runs over the "
+        "distinct doc_id-mod-251 class table and the verdicts "
+        "broadcast-join back (guide 8): Python cost a bounded constant at "
+        "any corpus size, corpus side pure JVM."
     ),
 )
 def media_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,8 +211,9 @@ def media_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Nearest-neighbor resize through the single unified kernel "
         "(media_codecs.resize_nearest, centers=True): the oracle hard-"
         "codes the half-pixel-center index map for 8x12→4x6, so a "
-        "convention drift in the kernel breaks the hash. Per-blob, "
-        "zero shuffle."
+        "convention drift in the kernel breaks the hash. Since r15: "
+        "distinct mod-251 class table + broadcast join back — bounded "
+        "Python at any scale."
     ),
 )
 def media_image_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,8 +282,9 @@ def media_image_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale=(
         "PCM16 WAV write (audio_ops) + independent chunk-walk read "
         "(media_codecs): sample-exact roundtrip proven by integer "
-        "sum/sum-of-squares against the generating formula. Per-blob, "
-        "zero shuffle."
+        "sum/sum-of-squares against the generating formula. Since r15: "
+        "distinct mod-2048 class table + broadcast join back — bounded "
+        "Python at any scale."
     ),
 )
 def media_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,8 +457,9 @@ def media_flac_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AVI mux (DIB) → probe_video frame INDEX (no decode) → decode of "
         "frame 0 only — the sampled-decode discipline: frame byte ranges "
         "come from the index (oracle pins the DIB stride arithmetic), and "
-        "only the sampled frame's bytes are touched. Per-blob, zero "
-        "shuffle."
+        "only the sampled frame's bytes are touched. Since r15: distinct "
+        "mod-768 class table + broadcast join back — bounded Python at "
+        "any scale."
     ),
 )
 def media_avi_demux_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1906,8 +1911,8 @@ def gopher_quality_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale=(
         "Full GIF LZW encode + decode of a 2-frame animation (gray "
         "triples keep the palette ≤ 251 colors): frame composition must "
-        "reproduce every pixel for the checksum to match. Per-blob, "
-        "zero shuffle."
+        "reproduce every pixel for the checksum to match. Since r15: "
+        "distinct mod-251 class table + broadcast join back."
     ),
 )
 def media_gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1993,7 +1998,7 @@ def media_gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "assembles the BITMAPINFOHEADER + bottom-up BGR padded rows "
         "from the formula, so the decoder's stride/flip/channel-order "
         "handling is what the (permutation-invariant) checksum proves. "
-        "Per-blob, zero shuffle."
+        "Since r15: distinct mod-256 class table + broadcast join back."
     ),
 )
 def media_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2088,7 +2093,7 @@ def media_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in r7): 2x upsampling makes every interpolated value exact "
         "integer math — even outputs copy the source, odd outputs are "
         "round-half-away midpoints — which the oracle recomputes from "
-        "the formula. Per-clip kernel, zero shuffle."
+        "the formula. Since r15 the kernel runs over the distinct doc_id-mod-K class table and broadcast-joins verdicts back (guide 8): one tiny class shuffle, corpus side pure JVM, Python cost a bounded constant at any scale."
     ),
 )
 def audio_resample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2299,7 +2304,8 @@ def lakehouse_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte ranges verified by re-slicing the original blob at the "
         "reported offsets and checksumming against the generating "
         "formula: an off-by-one in EBML size parsing or lace "
-        "arithmetic breaks the hash. Per-blob, zero shuffle."
+        "arithmetic breaks the hash. Since r15: distinct mod-3840 class "
+        "table + broadcast join back."
     ),
 )
 def media_mkv_demux_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2594,8 +2600,8 @@ def kpl_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale=(
         "Sun AU (.snd) PCM16 big-endian leg: the kernel assembles the "
         "spec header + samples, decode_au walks it independently — "
-        "endianness or offset bugs break the exact integer sums. "
-        "Per-blob, zero shuffle."
+        "endianness or offset bugs break the exact integer sums. Since "
+        "r15: distinct mod-4096 class table + broadcast join back."
     ),
 )
 def media_au_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2747,8 +2753,8 @@ def avro_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "768-entry colormap. The kernel assembles spec bytes (IFD walk, "
         "strip offsets, 9-bit LZW frames) from the pixel formula; the "
         "oracle recomputes the sums from the same formula, so any "
-        "byte-order / strip / predictor / LUT bug breaks the hash. "
-        "Per-blob, zero shuffle."
+        "byte-order / strip / predictor / LUT bug breaks the hash. Since "
+        "r15: distinct mod-256 class table + broadcast join back."
     ),
 )
 def media_tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2956,7 +2962,7 @@ def media_tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "JPEG, exif_orientation walks the IFD back out, and "
         "apply_orientation permutes the decoded pixels — dims follow "
         "the 8 orientation codes exactly and the pixel-sum invariance "
-        "proves the permutation lost nothing. Per-blob, zero shuffle."
+        "proves the permutation lost nothing. Since r15 the kernel runs over the distinct doc_id-mod-K class table and broadcast-joins verdicts back (guide 8): one tiny class shuffle, corpus side pure JVM, Python cost a bounded constant at any scale."
     ),
 )
 def media_exif_orientation_parity(
@@ -3084,8 +3090,9 @@ def media_exif_orientation_parity(
         "(PCM16 big-endian, 80-bit extended-float rate), AIFF-C sowt "
         "(little-endian), and Sun AU G.711 mu-law — the oracle replays "
         "the mu-law expansion from the spec formula in SQL bit "
-        "arithmetic, so a wrong table entry breaks the hash. Per-blob, "
-        "zero shuffle."
+        "arithmetic, so a wrong table entry breaks the hash. Since r15: "
+        "distinct mod-96000 class table (lcm of the three legs) + "
+        "broadcast join back."
     ),
 )
 def media_aiff_au_mulaw_stats(
@@ -3210,8 +3217,8 @@ def media_aiff_au_mulaw_stats(
         "LINEAR ramp (8y + 12x + c), so the half-pixel bilinear sample "
         "positions give exact integer pixels and the oracle is literal "
         "arithmetic — a convention drift (align_corners, pad value, "
-        "crop origin) breaks the hash. Two chained per-blob passes, "
-        "zero shuffle."
+        "crop origin) breaks the hash. Since r15 both chained passes run "
+        "over the distinct mod-13 class table + broadcast join back."
     ),
 )
 def image_transform_pipeline_checksum(
@@ -3339,8 +3346,9 @@ def image_transform_pipeline_checksum(
         "decoding the output payload. Channel pairs are built so the "
         "mean is an exact integer (no rounding leg), and fit_length's "
         "pad branch is checked kernel-side — the oracle replays the "
-        "mixdown and the center window in SQL. Two chained per-blob "
-        "passes, zero shuffle."
+        "mixdown and the center window in SQL. Since r15 both chained "
+        "passes run over the distinct mod-500 class table + broadcast "
+        "join back."
     ),
 )
 def audio_standardize_roundtrip(
@@ -3727,8 +3735,9 @@ def tokenizer_eval_report_audit(
         "sampling happens on the demux index before any decode, so the "
         "op pins the sampled indices (0, 2, 4), their 25fps timestamps "
         "and the decoded constant-frame means in one pass. Constant "
-        "frames make mean_px an exact integer. Per-blob, zero shuffle; "
-        "max_frames bounds decode work per video."
+        "frames make mean_px an exact integer. Since r15: distinct "
+        "mod-256 class table + broadcast join back; max_frames bounds "
+        "decode work per class."
     ),
 )
 def video_frames_seam_stats(

@@ -82,48 +82,37 @@ ITERATIVE_ALLOWLIST = {
 ROW_PYTHON_ALLOWED = {"udf_scalar_py", "udtf_python_lateral", "udtf_dynamic_schema"}
 
 
-def test_global_windows_only_consume_bounded_inputs(spark, sf_dir):
+def test_global_windows_only_consume_bounded_inputs(plan_corpus):
     """One sweep over every batch op's plan, asserting three scale gates:
     no unbounded global window (tree walk), the per-op shuffle budget, and
     no row-at-a-time Python outside the documented UDF-ladder rungs
-    (formatted-plan text)."""
-    from python_kinesis_streaming_spark.plans.explain import (
-        plan_of,
-        shuffle_count,
-    )
+    (formatted-plan text).
 
-    # Deterministic sweep (CLAUDE.md invariant 4): cached relations
-    # MATERIALIZED by whatever tests happened to run earlier in this session
-    # would be substituted into fresh plans by the CacheManager, making the
-    # per-op shuffle counts depend on test order (observed r14: the same op
-    # read 12 or 26 Exchanges depending on which test file ran first). With a
-    # cleared cache the sweep's own registration order — fixed — is the only
-    # cache state, so every count is reproducible. The table memo must be
-    # cleared WITH the CacheManager: a memoized load_table frame whose
-    # cache entry was just dropped is never re-registered, leaving every
-    # LATER test in the session with un-substituted bare plans
-    # (test_live_plan_modes_agree read 0 codegen ids from exactly that
-    # state — the r14 inherited failure).
-    spark.catalog.clearCache()
-    tables._CACHE.clear()
+    Deterministic sweep (CLAUDE.md invariant 4): the plans come from the
+    session-shared ``plan_corpus`` fixture, which clears the CacheManager
+    AND the table memo, then builds every lazy op once in registration
+    order — the only cache state the plans can see is the corpus's own
+    fixed build order, so every count is reproducible regardless of which
+    tests ran earlier (observed r14: the same op read 12 or 26 Exchanges
+    depending on test order). Sharing the corpus with test_plans' global
+    sweep and the schema gate pays the ~250 s catalyst cost once per
+    session instead of three times (VERDICT r14 item 2)."""
+    from python_kinesis_streaming_spark.plans.explain import shuffle_count
 
-    queries = all_queries()
     promotions = _promotion_names()
     offenders: dict[str, object] = {}
     over_budget: dict[str, int] = {}
     row_python: list[str] = []
-    for name, fn in queries.items():
+    for name, (df, plan) in plan_corpus.items():
         if (
             name.startswith(SKIP_PREFIXES)
             or name in promotions
             or name in SKIP_NAMES
         ):
             continue
-        df = fn(spark, sf_dir)
         violations = global_window_violations(df)
         if violations:
             offenders[name] = violations
-        plan = plan_of(df, "formatted")
         shuffles = shuffle_count(plan)
         if shuffles > ITERATIVE_ALLOWLIST.get(name, SHUFFLE_CEILING):
             over_budget[name] = shuffles

@@ -71,12 +71,51 @@ REPRESENTATIVE = [
 ]
 
 
+def _split_representative():
+    from tests.corpus_sets import scratch_or_stateful
+
+    unsafe = scratch_or_stateful()
+    pure = [n for n in REPRESENTATIVE if n not in unsafe]
+    seq = [n for n in REPRESENTATIVE if n in unsafe]
+    return pure, seq
+
+
+_PURE_REPR, _SEQ_REPR = _split_representative()
+
+
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
-@pytest.mark.parametrize("name", REPRESENTATIVE)
+@pytest.mark.parametrize("name", _SEQ_REPR)
 def test_runs_at_sf(name, sf, spark):
     df = Q[name](spark, sf)
     assert df.columns
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+def test_pure_ops_run_at_sf_threaded(sf, spark):
+    """The pure (no-scratch) representative ops at the other two SFs,
+    fanned out through a driver-side thread pool (guide §2.6) — same
+    coverage as the old per-op parametrization, ~3× the throughput
+    (the r15 verify-budget fix; scratch-touching ops stay sequential
+    above)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(name):
+        try:
+            df = Q[name](spark, sf)
+            assert df.columns
+            assert df.count() >= 0
+            return None
+        except Exception as exc:  # noqa: BLE001 — collected and asserted
+            return (name, repr(exc)[:300])
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        failures = [r for r in pool.map(one, _PURE_REPR) if r]
+    assert not failures, f"{len(failures)} ops failed at {sf}: {failures}"
+
+
+def test_representative_split_is_complete():
+    assert sorted(_PURE_REPR + _SEQ_REPR) == sorted(REPRESENTATIVE)
 
 
 # The round-4 streaming oracles (stream_watermark_late, stream_output_modes,

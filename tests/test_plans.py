@@ -471,37 +471,26 @@ BNLJ_ALLOWED = {
 #: Ops that execute real work (streams, sinks, iterative algorithms, disk
 #: prep) when the DataFrame is BUILT — excluded from the cheap global audit
 #: (their joins are covered by op-specific tests above and by execution).
-_EXECUTES_ON_BUILD = ("stream_", "source_stream", "join_stream", "sink_")
-_EXECUTES_EXTRA = {
-    "scan_partition_pruned", "scan_schema_evolution", "join_bucketed",
-    "join_dpp_partition_pruned",
-    "dedup_clusters",
-    "edge_empty_inputs",  # runs its five count() checks on build
-    "set_ops_all_variants",  # runs its four count() checks on build
-    "lakehouse_incremental_dedup",  # writes snapshot versions on build
-    "lakehouse_time_travel_diff",  # writes two snapshot versions on build
-    "lakehouse_manifest_prune_audit",  # 8 range-append commits + pruned reads on build
-    "lakehouse_snapshot_restore_audit",  # v0/v1/restore commits + equality reads on build
-}
-
-# r9-flip promotions whose BUILDER executes work (trainer loops, loopback
-# servers, snapshot writes) — same classification test_promotion_plans.py
-# uses; their final-aggregate plans are gated there, and re-running the
-# builders here just to read a plan would double their cost.
-from tests.test_promotion_plans import EXECUTING_OPS as _PROMO_EXECUTING  # noqa: E402
-
-_EXECUTES_EXTRA = _EXECUTES_EXTRA | _PROMO_EXECUTING
+# The executing-on-build classification (trainer loops, loopback servers,
+# snapshot writes, streaming drains) moved to tests/corpus_sets.py — it is
+# what the session-shared plan_corpus fixture excludes, and this file's
+# global sweep now reads that corpus instead of rebuilding every plan.
 
 
-def test_no_unbounded_nested_loop_anywhere(spark, sf_dir, no_table_cache):
+def test_no_unbounded_nested_loop_anywhere(plan_corpus):
     """Global net: NO op may plan a CartesianProduct, and
     BroadcastNestedLoopJoin only with a documented tiny broadcast side.
-    A regressed join condition (lost equi key) shows up here first."""
+    A regressed join condition (lost equi key) shows up here first.
+
+    Reads the session-shared ``plan_corpus`` (built once under the
+    no-table-cache regime — the same plans this test used to rebuild
+    itself, r15 verify-budget fix)."""
+    from tests.corpus_sets import EXECUTES_BUT_AUDITED
+
     audited = 0
-    for name, fn in Q.items():
-        if name.startswith(_EXECUTES_ON_BUILD) or name in _EXECUTES_EXTRA:
-            continue
-        p = plan_of(fn(spark, sf_dir))
+    for name, (_df, p) in plan_corpus.items():
+        if name in EXECUTES_BUT_AUDITED:
+            continue  # disk-prep/count-check builders, skipped here since r6
         if name not in BNLJ_ALLOWED:
             assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
             assert "BroadcastNestedLoopJoin" not in p, (

@@ -55,8 +55,16 @@ def _unsafe(dt: DataType, top: bool = True) -> str | None:
 
 
 @pytest.mark.parametrize("name", sorted(Q))
-def test_result_schema_is_hash_safe(name, spark):
-    df = Q[name](spark, SF)
+def test_result_schema_is_hash_safe(name, spark, plan_corpus):
+    # Result schemas are scale-factor-independent: lazy ops reuse the
+    # session-shared plan corpus (built once at sf0.01 — the r15
+    # verify-budget fix) instead of re-running catalyst per op; only the
+    # executing builders (streams, sinks, commit logs, trainer loops) are
+    # built here, on the cheap sf0.001 fixture.
+    if name in plan_corpus:
+        df = plan_corpus[name][0]
+    else:
+        df = Q[name](spark, SF)
     for field in df.schema.fields:
         bad = _unsafe(field.dataType, top=False)
         assert bad is None, f"{name}.{field.name}: {bad}"
